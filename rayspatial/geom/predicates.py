@@ -1,0 +1,921 @@
+"""Predicate kernels (reference pygeos/predicates.py).
+
+Semantics copied from the reference / GEOS:
+
+- missing (null) on either side -> False for every predicate
+  (src/ufuncs.c:148-151, 296-298);
+- ``equals_exact`` is structural equality with tolerance — the test
+  oracle (pygeos/testing.py:10-17, predicates.py:910-951);
+- point-on-boundary: ``contains`` False, ``covers``/``intersects`` True
+  (OGC DE-9IM definitions, predicates.py:470-521 notes).
+
+Implementation: every geometry decomposes into points / lineal segments
+/ polygon rings (GeomArray parts).  The named predicates are computed
+from elementary interactions (point location in a geometry, segment
+crossings) per OGC definitions over interiors/boundaries/exteriors.
+
+Vectorized hot path: :func:`points_in_polygon` — location of a point
+batch against one polygon — is the inner loop of the distributed
+point-in-polygon join (reference query_bulk, src/strtree.c:434-580).
+
+Documented limitation vs GEOS: predicates other than intersects /
+disjoint / dwithin / equals_exact treat a GEOMETRYCOLLECTION as the
+union of its components under the component-wise rules below; overlap
+coverage of a geometry by *multiple* components jointly (e.g. a line
+covered by two adjacent polygons, neither alone covering it) is
+evaluated by midpoint sampling, exact for non-degenerate inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rayspatial.geom.array import (
+    GEOMETRYCOLLECTION,
+    LINEARRING,
+    LINESTRING,
+    MISSING,
+    PK_HOLE,
+    PK_LINE,
+    PK_POINT,
+    PK_SHELL,
+    POINT,
+    POLYGON,
+    GeomArray,
+)
+
+__all__ = [
+    "is_missing", "is_geometry", "is_valid_input", "is_empty", "is_ring",
+    "is_closed", "is_simple", "is_valid", "is_ccw", "has_z",
+    "equals_exact", "equals",
+    "intersects", "disjoint", "contains", "contains_properly", "within",
+    "covers", "covered_by", "touches", "crosses", "overlaps", "dwithin",
+    "points_in_polygon", "PolygonSet",
+]
+
+INT, BND, EXT = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# unary predicates (reference predicates.py:39-418; missing -> False)
+
+
+def is_missing(ga: GeomArray) -> np.ndarray:
+    return ga.types == MISSING
+
+
+def is_geometry(ga: GeomArray) -> np.ndarray:
+    return ga.types != MISSING
+
+
+def is_valid_input(ga: GeomArray) -> np.ndarray:
+    # geometry or None are both valid inputs (predicates.py:260-291)
+    return np.ones(len(ga), dtype=bool)
+
+
+def is_empty(ga: GeomArray) -> np.ndarray:
+    return ga.is_empty()
+
+
+def has_z(ga: GeomArray) -> np.ndarray:
+    out = np.asarray(ga.has_z, dtype=bool).copy()
+    out[ga.types == MISSING] = False
+    return out
+
+
+def is_closed(ga: GeomArray) -> np.ndarray:
+    """Lines whose first == last point (predicates.py:107-134;
+    False for non-lines and missing)."""
+    out = np.zeros(len(ga), dtype=bool)
+    lineal = np.isin(ga.types, (LINESTRING, LINEARRING, 5))
+    for p in range(ga.n_parts):
+        g = ga.part_geom[p]
+        if not lineal[g] or ga.part_kind[p] != PK_LINE:
+            continue
+        xy = ga.part_coords(p)
+        closed = len(xy) >= 2 and bool((xy[0] == xy[-1]).all())
+        # all parts must be closed; start True only if first part
+        out[g] = closed if not out[g] else (out[g] and closed)
+    # geometries marked lineal but empty stay False (GEOS: empty line is not closed)
+    return out
+
+
+def _ring_is_ccw(xy: np.ndarray) -> bool:
+    x = xy[:, 0]
+    y = xy[:, 1]
+    return (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) > 0
+
+
+def is_ccw(ga: GeomArray) -> np.ndarray:
+    """True for CCW linear rings / closed linestrings with >= 4 points
+    (predicates.py:70-106: False for non-linear and < 4 points)."""
+    out = np.zeros(len(ga), dtype=bool)
+    for p in range(ga.n_parts):
+        g = ga.part_geom[p]
+        if ga.types[g] not in (LINESTRING, LINEARRING):
+            continue
+        xy = ga.part_coords(p)
+        if len(xy) >= 4 and (xy[0] == xy[-1]).all():
+            out[g] = _ring_is_ccw(xy)
+    return out
+
+
+def _line_self_intersects(xy: np.ndarray) -> bool:
+    """Any non-adjacent segment pair of one chain intersecting."""
+    n = len(xy) - 1
+    if n < 2:
+        return False
+    closed = (xy[0] == xy[-1]).all()
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = (j == i + 1) or (closed and i == 0 and j == n - 1)
+            kind, pt = _seg_seg(xy[i], xy[i + 1], xy[j], xy[j + 1])
+            if kind == "none":
+                continue
+            if kind == "overlap":
+                return True
+            if kind in ("proper", "touch"):
+                if adjacent:
+                    # sharing the common endpoint is fine; anything else isn't
+                    shared = xy[j] if j == i + 1 else xy[0]
+                    if pt is not None and (pt == shared).all():
+                        continue
+                    return True
+                return True
+    return False
+
+
+def is_simple(ga: GeomArray) -> np.ndarray:
+    """No self-intersection (predicates.py:326-358; False for GC and
+    missing)."""
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        t = ga.types[i]
+        if t == MISSING or t == GEOMETRYCOLLECTION:
+            continue
+        parts = np.flatnonzero(ga.part_geom == i)
+        simple = True
+        if t in (LINESTRING, LINEARRING, 5):
+            for p in parts:
+                if _line_self_intersects(ga.part_coords(p)):
+                    simple = False
+                    break
+        elif t == 4:  # multipoint: simple iff no repeated points
+            pts = np.concatenate([ga.part_coords(p) for p in parts]) if len(parts) else np.empty((0, 2))
+            simple = len(np.unique(pts, axis=0)) == len(pts)
+        out[i] = simple
+    return out
+
+
+def is_ring(ga: GeomArray) -> np.ndarray:
+    """closed AND simple (predicates.py:292-325)."""
+    closed = is_closed(ga)
+    simple = is_simple(ga)
+    lineal = np.isin(ga.types, (LINESTRING, LINEARRING))
+    return closed & simple & lineal
+
+
+def is_valid(ga: GeomArray) -> np.ndarray:
+    """OGC validity (predicates.py:359-391).  Implemented checks: rings
+    closed with >= 4 points, no ring self-intersection, non-missing.
+    (Full nested-hole validation out of scope; missing -> False,
+    empty -> True per GEOS.)"""
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            continue
+        ok = True
+        for p in np.flatnonzero(ga.part_geom == i):
+            if ga.part_kind[p] in (PK_SHELL, PK_HOLE):
+                xy = ga.part_coords(p)
+                if len(xy) < 4 or not (xy[0] == xy[-1]).all() or _line_self_intersects(xy):
+                    ok = False
+                    break
+        out[i] = ok
+    return out
+
+
+# ---------------------------------------------------------------------------
+# structural equality (the test oracle)
+
+
+def equals_exact(ga: GeomArray, gb: GeomArray, tolerance: float = 0.0) -> np.ndarray:
+    """Structural equality with tolerance (predicates.py:910-951):
+    same type, same part structure, coordinates pairwise within
+    tolerance.  Missing on either side -> False."""
+    n = len(ga)
+    out = np.zeros(n, dtype=bool)
+    pa = [np.flatnonzero(ga.part_geom == i) for i in range(n)]
+    pb = [np.flatnonzero(gb.part_geom == i) for i in range(n)]
+    for i in range(n):
+        ta, tb = ga.types[i], gb.types[i]
+        if ta == MISSING or tb == MISSING or ta != tb:
+            continue
+        ppa, ppb = pa[i], pb[i]
+        if len(ppa) != len(ppb):
+            continue
+        ok = True
+        for qa, qb in zip(ppa, ppb):
+            if ga.part_kind[qa] != gb.part_kind[qb]:
+                ok = False
+                break
+            ca, cb = ga.part_coords(qa), gb.part_coords(qb)
+            if ca.shape != cb.shape or not (np.abs(ca - cb) <= tolerance).all():
+                ok = False
+                break
+        out[i] = ok
+    return out
+
+
+# ---------------------------------------------------------------------------
+# elementary interactions
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_seg(px, py, ax, ay, bx, by) -> bool:
+    if _orient(ax, ay, bx, by, px, py) != 0.0:
+        return False
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _seg_seg(a1, a2, b1, b2):
+    """Classify segment intersection.
+
+    Returns (kind, point) where kind in {"none", "proper", "touch",
+    "overlap"}; point is the contact point for proper/touch (None for
+    overlap)."""
+    d1 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+    d2 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+    d3 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+    d4 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+    if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+        (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+    ):
+        # proper crossing: interiors of both segments
+        t = d1 / (d1 - d2)
+        px = a1[0] + t * (a2[0] - a1[0])
+        py = a1[1] + t * (a2[1] - a1[1])
+        return "proper", np.asarray([px, py])
+    if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
+        # collinear: project on dominant axis
+        axis = 0 if abs(a2[0] - a1[0]) >= abs(a2[1] - a1[1]) else 1
+        lo_a, hi_a = sorted((a1[axis], a2[axis]))
+        lo_b, hi_b = sorted((b1[axis], b2[axis]))
+        lo, hi = max(lo_a, lo_b), min(hi_a, hi_b)
+        if lo > hi:
+            return "none", None
+        if lo == hi:
+            pt = a1 if a1[axis] == lo else (a2 if a2[axis] == lo else (b1 if b1[axis] == lo else b2))
+            return "touch", np.asarray(pt, dtype=np.float64)
+        return "overlap", None
+    # non-collinear touch cases: one endpoint on the other segment
+    for p, (u1, u2) in (
+        (a1, (b1, b2)),
+        (a2, (b1, b2)),
+        (b1, (a1, a2)),
+        (b2, (a1, a2)),
+    ):
+        if _on_seg(p[0], p[1], u1[0], u1[1], u2[0], u2[1]):
+            return "touch", np.asarray(p, dtype=np.float64)
+    return "none", None
+
+
+# --- vectorized point-in-ring ------------------------------------------------
+
+
+def _pip_ring_bulk(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
+    """Vectorized even-odd + boundary test of points against one closed
+    ring.  Returns (inside_parity bool[n], on_boundary bool[n])."""
+    x0 = ring[:-1, 0][None, :]
+    y0 = ring[:-1, 1][None, :]
+    x1 = ring[1:, 0][None, :]
+    y1 = ring[1:, 1][None, :]
+    px_ = px[:, None]
+    py_ = py[:, None]
+    # boundary: collinear + bbox
+    cross = (x1 - x0) * (py_ - y0) - (y1 - y0) * (px_ - x0)
+    on = (
+        (cross == 0.0)
+        & (px_ >= np.minimum(x0, x1))
+        & (px_ <= np.maximum(x0, x1))
+        & (py_ >= np.minimum(y0, y1))
+        & (py_ <= np.maximum(y0, y1))
+    ).any(axis=1)
+    # even-odd ray cast (upward ray, half-open rule)
+    cond = (y0 > py_) != (y1 > py_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py_ - y0) * (x1 - x0) / (y1 - y0)
+    hits = cond & (px_ < xint)
+    inside = hits.sum(axis=1) % 2 == 1
+    return inside, on
+
+
+class PolygonSet:
+    """A prepared polygon partition: rings grouped per polygon, edge
+    arrays precomputed — the engine's 'prepared geometry' (the analogue
+    of the reference's per-Geometry prepared cache,
+    src/ufuncs.c:461-476).  Built once per actor in the join stage."""
+
+    def __init__(self, ga: GeomArray, indices: np.ndarray | None = None):
+        """Collect all polygons of geometries ``indices`` (default all)
+        of ``ga``.  Each polygon = (geom_idx, shell, [holes])."""
+        self.polys: list[tuple[int, np.ndarray, list[np.ndarray]]] = []
+        want = set(indices.tolist()) if indices is not None else None
+        cur = {}
+        for p in range(ga.n_parts):
+            g = int(ga.part_geom[p])
+            if want is not None and g not in want:
+                continue
+            k = ga.part_kind[p]
+            if k == PK_SHELL:
+                pid = int(ga.part_sub[p])
+                cur[pid] = (g, ga.part_coords(p), [])
+            elif k == PK_HOLE:
+                pid = int(ga.part_sub[p])
+                if pid in cur:
+                    cur[pid][2].append(ga.part_coords(p))
+        self.polys = [cur[k] for k in sorted(cur)]
+
+    def locate(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Location of each point w.r.t. the union of polygons:
+        0=interior, 1=boundary, 2=exterior.  Vectorized per ring."""
+        n = len(px)
+        loc = np.full(n, EXT, dtype=np.int8)
+        on_any = np.zeros(n, dtype=bool)
+        for _, shell, holes in self.polys:
+            ins, on = _pip_ring_bulk(px, py, shell)
+            on_any |= on
+            interior = ins & ~on
+            for hole in holes:
+                hins, hon = _pip_ring_bulk(px, py, hole)
+                on_any |= hon
+                interior &= ~hins
+                interior &= ~hon
+            loc[interior] = INT
+        # boundary only where not interior of some other polygon
+        loc[on_any & (loc != INT)] = BND
+        return loc
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, shell: np.ndarray, holes=()
+) -> np.ndarray:
+    """Hot join kernel: locations (0/1/2) of a point batch vs a single
+    polygon."""
+    ins, on = _pip_ring_bulk(px, py, shell)
+    loc = np.where(ins & ~on, INT, np.where(on, BND, EXT)).astype(np.int8)
+    for hole in holes:
+        hins, hon = _pip_ring_bulk(px, py, hole)
+        loc[(loc == INT) & hon] = BND
+        loc[(loc == INT) & hins & ~hon] = EXT
+    return loc
+
+
+# ---------------------------------------------------------------------------
+# per-geometry decomposition and location
+
+
+class _Decomp:
+    """Points / lineal segments / polygons of ONE geometry."""
+
+    def __init__(self, ga: GeomArray, i: int):
+        pts = []
+        lines = []  # list of (k,2) chains
+        polys = {}
+        for p in np.flatnonzero(ga.part_geom == i):
+            k = ga.part_kind[p]
+            xy = ga.part_coords(p)
+            if k == PK_POINT:
+                pts.append(xy)
+            elif k == PK_LINE:
+                lines.append(xy)
+            elif k == PK_SHELL:
+                polys[int(ga.part_sub[p])] = (xy, [])
+            else:
+                pid = int(ga.part_sub[p])
+                if pid in polys:
+                    polys[pid][1].append(xy)
+        self.points = np.concatenate(pts) if pts else np.empty((0, 2))
+        self.lines = lines
+        self.polys = [polys[k] for k in sorted(polys)]  # (shell, holes)
+        self.empty = len(self.points) == 0 and not lines and not self.polys
+
+    @property
+    def dim(self) -> int:
+        if self.polys:
+            return 2
+        if self.lines:
+            return 1
+        if len(self.points):
+            return 0
+        return -1
+
+    def line_boundary_points(self) -> np.ndarray:
+        """Mod-2 rule: endpoints occurring an odd number of times are
+        boundary points of the lineal component (closed ring -> none)."""
+        ends = []
+        for ch in self.lines:
+            ends.append(ch[0])
+            ends.append(ch[-1])
+        if not ends:
+            return np.empty((0, 2))
+        ends = np.asarray(ends)
+        uniq, counts = np.unique(ends, axis=0, return_counts=True)
+        return uniq[counts % 2 == 1]
+
+    def segments(self):
+        """All lineal segments as (m, 2, 2)."""
+        segs = []
+        for ch in self.lines:
+            if len(ch) >= 2:
+                segs.append(np.stack([ch[:-1], ch[1:]], axis=1))
+        return np.concatenate(segs) if segs else np.empty((0, 2, 2))
+
+    def ring_segments(self):
+        segs = []
+        for shell, holes in self.polys:
+            for ring in [shell, *holes]:
+                if len(ring) >= 2:
+                    segs.append(np.stack([ring[:-1], ring[1:]], axis=1))
+        return np.concatenate(segs) if segs else np.empty((0, 2, 2))
+
+    def all_vertices(self) -> np.ndarray:
+        vs = [self.points]
+        vs += [ch for ch in self.lines]
+        for shell, holes in self.polys:
+            vs.append(shell)
+            vs += holes
+        vs = [v for v in vs if len(v)]
+        return np.concatenate(vs) if vs else np.empty((0, 2))
+
+    def locate(self, px: float, py: float) -> int:
+        """Location of one point in this geometry (set union of
+        components; interior of any component wins)."""
+        p = np.asarray([px, py])
+        loc = EXT
+        # polygons
+        for shell, holes in self.polys:
+            ins, on = _pip_ring_bulk(np.asarray([px]), np.asarray([py]), shell)
+            if on[0]:
+                loc = min(loc, BND)
+                continue
+            if ins[0]:
+                inside = True
+                for hole in holes:
+                    hins, hon = _pip_ring_bulk(np.asarray([px]), np.asarray([py]), hole)
+                    if hon[0]:
+                        loc = min(loc, BND)
+                        inside = False
+                        break
+                    if hins[0]:
+                        inside = False
+                        break
+                if inside:
+                    return INT
+        # lines: interior unless boundary endpoint
+        bpts = self.line_boundary_points() if self.lines else np.empty((0, 2))
+        for ch in self.lines:
+            for k in range(len(ch) - 1):
+                if _on_seg(px, py, ch[k, 0], ch[k, 1], ch[k + 1, 0], ch[k + 1, 1]):
+                    if len(bpts) and ((bpts == p).all(axis=1)).any():
+                        loc = min(loc, BND)
+                    else:
+                        return INT
+        # points: point interior
+        if len(self.points) and ((self.points == p).all(axis=1)).any():
+            return INT
+        return loc
+
+
+# ---------------------------------------------------------------------------
+# pairwise named predicates
+
+
+def _ring_inner_point(ring: np.ndarray) -> np.ndarray:
+    """A point strictly inside a simple ring: scanline through the mid-y
+    (nudged off vertices), midpoint of the first crossing span."""
+    ys = np.unique(ring[:, 1])
+    if len(ys) < 2:
+        return ring[0]
+    # pick a y between two distinct vertex y's (avoids hitting vertices)
+    k = len(ys) // 2
+    y = (ys[k - 1] + ys[k]) / 2.0
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cond = (y0 > y) != (y1 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+    xs = np.sort(xint[cond])
+    if len(xs) >= 2:
+        return np.asarray([(xs[0] + xs[1]) / 2.0, y])
+    return ring[0]
+
+
+def _locate_many(d: _Decomp, pts: np.ndarray) -> np.ndarray:
+    return np.asarray([d.locate(p[0], p[1]) for p in pts], dtype=np.int8)
+
+
+def _seg_midpoints(segs: np.ndarray) -> np.ndarray:
+    return (segs[:, 0] + segs[:, 1]) / 2.0
+
+
+def _split_segments_at(segs: np.ndarray, cutters: np.ndarray) -> np.ndarray:
+    """Split each segment at every cutter vertex / crossing point that
+    lies on it, so that each sub-segment lies wholly inside or outside
+    the other geometry; returns refined (m,2,2)."""
+    out = []
+    for seg in segs:
+        a, b = seg
+        ts = [0.0, 1.0]
+        dx, dy = b - a
+        ll = dx * dx + dy * dy
+        if ll == 0:
+            out.append(seg)
+            continue
+        for c in cutters:
+            if _on_seg(c[0], c[1], a[0], a[1], b[0], b[1]):
+                t = ((c[0] - a[0]) * dx + (c[1] - a[1]) * dy) / ll
+                if 0.0 < t < 1.0:
+                    ts.append(float(t))
+        ts = sorted(set(ts))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            out.append(np.asarray([a + t0 * np.asarray([dx, dy]), a + t1 * np.asarray([dx, dy])]))
+    return np.asarray(out) if out else np.empty((0, 2, 2))
+
+
+def _crossing_points(segs_a: np.ndarray, segs_b: np.ndarray) -> np.ndarray:
+    pts = []
+    for sa in segs_a:
+        for sb in segs_b:
+            kind, pt = _seg_seg(sa[0], sa[1], sb[0], sb[1])
+            if pt is not None:
+                pts.append(pt)
+            elif kind == "overlap":
+                pts.append(sa[0]); pts.append(sa[1])
+                pts.append(sb[0]); pts.append(sb[1])
+    return np.asarray(pts) if pts else np.empty((0, 2))
+
+
+def _covered(da: _Decomp, db: _Decomp) -> bool:
+    """A subset of closure(B)?  (i.e. no part of A in exterior(B))."""
+    if da.empty:
+        return False  # GEOS: empty covered_by anything -> False
+    # points
+    for p in da.points:
+        if db.locate(p[0], p[1]) == EXT:
+            return False
+    # lineal segments: refine at B's vertices and crossings, then test
+    segs = da.segments()
+    if len(segs):
+        cutters = np.concatenate([db.all_vertices(), _crossing_points(segs, np.concatenate([db.segments(), db.ring_segments()]) if (len(db.segments()) or len(db.ring_segments())) else np.empty((0, 2, 2)))]) if not db.empty else np.empty((0, 2))
+        refined = _split_segments_at(segs, cutters)
+        for seg in refined:
+            m = (seg[0] + seg[1]) / 2.0
+            if db.locate(m[0], m[1]) == EXT:
+                return False
+        for seg in refined:
+            for e in seg:
+                if db.locate(e[0], e[1]) == EXT:
+                    return False
+    # polygon parts: A's rings must be covered AND B must have no
+    # boundary strictly inside A's interior that would carve exterior
+    if da.polys:
+        if db.dim < 2:
+            return False
+        ring_segs = da.ring_segments()
+        cutters = np.concatenate([db.all_vertices(), _crossing_points(ring_segs, db.ring_segments())])
+        refined = _split_segments_at(ring_segs, cutters)
+        for seg in refined:
+            m = (seg[0] + seg[1]) / 2.0
+            if db.locate(m[0], m[1]) == EXT:
+                return False
+        # any vertex of B's rings strictly interior to A means B's
+        # exterior (hole or outside edge) may intrude; verify each such
+        # vertex is not on B-boundary-inside-A-interior
+        for shell, holes in db.polys:
+            for ring in [shell, *holes]:
+                for v in ring[:-1]:
+                    if _point_in_polyset(da, v[0], v[1]) == INT and db.locate(v[0], v[1]) == BND:
+                        return False
+    return True
+
+
+def _point_in_polyset(d: _Decomp, px: float, py: float) -> int:
+    loc = EXT
+    for shell, holes in d.polys:
+        ins, on = _pip_ring_bulk(np.asarray([px]), np.asarray([py]), shell)
+        if on[0]:
+            loc = BND
+            continue
+        if ins[0]:
+            inside = True
+            for hole in holes:
+                hins, hon = _pip_ring_bulk(np.asarray([px]), np.asarray([py]), hole)
+                if hon[0]:
+                    loc = BND
+                    inside = False
+                    break
+                if hins[0]:
+                    inside = False
+                    break
+            if inside:
+                return INT
+    return loc
+
+
+def _poly_intervals_at(d: _Decomp, y: float) -> list[tuple[float, float]]:
+    """Open interior x-intervals of the polygon set of ``d`` at scanline
+    ``y`` (y must avoid all vertex y's).  Union over polygons; holes via
+    even-odd within each polygon."""
+    merged: list[tuple[float, float]] = []
+    for shell, holes in d.polys:
+        xs = []
+        for ring in [shell, *holes]:
+            x0, y0 = ring[:-1, 0], ring[:-1, 1]
+            x1, y1 = ring[1:, 0], ring[1:, 1]
+            cond = (y0 > y) != (y1 > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+            xs.extend(xint[cond].tolist())
+        xs.sort()
+        for a, b in zip(xs[::2], xs[1::2]):
+            if a < b:
+                merged.append((a, b))
+    merged.sort()
+    out: list[tuple[float, float]] = []
+    for a, b in merged:
+        if out and a <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+def _poly_poly_area_overlap(da: _Decomp, db: _Decomp) -> bool:
+    """Exact: do the polygon interiors share positive area?  Scanline
+    between consecutive event y's (vertices + ring crossings): interiors
+    overlap iff open x-interval sets overlap at some inter-event line."""
+    events = [v[1] for v in da.all_vertices()] + [v[1] for v in db.all_vertices()]
+    cross = _crossing_points(da.ring_segments(), db.ring_segments())
+    events += [p[1] for p in cross]
+    ys = np.unique(np.asarray(events))
+    for k in range(len(ys) - 1):
+        y = (ys[k] + ys[k + 1]) / 2.0
+        ia = _poly_intervals_at(da, y)
+        ib = _poly_intervals_at(db, y)
+        pa = 0
+        pb = 0
+        while pa < len(ia) and pb < len(ib):
+            lo = max(ia[pa][0], ib[pb][0])
+            hi = min(ia[pa][1], ib[pb][1])
+            if lo < hi:
+                return True
+            if ia[pa][1] < ib[pb][1]:
+                pa += 1
+            else:
+                pb += 1
+    return False
+
+
+def _interiors_intersect(da: _Decomp, db: _Decomp) -> tuple[bool, int]:
+    """Do interiors intersect, and with what dimension?"""
+    best = -1
+    # polygon-polygon: exact scanline area-overlap test
+    if da.polys and db.polys:
+        if _poly_poly_area_overlap(da, db):
+            return True, 2
+    # lineal A vs polygonal B (either order)
+    for dl, dp in ((da, db), (db, da)):
+        if dl.lines and dp.polys:
+            segs = dl.segments()
+            cutters = np.concatenate([dp.all_vertices(), _crossing_points(segs, dp.ring_segments())])
+            refined = _split_segments_at(segs, cutters)
+            for seg in refined:
+                m = (seg[0] + seg[1]) / 2.0
+                if _point_in_polyset(dp, m[0], m[1]) == INT and dl.locate(m[0], m[1]) == INT:
+                    return True, 1
+    # line-line
+    if da.lines and db.lines:
+        segs_a = da.segments()
+        segs_b = db.segments()
+        for sa in segs_a:
+            for sb in segs_b:
+                kind, pt = _seg_seg(sa[0], sa[1], sb[0], sb[1])
+                if kind == "proper":
+                    return True, max(best, 0) if best < 1 else best  # point intersection
+                if kind == "overlap":
+                    return True, 1
+                if kind == "touch" and pt is not None:
+                    if da.locate(pt[0], pt[1]) == INT and db.locate(pt[0], pt[1]) == INT:
+                        best = max(best, 0)
+        if best >= 0:
+            return True, best
+    # points of A interior to B / vice versa
+    for p in da.points:
+        if db.locate(p[0], p[1]) == INT:
+            return True, max(best, 0)
+    for p in db.points:
+        if da.locate(p[0], p[1]) == INT:
+            return True, max(best, 0)
+    # lineal A point-interior vs lineal/puntal B handled; polygon vs point:
+    return best >= 0, best
+
+
+def _pair_intersects(ga: GeomArray, i: int, gb: GeomArray, j: int) -> bool:
+    da, db = _Decomp(ga, i), _Decomp(gb, j)
+    return _decomp_intersects(da, db)
+
+
+def _decomp_intersects(da: _Decomp, db: _Decomp) -> bool:
+    if da.empty or db.empty:
+        return False
+    # cheap: any vertex of A not exterior to B or vice versa
+    for p in da.all_vertices():
+        if db.locate(p[0], p[1]) != EXT:
+            return True
+    for p in db.all_vertices():
+        if da.locate(p[0], p[1]) != EXT:
+            return True
+    # segment crossings (lineal + ring edges)
+    segs_a = np.concatenate([da.segments(), da.ring_segments()]) if (len(da.segments()) or len(da.ring_segments())) else np.empty((0, 2, 2))
+    segs_b = np.concatenate([db.segments(), db.ring_segments()]) if (len(db.segments()) or len(db.ring_segments())) else np.empty((0, 2, 2))
+    for sa in segs_a:
+        for sb in segs_b:
+            kind, _ = _seg_seg(sa[0], sa[1], sb[0], sb[1])
+            if kind != "none":
+                return True
+    return False
+
+
+def _binary(ga: GeomArray, gb: GeomArray, fn) -> np.ndarray:
+    n = len(ga)
+    assert len(gb) == n
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if ga.types[i] == MISSING or gb.types[i] == MISSING:
+            continue
+        da, db = _Decomp(ga, i), _Decomp(gb, i)
+        if da.empty or db.empty:
+            continue
+        out[i] = fn(da, db)
+    return out
+
+
+def intersects(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    return _binary(ga, gb, _decomp_intersects)
+
+
+def disjoint(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    n = len(ga)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if ga.types[i] == MISSING or gb.types[i] == MISSING:
+            continue  # missing -> False even for disjoint (ufuncs.c:296-298)
+        da, db = _Decomp(ga, i), _Decomp(gb, i)
+        if da.empty or db.empty:
+            out[i] = True  # empty is disjoint from everything
+            continue
+        out[i] = not _decomp_intersects(da, db)
+    return out
+
+
+def contains(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """B in closure(A) and interiors intersect (predicates.py:470-521)."""
+
+    def fn(da, db):
+        if not _covered(db, da):
+            return False
+        ii, _ = _interiors_intersect(da, db)
+        return ii
+
+    return _binary(ga, gb, fn)
+
+
+def within(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    return contains(gb, ga)
+
+
+def covers(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """B in closure(A) (predicates.py:617-661)."""
+    return _binary(ga, gb, lambda da, db: _covered(db, da))
+
+
+def covered_by(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    return covers(gb, ga)
+
+
+def contains_properly(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """B in interior(A): covered and B does not touch A's boundary
+    (predicates.py:523-571)."""
+
+    def fn(da, db):
+        if not _covered(db, da):
+            return False
+        # no point of B on boundary of A: test B vertices + refined midpoints
+        for p in db.all_vertices():
+            if _decomp_locate_full(da, p) == BND:
+                return False
+        segs = np.concatenate([db.segments(), db.ring_segments()]) if (len(db.segments()) or len(db.ring_segments())) else np.empty((0, 2, 2))
+        if len(segs):
+            cutters = da.all_vertices()
+            for seg in _split_segments_at(segs, cutters):
+                m = (seg[0] + seg[1]) / 2.0
+                if _decomp_locate_full(da, m) == BND:
+                    return False
+        return True
+
+    return _binary(ga, gb, fn)
+
+
+def _decomp_locate_full(d: _Decomp, p) -> int:
+    return d.locate(p[0], p[1])
+
+
+def touches(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """Intersect but interiors do not (predicates.py:822-861)."""
+
+    def fn(da, db):
+        if not _decomp_intersects(da, db):
+            return False
+        ii, _ = _interiors_intersect(da, db)
+        return not ii
+
+    return _binary(ga, gb, fn)
+
+
+def crosses(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """Interiors intersect with dim < min(dim A, dim B), and neither
+    contains the other (predicates.py:420-469)."""
+
+    def fn(da, db):
+        ii, dim = _interiors_intersect(da, db)
+        if not ii:
+            return False
+        if da.dim == 1 and db.dim == 1:
+            return dim == 0
+        if min(da.dim, db.dim) == 0 and max(da.dim, db.dim) > 0:
+            # puntal vs higher-dim: crosses iff some point interior and
+            # some point exterior (multipoint case)
+            other = db if da.dim == 0 else da
+            pts = da.points if da.dim == 0 else db.points
+            locs = _locate_many(other, pts)
+            return bool((locs == INT).any() and (locs == EXT).any())
+        if min(da.dim, db.dim) == 1 and max(da.dim, db.dim) == 2:
+            dl = da if da.dim == 1 else db
+            dp = db if da.dim == 1 else da
+            # line partially inside and partially outside
+            segs = dl.segments()
+            cutters = np.concatenate([dp.all_vertices(), _crossing_points(segs, dp.ring_segments())])
+            some_in = some_out = False
+            for seg in _split_segments_at(segs, cutters):
+                m = (seg[0] + seg[1]) / 2.0
+                loc = _point_in_polyset(dp, m[0], m[1])
+                some_in |= loc == INT
+                some_out |= loc == EXT
+            return some_in and some_out
+        return False
+
+    return _binary(ga, gb, fn)
+
+
+def overlaps(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """Same dim, interiors intersect at that dim, neither covers the
+    other (predicates.py:768-821)."""
+
+    def fn(da, db):
+        if da.dim != db.dim:
+            return False
+        ii, dim = _interiors_intersect(da, db)
+        if not ii:
+            return False
+        if da.dim == 0:
+            # multipoints sharing some but not all
+            la = _locate_many(db, da.points)
+            lb = _locate_many(da, db.points)
+            return bool((la == INT).any() and (la == EXT).any() and (lb == EXT).any())
+        if dim != da.dim:
+            return False
+        return not _covered(da, db) and not _covered(db, da)
+
+    return _binary(ga, gb, fn)
+
+
+def equals(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """Topological equality = covers both ways (predicates.py:703-734)."""
+
+    def fn(da, db):
+        return _covered(da, db) and _covered(db, da)
+
+    return _binary(ga, gb, fn)
+
+
+def dwithin(ga: GeomArray, gb: GeomArray, distance: float) -> np.ndarray:
+    """distance(a, b) <= d (predicates.py:1009-1042; GEOS >= 3.10)."""
+    from rayspatial.geom.measures import distance as _dist
+
+    d = _dist(ga, gb)
+    with np.errstate(invalid="ignore"):
+        return np.asarray(d <= distance) & ~np.isnan(d)

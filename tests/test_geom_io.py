@@ -1,0 +1,119 @@
+"""WKB / WKT / GeoJSON codec tests over the reference fixture corpus
+(reference pygeos/tests/common.py:9-64, test_io.py)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from rayspatial.geom import io as gio
+from rayspatial.geom import wkb as gwkb
+
+# the reference's fixture corpus as WKT (common.py:9-64)
+FIXTURES = [
+    "POINT (2 3)",
+    "LINESTRING (0 0, 1 0, 1 1)",
+    "LINEARRING (0 0, 1 0, 1 1, 0 1, 0 0)",
+    "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+    "MULTIPOINT (0 0, 1 2)",
+    "MULTILINESTRING ((0 0, 1 2))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2.1 2.1, 2.2 2.1, 2.2 2.2, 2.1 2.2, 2.1 2.1)))",
+    "GEOMETRYCOLLECTION (POINT (51 -1), LINESTRING (52 -1, 49 2))",
+    "GEOMETRYCOLLECTION EMPTY",
+    "POINT EMPTY",
+    "LINESTRING EMPTY",
+    "POLYGON EMPTY",
+    "POINT Z (2 3 4)",
+    "LINESTRING Z (0 0 4, 1 0 4, 1 1 4)",
+    "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
+    "POLYGON Z ((0 0 4, 0 10 4, 10 10 4, 10 0 4, 0 0 4), (2 2 4, 2 4 4, 4 4 4, 4 2 4, 2 2 4))",
+]
+
+
+def test_wkt_roundtrip():
+    ga = gio.from_wkt(FIXTURES + [None])
+    out = gio.to_wkt(ga)
+    assert out == FIXTURES + [None]
+
+
+def test_wkb_roundtrip():
+    ga = gio.from_wkt(FIXTURES + [None])
+    blobs = gwkb.to_wkb(ga)
+    assert blobs[-1] is None
+    ga2 = gwkb.parse_wkb(blobs)
+    out = gio.to_wkt(ga2)
+    # LINEARRING has no WKB code -> LINESTRING (same as GEOS)
+    expected = [f.replace("LINEARRING", "LINESTRING") for f in FIXTURES] + [None]
+    assert out == expected
+
+
+def test_wkb_hex_roundtrip():
+    ga = gio.from_wkt(["POINT (1 2)"])
+    hx = gwkb.to_wkb(ga, hex=True)[0]
+    assert isinstance(hx, str)
+    ga2 = gwkb.parse_wkb([hx])
+    assert gio.to_wkt(ga2) == ["POINT (1 2)"]
+
+
+def test_wkb_big_endian():
+    be = struct.pack(">BIdd", 0, 1, 1.5, 2.5)
+    ga = gwkb.parse_wkb([be])
+    assert gio.to_wkt(ga) == ["POINT (1.5 2.5)"]
+
+
+def test_from_wkb_on_invalid():
+    # reference io.py:389-425 policy
+    with pytest.raises(gwkb.WKBError):
+        gwkb.parse_wkb([b"garbage!"])
+    with pytest.warns(UserWarning):
+        ga = gwkb.parse_wkb([b"garbage!"], on_invalid="warn")
+    assert ga.types[0] == -1
+    ga = gwkb.parse_wkb([b"garbage!"], on_invalid="ignore")
+    assert ga.types[0] == -1
+    with pytest.raises(ValueError):
+        gwkb.parse_wkb([b""], on_invalid="bogus")
+
+
+def test_from_wkt_on_invalid():
+    with pytest.raises(gio.WKTError):
+        gio.from_wkt(["NOT A WKT"])
+    ga = gio.from_wkt(["NOT A WKT", "POINT (0 0)"], on_invalid="ignore")
+    assert ga.types.tolist() == [-1, 0]
+
+
+def test_point_fast_path():
+    x = np.asarray([1.0, 2.0, -3.5])
+    y = np.asarray([4.0, 5.0, 6.25])
+    blobs = gwkb.point_wkb(x, y)
+    x2, y2 = gwkb.parse_point_wkb(blobs)
+    assert (x2 == x).all() and (y2 == y).all()
+    # fast path output parses through the general parser too
+    ga = gwkb.parse_wkb(list(blobs))
+    assert (ga.types == 0).all()
+    assert np.allclose(ga.coords[:, 0], x)
+
+
+def test_wkt_precision_trim():
+    ga = gio.from_wkt(["POINT (0.123456789 0.1)"])
+    assert gio.to_wkt(ga) == ["POINT (0.123457 0.1)"]
+    assert gio.to_wkt(ga, rounding_precision=2, trim=False) == ["POINT (0.12 0.10)"]
+    ga0 = gio.from_wkt(["POINT (0 0)"])
+    assert gio.to_wkt(ga0, rounding_precision=3, trim=False) == ["POINT (0.000 0.000)"]
+
+
+def test_geojson_roundtrip():
+    src = [f for f in FIXTURES if "Z" not in f.split("(")[0] and "LINEARRING" not in f]
+    ga = gio.from_wkt(src)
+    gj = gio.to_geojson(ga)
+    ga2 = gio.from_geojson(gj)
+    assert gio.to_wkt(ga2) == src
+
+
+def test_multipoint_nan_wkb():
+    # MULTIPOINT (EMPTY) parses: empty member contributes no part
+    # (reference test_io.py:480: multipoints([empty_point]) -> NaN WKB)
+    nan = struct.pack("<d", float("nan"))
+    mp = b"\x01\x04\x00\x00\x00\x01\x00\x00\x00\x01\x01\x00\x00\x00" + nan * 2
+    ga = gwkb.parse_wkb([mp])
+    assert ga.types[0] == 4
+    assert ga.coord_counts()[0] == 0
