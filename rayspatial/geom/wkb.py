@@ -379,10 +379,15 @@ def point_wkb(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     n = len(x)
     raw = np.empty((n, 21), dtype=np.uint8)
     raw[:, :5] = np.frombuffer(_POINT_WKB_PREFIX, dtype=np.uint8)
-    raw[:, 5:13] = np.asarray(x, dtype="<f8").view(np.uint8).reshape(n, 8)
-    raw[:, 13:21] = np.asarray(y, dtype="<f8").view(np.uint8).reshape(n, 8)
+    raw[:, 5:13] = np.ascontiguousarray(x, dtype="<f8").view(np.uint8).reshape(n, 8)
+    raw[:, 13:21] = np.ascontiguousarray(y, dtype="<f8").view(np.uint8).reshape(n, 8)
     buf = raw.tobytes()
-    return np.frombuffer(buf, dtype="S21").astype(object)
+    # NOTE: numpy "S21" would strip trailing NUL bytes (corrupting zero
+    # coordinates) — slice the flat buffer instead
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = buf[i * 21 : (i + 1) * 21]
+    return out
 
 
 def parse_point_wkb(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
