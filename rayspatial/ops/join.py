@@ -1,0 +1,195 @@
+"""Distributed point-in-polygon spatial join.
+
+Engine translation of the reference's ``STRtree.query_bulk`` spatial
+join (strtree.py:135-228, src/strtree.c:434-580; SURVEY.md §3.2):
+
+**Broadcast mode** (default; the 100-TB hot path): the polygon layer is
+small relative to worker memory, so it is ``ray.put`` ONCE and every
+join actor builds its STRtree ONCE in ``__init__`` — point batches then
+stream through the actor pool with no shuffle at all.  This is the
+idiomatic Ray translation of "one shared tree, N probe threads" (the
+reference releases the GIL around the whole probe loop,
+strtree.c:496-546).
+
+**Shuffle mode** (``join_points_polygons_shuffled``): for polygon layers
+too large to broadcast — points are hash-partitioned by cell
+(groupby shuffle), polygons replicated into every cell partition their
+envelope touches (cells_covering_box), and each group joins locally.
+A point lives in exactly one cell, so no output dedup is needed.
+
+Predicates: 'covers' (boundary inclusive), 'contains' (interior only),
+'intersects' (same as covers for point probes) — semantics per
+reference predicates.py:470-661.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayspatial import cell as cellmod
+from rayspatial.geom import predicates as P
+from rayspatial.geom.array import GeomArray
+from rayspatial.geom.strtree import STRtree, _locate_in_polyset
+
+
+def _loc_keep(loc: np.ndarray, predicate: str) -> np.ndarray:
+    if predicate in ("covers", "intersects", "covered_by"):
+        return loc != P.EXT
+    if predicate in ("contains", "within", "contains_properly"):
+        return loc == P.INT
+    if predicate == "touches":
+        return loc == P.BND
+    raise ValueError(f"unsupported point-join predicate: {predicate}")
+
+
+class PointInPolygonJoiner:
+    """map_batches actor: point batches (lon/lat cols) x broadcast
+    polygon layer -> pair rows (input cols + poly_id).
+
+    ``polygons_ref``: ray.ObjectRef of a dict
+    ``{"wkb": list[bytes], "ids": np.ndarray}`` — or the dict itself in
+    unit tests.  Tree + per-polygon decompositions built once per actor.
+    """
+
+    def __init__(self, polygons_ref, predicate: str = "covers",
+                 lon_col: str = "lon", lat_col: str = "lat"):
+        import ray
+
+        payload = polygons_ref
+        if not isinstance(payload, dict):
+            payload = ray.get(polygons_ref)
+        from rayspatial.geom.wkb import parse_wkb
+
+        ga: GeomArray = parse_wkb(payload["wkb"])
+        self.poly_ids = np.asarray(payload["ids"], dtype=np.int64)
+        self.tree = STRtree(ga)
+        self.predicate = predicate
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        # pre-decompose every polygon once (prepared geometry analogue)
+        self.decomps = [P._Decomp(ga, i) for i in range(len(ga))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy()
+        lat = batch.column(self.lat_col).to_numpy()
+        pb = np.column_stack([lon, lat, lon, lat])
+        probe_rows, tree_items = self.tree._candidates(pb)
+        if not len(probe_rows):
+            empty = batch.slice(0, 0)
+            return empty.append_column("poly_id", pa.array([], type=pa.int64()))
+        keep = np.zeros(len(probe_rows), dtype=bool)
+        # vectorized per tree polygon: all probes hitting it in one call
+        order = np.argsort(tree_items, kind="stable")
+        ti_sorted = tree_items[order]
+        starts = np.flatnonzero(np.r_[True, ti_sorted[1:] != ti_sorted[:-1]])
+        starts = np.append(starts, len(ti_sorted))
+        for s in range(len(starts) - 1):
+            sl = order[starts[s] : starts[s + 1]]
+            ti = int(ti_sorted[starts[s]])
+            rows = probe_rows[sl]
+            loc = _locate_in_polyset(self.decomps[ti], lon[rows], lat[rows])
+            keep[sl] = _loc_keep(loc, self.predicate)
+        probe_rows = probe_rows[keep]
+        tree_items = tree_items[keep]
+        out = batch.take(pa.array(probe_rows))
+        return out.append_column("poly_id", pa.array(self.poly_ids[tree_items]))
+
+
+def broadcast_polygons(ga: GeomArray, ids: np.ndarray | None = None):
+    """ray.put the polygon layer once; returns the ObjectRef."""
+    import ray
+
+    from rayspatial.geom.wkb import to_wkb
+
+    if ids is None:
+        ids = np.arange(len(ga), dtype=np.int64)
+    return ray.put({"wkb": to_wkb(ga), "ids": np.asarray(ids, dtype=np.int64)})
+
+
+def join_points_polygons(
+    points_ds,
+    polygons: GeomArray,
+    poly_ids: np.ndarray | None = None,
+    predicate: str = "covers",
+    concurrency=(2, 8),
+    batch_size: int = 65536,
+    num_cpus: float = 1,
+):
+    """Broadcast STRtree join: points Dataset (lon/lat) -> pairs Dataset."""
+    ref = broadcast_polygons(polygons, poly_ids)
+    import functools
+
+    return points_ds.map_batches(
+        PointInPolygonJoiner,
+        fn_constructor_args=(ref, predicate),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def join_points_polygons_shuffled(
+    points_ds,
+    polygons: GeomArray,
+    poly_ids: np.ndarray | None = None,
+    predicate: str = "covers",
+    partition_res: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Shuffle-mode join for very large polygon layers: points
+    hash-partitioned by cell (groupby shuffle), polygons replicated into
+    overlapping cell partitions, local join per group."""
+    import ray
+
+    from rayspatial.geom.wkb import to_wkb
+
+    if poly_ids is None:
+        poly_ids = np.arange(len(polygons), dtype=np.int64)
+    # replicate polygons into every cell their envelope touches
+    bounds = polygons.bounds()
+    cell_to_polys: dict[int, list[int]] = {}
+    for i in range(len(polygons)):
+        if np.isnan(bounds[i, 0]):
+            continue
+        for c in cellmod.cells_covering_box(*bounds[i], partition_res):
+            cell_to_polys.setdefault(int(c), []).append(i)
+    payload_ref = ray.put(
+        {"wkb": to_wkb(polygons), "ids": np.asarray(poly_ids), "cells": cell_to_polys}
+    )
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        pcell = cellmod.cell_encode(lon, lat, partition_res)
+        return batch.append_column("_pcell", pa.array(pcell))
+
+    def join_group(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        payload = _ray.get(payload_ref)
+        from rayspatial.geom.wkb import parse_wkb
+
+        empty = batch.drop_columns(["_pcell"]).slice(0, 0).append_column(
+            "poly_id", pa.array([], type=pa.int64())
+        )
+        if batch.num_rows == 0:
+            return empty
+        c = int(batch.column("_pcell")[0].as_py())
+        plist = payload["cells"].get(c, [])
+        if not plist:
+            return empty
+        ga = parse_wkb([payload["wkb"][k] for k in plist])
+        ids = payload["ids"][plist]
+        joiner = PointInPolygonJoiner(
+            {"wkb": [payload["wkb"][k] for k in plist], "ids": ids},
+            predicate,
+            lon_col,
+            lat_col,
+        )
+        return joiner(batch.drop_columns(["_pcell"]))
+
+    ds = points_ds.map_batches(add_cell, batch_format="pyarrow")
+    return ds.groupby("_pcell").map_groups(join_group, batch_format="pyarrow")

@@ -1,0 +1,168 @@
+"""Tiling: cell encoding + per-cell aggregation with per-batch partial
+combine (pre-aggregate inside map_batches so the groupby shuffle moves
+one row per (cell, batch) instead of one per point)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayspatial import cell as cellmod
+
+
+def add_cell_columns(batch: pa.Table, res: int, lon_col="lon", lat_col="lat") -> pa.Table:
+    """Append cell (int64 Morton id), cell_x, cell_y at ``res``."""
+    lon = batch.column(lon_col).to_numpy()
+    lat = batch.column(lat_col).to_numpy()
+    cx, cy = cellmod.cell_xy(lon, lat, res)
+    cid = cellmod.encode_xy(cx, cy, res)
+    return (
+        batch.append_column("cell", pa.array(cid))
+        .append_column("cell_x", pa.array(cx))
+        .append_column("cell_y", pa.array(cy))
+    )
+
+
+def _partial_counts(batch: pa.Table, res: int, keys: list[str], lon_col, lat_col) -> pa.Table:
+    lon = batch.column(lon_col).to_numpy()
+    lat = batch.column(lat_col).to_numpy()
+    cx, cy = cellmod.cell_xy(lon, lat, res)
+    cols = {"cell_x": cx, "cell_y": cy}
+    for k in keys:
+        cols[k] = batch.column(k).to_numpy()
+    import pandas as pd
+
+    df = pd.DataFrame(cols)
+    out = df.groupby(list(cols.keys()), sort=False).size().reset_index(name="n_partial")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def tile_counts(points_ds, res: int, extra_keys: list[str] | None = None,
+                lon_col: str = "lon", lat_col: str = "lat"):
+    """points -> per-(cell_x, cell_y[, extra_keys]) counts.
+
+    Two-phase: vectorized per-batch partial counts (map_batches), then a
+    small groupby().sum over the partials — the AGG pattern from
+    SURVEY.md §2 (legend).  Output column: ``n_points``."""
+    from ray.data.aggregate import Sum
+
+    keys = extra_keys or []
+    partial = points_ds.map_batches(
+        lambda b: _partial_counts(b, res, keys, lon_col, lat_col),
+        batch_format="pyarrow",
+    )
+    group_keys = ["cell_x", "cell_y"] + keys
+    agg = partial.groupby(group_keys).aggregate(Sum("n_partial", alias_name="n_points"))
+    return agg
+
+
+def rasterize_tiles(points_ds, res: int, tile_res: int,
+                    lon_col: str = "lon", lat_col: str = "lat"):
+    """Raster tiles: group points by coarse cell at ``res``; inside each
+    tile rasterize to a (2^(tile_res-res))^2 count grid.  Returns rows
+    (cell_x, cell_y, res, grid: list<int64>) — the raster side of the
+    raster<->vector materialization (north_star)."""
+    sub = tile_res - res
+    if sub <= 0:
+        raise ValueError("tile_res must exceed res")
+    nsub = 1 << sub
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        fx, fy = cellmod.cell_xy(lon, lat, tile_res)
+        cx, cy = fx >> sub, fy >> sub
+        sx, sy = fx & (nsub - 1), fy & (nsub - 1)
+        import pandas as pd
+
+        df = pd.DataFrame({"cx": cx, "cy": cy, "pix": sy * nsub + sx})
+        out = df.groupby(["cx", "cy", "pix"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = points_ds.map_batches(per_batch, batch_format="pyarrow")
+
+    def to_grid(g):
+        import pandas as pd
+
+        grid = np.zeros(nsub * nsub, dtype=np.int64)
+        agg = g.groupby("pix")["n"].sum()
+        grid[agg.index.to_numpy()] = agg.to_numpy()
+        return pd.DataFrame(
+            {
+                "cell_x": [int(g["cx"].iloc[0])],
+                "cell_y": [int(g["cy"].iloc[0])],
+                "res": [res],
+                "grid": [grid.tolist()],
+            }
+        )
+
+    return partial.groupby(["cx", "cy"]).map_groups(to_grid, batch_format="pandas")
+
+
+def vectorize_tiles(raster_ds, res: int, tile_res: int, threshold: int = 1):
+    """Vector side: grid cells with count >= threshold become boxes,
+    merged per tile with coverage union (adjacent boxes merged row-wise
+    — disjoint-mosaic fast path of coverage_union_all, reference
+    set_operations.py:401-465).  Rows: (cell_x, cell_y, res, wkb)."""
+    sub = tile_res - res
+    nsub = 1 << sub
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from rayspatial.geom.constructive import box as mkbox
+        from rayspatial.geom.wkb import to_wkb
+
+        rows = batch.to_pylist()
+        out_rows = []
+        for r in rows:
+            grid = np.asarray(r["grid"], dtype=np.int64).reshape(nsub, nsub)
+            cid = cellmod.encode_xy(
+                np.asarray([r["cell_x"]]), np.asarray([r["cell_y"]]), res
+            )
+            xmin, ymin, xmax, ymax = (v[0] for v in cellmod.cell_bounds(cid))
+            w = (xmax - xmin) / nsub
+            h = (ymax - ymin) / nsub
+            # row-wise run-length merge of hot pixels into boxes
+            boxes = []
+            for gy in range(nsub):
+                hot = grid[gy] >= threshold
+                if not hot.any():
+                    continue
+                d = np.diff(np.r_[0, hot.astype(np.int8), 0])
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                for s, e in zip(starts, ends):
+                    boxes.append(
+                        (
+                            xmin + s * w,
+                            ymin + gy * h,
+                            xmin + e * w,
+                            ymin + (gy + 1) * h,
+                        )
+                    )
+            if not boxes:
+                continue
+            arr = np.asarray(boxes)
+            ga = mkbox(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+            for wkb_blob in to_wkb(ga):
+                out_rows.append(
+                    {
+                        "cell_x": r["cell_x"],
+                        "cell_y": r["cell_y"],
+                        "res": res,
+                        "wkb": wkb_blob,
+                    }
+                )
+        if not out_rows:
+            return pa.table(
+                {
+                    "cell_x": pa.array([], type=pa.int64()),
+                    "cell_y": pa.array([], type=pa.int64()),
+                    "res": pa.array([], type=pa.int64()),
+                    "wkb": pa.array([], type=pa.binary()),
+                }
+            )
+        return pa.Table.from_pylist(out_rows)
+
+    return raster_ds.map_batches(per_tile, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""Deterministic Common-Crawl-style pages table (BASELINE.json input_hint:
+``url:string, warc_ts:timestamp, html:binary, text:string, lang:string``).
+
+The sandbox has no real web corpus, so pages are synthesized
+deterministically from the driver's ``documents`` parquet (doc_id, text,
+lang): every derived value is a pure integer function of ``doc_id``, so
+the DuckDB oracle can reproduce the pipeline outputs with plain SQL on
+the ``documents`` view (see __ray_entry__.oracle_sql).
+
+Derivations (all integer arithmetic, exact in both numpy and SQL):
+
+    url      = 'https://site-' || (doc_id % 97) || '.example.com/page/' || doc_id
+    warc_ts  = TIMESTAMP '2024-01-01 00:00:00' + (doc_id * 37 % 31536000) seconds
+    lat_num  = (doc_id * 2246822519) % 170000000      # microdegrees + 85e6
+    lon_num  = (doc_id * 2654435761) % 360000000      # microdegrees + 180e6
+    lat      = lat_num / 1000000.0 - 85.0
+    lon      = lon_num / 1000000.0 - 180.0
+
+The geo tag is embedded in the html as integer microdegrees
+(``<meta name="geo" content="{lat_num},{lon_num}">``) so the float
+parse is exact; ``text`` is recoverable byte-identically from ``html``
+(the per-row invariant the rule checks: extracted text is byte-identical
+per url).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+URL_PREFIX = "https://site-"
+EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+
+LAT_MULT = 2246822519
+LON_MULT = 2654435761
+LAT_MOD = 170_000_000
+LON_MOD = 360_000_000
+
+
+def geo_nums(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer microdegree offsets (lat_num, lon_num) per doc_id."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    lat_num = (d * LAT_MULT) % LAT_MOD
+    lon_num = (d * LON_MULT) % LON_MOD
+    return lat_num, lon_num
+
+
+def nums_to_lonlat(lat_num: np.ndarray, lon_num: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact float mapping — the same expression the oracle SQL uses."""
+    lat = np.asarray(lat_num, dtype=np.float64) / 1000000.0 - 85.0
+    lon = np.asarray(lon_num, dtype=np.float64) / 1000000.0 - 180.0
+    return lon, lat
+
+
+def make_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> pages batch (vectorized; html assembly is the
+    only per-row step, over Python bytes)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    lang = batch.column("lang")
+    lat_num, lon_num = geo_nums(doc_id)
+    url = pc.binary_join_element_wise(
+        pa.array([URL_PREFIX] * len(doc_id)),
+        pc.cast(pa.array(doc_id % 97), pa.string()),
+        pa.array([".example.com/page/"] * len(doc_id)),
+        pc.cast(pa.array(doc_id), pa.string()),
+        "",
+    )
+    ts = EPOCH + ((doc_id * 37) % 31_536_000).astype("timedelta64[s]")
+    html = [
+        b'<html><head><meta charset="utf-8"><meta name="geo" content="%d,%d"></head><body><p>%s</p></body></html>'
+        % (lat_num[i], lon_num[i], t.encode("utf-8"))
+        for i, t in enumerate(text)
+    ]
+    return pa.table(
+        {
+            "url": url,
+            "warc_ts": pa.array(ts.astype("datetime64[us]")),
+            "html": pa.array(html, type=pa.binary()),
+            "text": batch.column("text"),
+            "lang": lang,
+            "doc_id": batch.column("doc_id"),  # carried for oracle joins
+        }
+    )
+
+
+def read_pages(sf_dir: str, drop_doc_id: bool = False):
+    """documents parquet -> pages Dataset (streaming map_batches)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ds = ds.map_batches(make_pages_batch, batch_format="pyarrow")
+    if drop_doc_id:
+        ds = ds.select_columns(["url", "warc_ts", "html", "text", "lang"])
+    return ds
