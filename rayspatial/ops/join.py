@@ -107,19 +107,54 @@ def broadcast_polygons(ga: GeomArray, ids: np.ndarray | None = None):
     return ray.put({"wkb": to_wkb(ga), "ids": np.asarray(ids, dtype=np.int64)})
 
 
+# per-worker-process joiner cache for task-mode joins: Ray reuses
+# worker processes across tasks, so the tree is built once per worker
+# (the prepare-once pattern without actor-pool startup latency).  Keyed
+# by ObjectRef hex so a new broadcast invalidates naturally.
+_JOINER_CACHE: dict = {}
+
+
+def _cached_joiner(ref, predicate, lon_col, lat_col) -> PointInPolygonJoiner:
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref), predicate, lon_col, lat_col)
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        if len(_JOINER_CACHE) > 8:
+            _JOINER_CACHE.clear()
+        j = PointInPolygonJoiner(ref, predicate, lon_col, lat_col)
+        _JOINER_CACHE[key] = j
+    return j
+
+
 def join_points_polygons(
     points_ds,
     polygons: GeomArray,
     poly_ids: np.ndarray | None = None,
     predicate: str = "covers",
-    concurrency=(2, 8),
-    batch_size: int = 65536,
+    concurrency=None,
+    batch_size: int | None = None,
     num_cpus: float = 1,
+    mode: str = "task",
 ):
-    """Broadcast STRtree join: points Dataset (lon/lat) -> pairs Dataset."""
-    ref = broadcast_polygons(polygons, poly_ids)
-    import functools
+    """Broadcast STRtree join: points Dataset (lon/lat) -> pairs Dataset.
 
+    ``mode='task'`` (default): stateless map tasks + per-worker-process
+    tree cache — scales instantly with the task pool, right when the
+    polygon layer is broadcast-small.  ``mode='actor'``: explicit actor
+    pool (``concurrency=(min,max)``) — right when tree build is
+    expensive enough to pin (huge polygon partitions)."""
+    ref = broadcast_polygons(polygons, poly_ids)
+    if mode == "task":
+        def join_batch(batch: pa.Table) -> pa.Table:
+            return _cached_joiner(ref, predicate, "lon", "lat")(batch)
+
+        return points_ds.map_batches(
+            join_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+    if concurrency is None:
+        concurrency = (2, 8)
     return points_ds.map_batches(
         PointInPolygonJoiner,
         fn_constructor_args=(ref, predicate),

@@ -38,22 +38,47 @@ def _partial_counts(batch: pa.Table, res: int, keys: list[str], lon_col, lat_col
 
 
 def tile_counts(points_ds, res: int, extra_keys: list[str] | None = None,
-                lon_col: str = "lon", lat_col: str = "lat"):
+                lon_col: str = "lon", lat_col: str = "lat",
+                combine: str = "gather"):
     """points -> per-(cell_x, cell_y[, extra_keys]) counts.
 
-    Two-phase: vectorized per-batch partial counts (map_batches), then a
-    small groupby().sum over the partials — the AGG pattern from
-    SURVEY.md §2 (legend).  Output column: ``n_points``."""
-    from ray.data.aggregate import Sum
+    Two-phase AGG (SURVEY.md §2 legend): vectorized per-batch partial
+    counts (map_batches) shrink each block to at most (cells x keys)
+    rows, then the partials are combined.
 
+    ``combine='gather'`` (default): coalesce the tiny partials into one
+    block and merge with a single vectorized groupby — per-block
+    partials are bounded by result cardinality (#tiles x #polygons),
+    independent of input rows, so the gather moves KBs even at 10^12
+    input rows.  ``combine='groupby'``: hash/sort shuffle instead, for
+    result cardinalities too big for one block (e.g. very fine
+    resolutions) — same semantics, all-to-all cost.
+    """
     keys = extra_keys or []
+    group_keys = ["cell_x", "cell_y"] + keys
     partial = points_ds.map_batches(
         lambda b: _partial_counts(b, res, keys, lon_col, lat_col),
         batch_format="pyarrow",
     )
-    group_keys = ["cell_x", "cell_y"] + keys
-    agg = partial.groupby(group_keys).aggregate(Sum("n_partial", alias_name="n_points"))
-    return agg
+    if combine == "groupby":
+        from ray.data.aggregate import Sum
+
+        return partial.groupby(group_keys).aggregate(
+            Sum("n_partial", alias_name="n_points")
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        out = (
+            df.groupby(group_keys, sort=False)["n_partial"]
+            .sum()
+            .reset_index(name="n_points")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partial.repartition(1).map_batches(merge, batch_size=None, batch_format="pyarrow")
 
 
 def rasterize_tiles(points_ds, res: int, tile_res: int,

@@ -78,7 +78,7 @@ def extract_text(batch: pa.Table) -> pa.Table:
     return pa.table({"url": batch.column("url"), "text": pa.array(texts, type=pa.string())})
 
 
-def extract_points(pages_ds, concurrency: int | None = None, batch_size: int = 8192):
+def extract_points(pages_ds, concurrency: int | None = None, batch_size: int | None = None):
     """pages Dataset -> points Dataset (url, doc_id, lon, lat)."""
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
     if concurrency:

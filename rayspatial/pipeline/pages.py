@@ -85,14 +85,54 @@ def make_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, drop_doc_id: bool = False):
-    """documents parquet -> pages Dataset (streaming map_batches)."""
-    import ray.data as rd
+def read_pages(sf_dir: str, drop_doc_id: bool = False, expand: int = 1):
+    """documents parquet -> pages Dataset (streaming map_batches).
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ``expand`` (bench-only): synthesize ``expand`` pages per document —
+    virtual ``doc_id' = doc_id * expand + j`` (unique, deterministic,
+    SQL-reproducible via ``CROSS JOIN range(expand)``); url/warc_ts/geo
+    derive from the virtual id, text repeats the base document's text.
+    This is how the sandbox approximates the 10^12-row corpus: same
+    schema, same derivations, any row count.  Blocks are sized for the
+    EXPANDED row count so each map task does real work.
+    """
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        rows_hint=None if expand <= 1 else _doc_rows(sf_dir) * expand,
     )
-    ds = ds.map_batches(make_pages_batch, batch_format="pyarrow")
+    if expand <= 1:
+        ds = ds.map_batches(make_pages_batch, batch_format="pyarrow")
+    else:
+        def expand_batch(batch: pa.Table):
+            doc_id = batch.column("doc_id").to_numpy()
+            n = len(doc_id)
+            # chunk the replication factor so each yielded batch is
+            # ~32k rows (one call into the vectorized synthesizer)
+            step = max(1, 32_768 // max(n, 1))
+            rep = np.arange(n)
+            for j0 in range(0, expand, step):
+                js = np.arange(j0, min(j0 + step, expand), dtype=np.int64)
+                idx = pa.array(np.tile(rep, len(js)))
+                vids = (doc_id[None, :] * expand + js[:, None]).ravel()
+                vb = pa.table(
+                    {
+                        "doc_id": pa.array(vids),
+                        "text": batch.column("text").take(idx),
+                        "lang": batch.column("lang").take(idx),
+                    }
+                )
+                yield make_pages_batch(vb)
+
+        ds = ds.map_batches(expand_batch, batch_format="pyarrow")
     if drop_doc_id:
         ds = ds.select_columns(["url", "warc_ts", "html", "text", "lang"])
     return ds
+
+
+def _doc_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
