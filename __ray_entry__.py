@@ -142,6 +142,108 @@ def _q_pages_by_lang(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n_pages"))
 
 
+# --- training-data operators (dedup / similarity / text analysis) ---------
+
+
+def _docs(sf_dir: str):
+    from rayspatial.util import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet")
+
+
+def _embs(sf_dir: str):
+    from rayspatial.util import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from rayspatial.textops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir: str):
+    from rayspatial.textops.analysis import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_text_stats(sf_dir: str):
+    from rayspatial.textops.analysis import text_stats
+
+    return text_stats(_docs(sf_dir))
+
+
+def _q_ngram_dup_pairs(sf_dir: str):
+    from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
+
+    return ngram_jaccard_dup_pairs(_docs(sf_dir), k=3, threshold_pct=50)
+
+
+def _q_minhash_candidates(sf_dir: str):
+    from rayspatial.textops.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(sf_dir))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from rayspatial.textops.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(sf_dir), hamming_k=3)
+
+
+def _q_emb_dup_pairs(sf_dir: str):
+    from rayspatial.textops.ann import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embs(sf_dir), threshold=0.4)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rayspatial.textops.ann import ann_topk
+
+    vec_ids = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).column("vec_id").to_numpy()
+    qids = vec_ids[vec_ids % 100 == 0]
+    return ann_topk(_embs(sf_dir), qids, k=5)
+
+
+def _q_srp_candidates(sf_dir: str):
+    from rayspatial.textops.ann import srp_bucket_candidates
+
+    return srp_bucket_candidates(_embs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rayspatial.textops.analysis import lang_id
+
+    sample = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        .to_pandas()
+    )
+    sample = sample[sample.doc_id < 200]
+    return lang_id(_docs(sf_dir), sample)
+
+
+def _q_fingerprints(sf_dir: str):
+    from rayspatial.textops.analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_binary_features(sf_dir: str):
+    from rayspatial.pipeline.pages import read_pages
+    from rayspatial.textops.multimodal import binary_features
+
+    out = binary_features(read_pages(sf_dir), binary_col="html", id_col="doc_id")
+    return out.select_columns(["doc_id", "payload_bytes"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -151,6 +253,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_join_tiles": _q_flagship,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
+        # training-data ops
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "text_stats": _q_text_stats,
+        "ngram_dup_pairs": _q_ngram_dup_pairs,
+        "minhash_candidates": _q_minhash_candidates,
+        "simhash_pairs": _q_simhash_pairs,
+        "emb_dup_pairs": _q_emb_dup_pairs,
+        "ann_topk": _q_ann_topk,
+        "srp_candidates": _q_srp_candidates,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "binary_features": _q_binary_features,
     }
 
 
@@ -182,4 +297,51 @@ def oracle_sql() -> dict[str, str]:
             "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pts"
         ),
         "pages_by_lang": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY lang",
+        # training-data ops (SQL-expressible subset; the hash-family ops
+        # — minhash/simhash/srp/lang_id/fingerprints/binary_features —
+        # are rows-only checked and pytest-verified instead)
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "token_counts": (
+            r"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "text_stats": (
+            r"SELECT doc_id, length(text) AS n_chars, "
+            r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, "
+            r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq_tokens, "
+            "length(text) - length(replace(text, ' ', '')) AS n_spaces "
+            "FROM documents"
+        ),
+        "ngram_dup_pairs": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), "
+            "ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM ng GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter "
+            "FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT i.a, i.b, i.inter FROM inter i "
+            "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
+            "WHERE 100 * i.inter >= 50 * (sa.nsh + sb.nsh - i.inter)"
+        ),
+        "emb_dup_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "
+            "FROM q JOIN embeddings e ON e.vec_id <> q.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+            "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"
+        ),
     }

@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: brute-force cosine top-k — the query matrix is
+  broadcast ONCE (``ray.put``); each batch does one float32 matmul and
+  emits per-batch LOCAL top-k per query (a combiner), so the final
+  merge sees #queries x k x #blocks rows, never the corpus.
+- ``srp_bucket_candidates``: the scale path — signed-random-projection
+  (SRP) LSH buckets via groupby; candidate sets shrink the exact pass
+  to in-bucket work.
+- ``embedding_dup_pairs``: exact cosine near-duplicate pairs
+  (threshold) via the same broadcast-matmul shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float64 from a list<float> column (one copy, no loops)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def ann_topk(ds, query_ids: np.ndarray, k: int = 5,
+             id_col: str = "vec_id", col: str = "embedding"):
+    """-> (query_id, neighbor_id, rank): exact cosine top-k of each
+    query vector over the corpus, self-matches excluded.
+
+    Deterministic ordering: (similarity DESC, neighbor_id ASC) — ties
+    broken by id (the reference's STRtree.nearest leaves tie order
+    undefined, strtree.py:236-238; we define ours).
+    """
+    import ray
+
+    query_ids = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+    qtab = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.is_in(b.column(id_col), value_set=pa.array(query_ids))
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    qt = pa.Table.from_pylist(qtab)
+    order = np.argsort(qt.column(id_col).to_numpy())
+    qmat = _normalize(_emb_matrix(qt, col))[order]
+    qids = qt.column(id_col).to_numpy()[order]
+    ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref) if not isinstance(ref, tuple) else ref
+        m = _normalize(_emb_matrix(batch, col))
+        ids = batch.column(id_col).to_numpy()
+        sims = m @ qm.T  # (n, Q)
+        out_q, out_n, out_s = [], [], []
+        for c in range(sims.shape[1]):
+            s = sims[:, c]
+            mask = ids != qi[c]
+            cand_idx = np.flatnonzero(mask)
+            kk = min(k, len(cand_idx))
+            if kk == 0:
+                continue
+            sel = cand_idx[np.argpartition(-s[cand_idx], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qi[c]))
+            out_n.append(ids[sel])
+            out_s.append(s[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "sim": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank"]], preserve_index=False
+        )
+
+    return partial.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95,
+                        id_col: str = "vec_id", col: str = "embedding"):
+    """-> (a, b): unordered pairs with cosine similarity >= threshold.
+
+    Exact: the (normalized) corpus matrix is broadcast once; each batch
+    multiplies against it and keeps above-threshold pairs with a < b.
+    O(n^2/blocks) work per batch — exactness baseline; use
+    ``srp_bucket_candidates`` + in-bucket verify at corpus scale.
+    """
+    import ray
+
+    whole = ds.take_all()
+    wt = pa.Table.from_pylist(whole)
+    ids_all = wt.column(id_col).to_numpy()
+    order = np.argsort(ids_all)
+    mat_all = _normalize(_emb_matrix(wt, col))[order]
+    ids_all = ids_all[order]
+    ref = ray.put((ids_all, mat_all))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ia, ma = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, col))
+        ids = batch.column(id_col).to_numpy()
+        sims = m @ ma.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a = ids[rows]
+        b = ia[cols]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def srp_bucket_candidates(ds, num_bits: int = 16, num_tables: int = 4,
+                          id_col: str = "vec_id", col: str = "embedding",
+                          dim: int | None = None, max_bucket: int = 10_000):
+    """Signed-random-projection LSH candidates: ``num_tables``
+    independent ``num_bits``-bit sign signatures; vectors sharing any
+    bucket become candidate pairs.  Deterministic planes (seeded RNG by
+    table index).  The scale path for embedding near-dup / ANN."""
+    from ray.data.aggregate import Count
+
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[col])
+    planes = [
+        np.random.RandomState(1000 + t).standard_normal((dim, num_bits))
+        for t in range(num_tables)
+    ]
+    import ray
+
+    pref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        m = _normalize(_emb_matrix(batch, col))
+        ids = batch.column(id_col).to_numpy()
+        n = len(ids)
+        tabs, keys, oids = [], [], []
+        for t, p in enumerate(pl):
+            bits = (m @ p) > 0
+            key = bits @ (1 << np.arange(num_bits, dtype=np.int64))
+            tabs.append(np.full(n, t, dtype=np.int64))
+            keys.append(key.astype(np.int64))
+            oids.append(ids)
+        return pa.table(
+            {
+                "tab": pa.array(np.concatenate(tabs)),
+                "key": pa.array(np.concatenate(keys)),
+                id_col: pa.array(np.concatenate(oids)),
+            }
+        )
+
+    from rayspatial.textops.dedup import pairs_from_buckets
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+    pairs = pairs_from_buckets(rows, ["tab", "key"], id_col, max_bucket=max_bucket)
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_tables"))
+        .select_columns(["a", "b"])
+    )

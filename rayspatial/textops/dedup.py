@@ -1,0 +1,414 @@
+"""Deduplication operators over a documents table.
+
+Five families (SURVEY.md §2.12 / driver brief), each a composition of
+vectorized map_batches stages + one keyed shuffle:
+
+- exact:     128-bit content hash -> groupby(hash) -> keep min id
+- n-gram Jaccard (exact): inverted shingle index -> per-shingle pair
+  emission (doc metadata carried through, so NO second join) ->
+  groupby(pair) intersection counts -> integer-exact Jaccard filter
+- MinHash+LSH (approximate): signature via segmented-min permutations
+  -> banding -> bucket groupby -> candidate pairs
+- SimHash: 64-bit simhash -> 4x16-bit block buckets (pigeonhole:
+  complete for hamming<=3) -> exact hamming verify in-bucket
+- embedding cosine: see textops.ann (same bucket-verify shape)
+
+Scale notes: every shuffle key is a hash (uniform); per-shingle pair
+emission is capped (``max_bucket`` guard) against degenerate hot
+shingles, with dropped buckets logged; pair tables carry only ids +
+small ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayspatial.textops.hashing import (
+    hash_int64,
+    hash_strings,
+    word_shingle_hashes,
+)
+
+MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(ds, key_col: str = "text", id_col: str = "doc_id"):
+    """-> Dataset (doc_id, n_copies): representative (min id) + copy
+    count per distinct ``key_col`` value.
+
+    Map side emits two independent 64-bit content hashes (128 bits
+    total — collision-free in practice at 10^12 rows) so the shuffle
+    moves 24 bytes/row instead of the text payload.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        from rayspatial.textops.hashing import rolling_fingerprint
+
+        h1 = hash_strings(batch.column(key_col))
+        h2 = rolling_fingerprint(batch.column(key_col))  # independent algo
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    hashed = ds.map_batches(to_hashes, batch_format="pyarrow")
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    )
+    return agg.select_columns([id_col, "n_copies"])
+
+
+def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
+    """-> Dataset of surviving rows (first id per distinct key).
+
+    Full-row variant: shuffles (hash, row) and keeps the min-id row per
+    group via map_groups.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch.column(key_col)).view(np.int64)
+        return batch.append_column("_h", pa.array(h))
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(first_per_group, batch_format="pandas")
+        .drop_columns(["_h"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, via inverted shingle index)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows(batch: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Explode: one row per (distinct shingle hash, doc) + the doc's
+    shingle-set size (carried so the pair stage needs no second join)."""
+    texts = batch.column("text")
+    flat, off = word_shingle_hashes(texts, k=k)
+    n_sh = np.diff(off)
+    ids = batch.column(id_col).to_numpy()
+    doc_rep = np.repeat(ids, n_sh)
+    nsh_rep = np.repeat(n_sh, n_sh)
+    return pa.table(
+        {
+            "g": pa.array(flat.view(np.int64)),
+            id_col: pa.array(doc_rep),
+            "nsh": pa.array(nsh_rep),
+        }
+    )
+
+
+def pairs_from_buckets(ds, key_cols: list[str], id_col: str,
+                       carry_cols: list[str] | None = None,
+                       max_bucket: int = 10_000,
+                       num_partitions: int | None = None):
+    """Generic bucket -> candidate-pair stage.
+
+    Rows sharing identical values in ``key_cols`` form a bucket; all
+    a<b id pairs per bucket are emitted (with ``carry_cols`` values of
+    both sides as ``<col>_a``/``<col>_b``).
+
+    Implementation note: one ``map_groups`` call PER BUCKET costs
+    milliseconds of Python overhead each — ruinous with millions of
+    tiny buckets.  Instead buckets are hash-PARTITIONED (one shuffle,
+    ``num_partitions`` groups) and each partition emits pairs for all
+    its buckets in one vectorized pass (sort by key, boundary scan,
+    per-bucket numpy pair expansion).
+    """
+    from rayspatial.util import cluster_cpus
+
+    carry = carry_cols or []
+    P = num_partitions or 2 * cluster_cpus()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            h = hash_int64(h ^ batch.column(c).to_numpy().view(np.uint64))
+        return batch.append_column("_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def emit_partition(g: pd.DataFrame) -> pa.Table:
+        cols_a, cols_b = [], []
+        key_mat = np.column_stack([g[c].to_numpy() for c in key_cols])
+        order = np.lexsort([g[id_col].to_numpy()] + [key_mat[:, i] for i in range(key_mat.shape[1] - 1, -1, -1)])
+        km = key_mat[order]
+        ids = g[id_col].to_numpy()[order]
+        carried = {c: g[c].to_numpy()[order] for c in carry}
+        bounds = np.flatnonzero(
+            np.r_[True, (km[1:] != km[:-1]).any(axis=1)]
+        )
+        bounds = np.append(bounds, len(ids))
+        out = {k: [] for k in ["a", "b", *(f"{c}_a" for c in carry), *(f"{c}_b" for c in carry)]}
+        dropped = 0
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            sz = hi - lo
+            if sz < 2:
+                continue
+            if sz > max_bucket:
+                dropped += 1
+                continue
+            ii, jj = np.triu_indices(sz, k=1)
+            out["a"].append(ids[lo:hi][ii])
+            out["b"].append(ids[lo:hi][jj])
+            for c in carry:
+                out[f"{c}_a"].append(carried[c][lo:hi][ii])
+                out[f"{c}_b"].append(carried[c][lo:hi][jj])
+        if dropped:
+            print(f"# pairs_from_buckets: dropped {dropped} hot buckets (> {max_bucket})")
+        # return ARROW, not pandas: pandas blocks entering a downstream
+        # Ray sort/aggregate are ~20x slower than Arrow blocks
+        if not out["a"]:
+            return pa.table({k: pa.array([], type=pa.int64()) for k in out})
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_partition, batch_format="pandas")
+    )
+
+
+def ngram_jaccard_dup_pairs(
+    ds,
+    k: int = 3,
+    threshold_pct: int = 50,
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+):
+    """EXACT near-duplicate pairs: Jaccard similarity of the distinct
+    word-k-gram shingle sets >= threshold_pct/100.
+
+    inverted index (groupby shingle) -> pair emission with carried set
+    sizes -> groupby(pair) intersection count -> integer-exact filter
+    ``100*inter >= pct*(na+nb-inter)`` (no float compare — the DuckDB
+    oracle uses the same integers).  Output (a, b, inter) sorted keys.
+    """
+    from ray.data.aggregate import Count, Min
+
+    sh = ds.map_batches(
+        lambda b: _shingle_rows(b, k, id_col), batch_format="pyarrow"
+    )
+    pairs = pairs_from_buckets(
+        sh, ["g"], id_col, carry_cols=["nsh"], max_bucket=max_bucket
+    )
+    agg = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="inter"),
+        Min("nsh_a", alias_name="na"),
+        Min("nsh_b", alias_name="nb"),
+    )
+
+    def jfilter(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        inter = batch.column("inter").to_numpy()
+        na = batch.column("na").to_numpy()
+        nb = batch.column("nb").to_numpy()
+        keep = 100 * inter >= threshold_pct * (na + nb - inter)
+        return pa.table(
+            {"a": a[keep], "b": b[keep], "inter": inter[keep]}
+        )
+
+    return agg.map_batches(jfilter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signatures(flat: np.ndarray, off: np.ndarray, num_perm: int) -> np.ndarray:
+    """(ndocs, num_perm) uint64 — min over universal-hash permutations,
+    one segmented ``minimum.reduceat`` per permutation (vectorized)."""
+    n = len(off) - 1
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = np.flatnonzero(np.diff(off) > 0)
+    if len(flat) == 0 or len(nonempty) == 0:
+        return sig
+    starts = off[:-1][nonempty]
+    for p in range(num_perm):
+        hp = hash_int64(flat, seed=p)
+        sig[nonempty, p] = np.minimum.reduceat(hp, starts)
+    return sig
+
+
+def _band_rows(batch: pa.Table, k: int, num_perm: int, bands: int,
+               id_col: str) -> pa.Table:
+    flat, off = word_shingle_hashes(batch.column("text"), k=k)
+    sig = _minhash_signatures(flat, off, num_perm)
+    r = num_perm // bands
+    ids = batch.column(id_col).to_numpy()
+    n = len(ids)
+    # polynomial combine of each band's r signature values -> bucket key
+    out_band = np.repeat(np.arange(bands, dtype=np.int64), n)
+    out_key = np.empty(bands * n, dtype=np.uint64)
+    for b in range(bands):
+        seg = sig[:, b * r : (b + 1) * r]
+        key = np.zeros(n, dtype=np.uint64)
+        for j in range(r):
+            key = key * np.uint64(0x100000001B3) + seg[:, j]
+        out_key[b * n : (b + 1) * n] = hash_int64(key, seed=b)
+    return pa.table(
+        {
+            "band": pa.array(out_band),
+            "key": pa.array(out_key.view(np.int64)),
+            id_col: pa.array(np.tile(ids, bands)),
+        }
+    )
+
+
+def minhash_lsh_candidates(
+    ds,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+):
+    """Near-duplicate CANDIDATE pairs via MinHash banding: docs sharing
+    any of ``bands`` band-buckets.  Probability a pair with Jaccard s
+    surfaces: 1-(1-s^r)^b (r=num_perm/bands) — the classic LSH curve.
+    Output (a, b) distinct pairs.  Verify with ngram_jaccard_dup_pairs
+    semantics downstream if exactness is required.
+    """
+    from ray.data.aggregate import Count
+
+    rows = ds.map_batches(
+        lambda b: _band_rows(b, k, num_perm, bands, id_col),
+        batch_format="pyarrow",
+    )
+    pairs = pairs_from_buckets(rows, ["band", "key"], id_col, max_bucket=max_bucket)
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .select_columns(["a", "b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(texts: pa.Array, id_col_vals: np.ndarray) -> np.ndarray:
+    """64-bit simhash per doc over whitespace tokens (count-weighted)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    py = texts.to_pylist()
+    tokens: list[str] = []
+    counts = np.zeros(len(py), dtype=np.int64)
+    for i, t in enumerate(py):
+        w = t.split() if t else []
+        counts[i] = len(w)
+        tokens.extend(w)
+    th = hash_strings(pa.array(tokens, type=pa.string()))
+    off = np.zeros(len(py) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    out = np.zeros(len(py), dtype=np.uint64)
+    if len(th) == 0:
+        return out.view(np.int64)
+    # bit matrix (T, 64) in +-1, segment-summed per doc, sign -> bit
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    bits = bits * 2 - 1
+    nonempty = np.flatnonzero(counts > 0)
+    sums = np.add.reduceat(bits, off[:-1][nonempty], axis=0)
+    simbits = (sums > 0).astype(np.uint64)
+    vals = (simbits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = vals
+    return out.view(np.int64)
+
+
+def simhash_dup_pairs(ds, hamming_k: int = 3, id_col: str = "doc_id",
+                      max_bucket: int = 10_000):
+    """EXACT pairs with simhash hamming distance <= hamming_k (<=3):
+    4x16-bit block buckets guarantee completeness by pigeonhole, exact
+    hamming verified in-bucket (simhashes carried with the rows — no
+    second join).  Output (a, b, hamming)."""
+    from ray.data.aggregate import Min
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        sh = simhash_batch(batch.column("text"), ids).view(np.uint64)
+        n = len(ids)
+        blocks = np.empty(4 * n, dtype=np.int64)
+        for blk in range(4):
+            blocks[blk * n : (blk + 1) * n] = (
+                (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "blk": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(blocks),
+                id_col: pa.array(np.tile(ids, 4)),
+                "sh": pa.array(np.tile(sh.view(np.int64), 4)),
+            }
+        )
+
+    cand = pairs_from_buckets(
+        ds.map_batches(rows, batch_format="pyarrow"),
+        ["blk", "key"], id_col, carry_cols=["sh"], max_bucket=max_bucket,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        x = batch.column("sh_a").to_numpy().view(np.uint64) ^ batch.column(
+            "sh_b"
+        ).to_numpy().view(np.uint64)
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            if not v.any():
+                break
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        keep = ham <= hamming_k
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "hamming": pa.array(ham[keep])}
+        )
+
+    # a pair can match in several blocks -> dedup
+    return (
+        cand.map_batches(verify, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+def connected_duplicate_groups(pairs_df: pd.DataFrame) -> dict[int, int]:
+    """Driver-side union-find over a (small) verified pair table:
+    doc_id -> group representative (min id).  At web scale this becomes
+    iterative label propagation (groupby-min until fixpoint); pair
+    tables after verification are tiny relative to the corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}

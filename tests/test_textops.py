@@ -1,0 +1,306 @@
+"""Training-data operator tests (dedup / similarity / analysis) on
+sf0.001, with brute-force in-process oracles.
+
+Test strategy mirrors the reference's (SURVEY.md §5): small fixture
+corpus, inline expected values / brute-force cross-checks, plus
+determinism checks (same input -> same output across runs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    from rayspatial.util import read_parquet_sized
+
+    return read_parquet_sized(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs_df():
+    return pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+
+
+# --- hashing primitives ----------------------------------------------------
+
+
+def test_hash_strings_reference_values():
+    from rayspatial.textops.hashing import hash_strings
+
+    def fnv(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) % 2**64
+        return h
+
+    vals = ["", "a", "hello world", "x" * 300, "ünïcodé"]
+    got = hash_strings(pa.array(vals, type=pa.string()))
+    for v, g in zip(vals, got):
+        assert int(g) == fnv(v)
+
+
+def test_rolling_fingerprint_reference_values():
+    from rayspatial.textops.hashing import rolling_fingerprint
+
+    B = 0x9E3779B97F4A7C15
+
+    def poly(s: str) -> int:
+        bs = s.encode()
+        return sum(
+            b * pow(B, len(bs) - 1 - i, 2**64) for i, b in enumerate(bs)
+        ) % 2**64
+
+    vals = ["", "abc", "hello world"]
+    got = rolling_fingerprint(pa.array(vals, type=pa.string()))
+    for v, g in zip(vals, got):
+        assert int(np.uint64(g)) == poly(v)
+
+
+def test_word_shingles():
+    from rayspatial.textops.hashing import hash_strings, word_shingle_hashes
+
+    flat, off = word_shingle_hashes(
+        pa.array(["a b c d", "x", "a b c b c d", ""]), k=3
+    )
+    # "a b c d" -> {"a b c","b c d"}; "x" -> {}; third -> 4 distinct
+    assert list(np.diff(off)) == [2, 0, 4, 0]
+    expected = np.sort(hash_strings(pa.array(["a b c", "b c d"])))
+    assert np.array_equal(flat[off[0] : off[1]], expected)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def test_exact_dedup_groups(ray_session, docs_ds, docs_df):
+    from rayspatial.textops.dedup import exact_dedup_groups
+
+    got = exact_dedup_groups(docs_ds).to_pandas().sort_values("doc_id")
+    ref = (
+        docs_df.groupby("text")
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        .reset_index(drop=True)
+        .sort_values("doc_id")
+    )
+    assert np.array_equal(got["doc_id"].to_numpy(), ref["doc_id"].to_numpy())
+    assert np.array_equal(got["n_copies"].to_numpy(), ref["n_copies"].to_numpy())
+
+
+def test_exact_dedup_rows_with_planted_dups(ray_session):
+    import ray.data as rd
+
+    from rayspatial.textops.dedup import exact_dedup
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["dup", "dup", "uniq", "dup", "other"]),
+        }
+    )
+    out = exact_dedup(rd.from_arrow(tab)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2, 4]  # min id survives per text
+
+
+# --- n-gram jaccard / minhash / simhash ------------------------------------
+
+
+def _brute_jaccard_pairs(df: pd.DataFrame, k: int, tau: float):
+    sets = {}
+    for _, r in df.iterrows():
+        w = r["text"].split()
+        sets[r["doc_id"]] = {
+            " ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 0))
+        }
+    ids = sorted(sets)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= tau:
+                out.append((a, b, inter))
+    return out
+
+
+def test_ngram_jaccard_exact_vs_brute(ray_session, docs_ds, docs_df):
+    from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
+
+    got = (
+        ngram_jaccard_dup_pairs(docs_ds, k=3, threshold_pct=50)
+        .to_pandas()
+        .sort_values(["a", "b"])
+    )
+    ref = _brute_jaccard_pairs(docs_df, 3, 0.5)
+    assert [tuple(r) for r in got[["a", "b", "inter"]].to_numpy()] == ref
+
+
+def test_minhash_recall_on_exact_pairs(ray_session, docs_ds, docs_df):
+    from rayspatial.textops.dedup import minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(docs_ds).to_pandas()
+    cand_set = set(zip(cand["a"], cand["b"]))
+    strong = [(a, b) for a, b, _ in _brute_jaccard_pairs(docs_df, 3, 0.7)]
+    # 16 bands x 4 rows: P(detect | s=0.7) ~ 1-(1-0.7^4)^16 ~ 0.99
+    found = sum(1 for p in strong if p in cand_set)
+    assert found >= 0.9 * len(strong)
+
+
+def test_simhash_pairs_vs_brute(ray_session, docs_ds, docs_df):
+    from rayspatial.textops.dedup import simhash_batch, simhash_dup_pairs
+
+    got = simhash_dup_pairs(docs_ds, hamming_k=3).to_pandas()
+    sh = simhash_batch(
+        pa.array(docs_df["text"].tolist()), docs_df["doc_id"].to_numpy()
+    ).view(np.uint64)
+    ids = docs_df["doc_id"].to_numpy()
+    ref = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = bin(int(sh[i] ^ sh[j])).count("1")
+            if ham <= 3:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                ref.append((a, b, ham))
+    got_t = sorted(
+        (int(r.a), int(r.b), int(r.hamming)) for r in got.itertuples()
+    )
+    assert got_t == sorted(ref)
+
+
+def test_connected_duplicate_groups():
+    from rayspatial.textops.dedup import connected_duplicate_groups
+
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    g = connected_duplicate_groups(pairs)
+    assert g[1] == g[2] == g[3] == 1
+    assert g[10] == g[11] == 10
+
+
+# --- embeddings: near-dup + ANN --------------------------------------------
+
+
+def _norm_mat(embs_df):
+    m = np.stack(embs_df["embedding"].to_numpy()).astype(np.float64)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_embedding_dup_pairs_vs_brute(ray_session, embs_df):
+    from rayspatial.textops.ann import embedding_dup_pairs
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/embeddings.parquet")
+    got = embedding_dup_pairs(ds, threshold=0.4).to_pandas()
+    m = _norm_mat(embs_df)
+    ids = embs_df["vec_id"].to_numpy()
+    sims = m @ m.T
+    ref = set()
+    iu = np.triu_indices(len(ids), k=1)
+    for i, j in zip(*iu):
+        if sims[i, j] >= 0.4:
+            ref.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert set(zip(got["a"], got["b"])) == ref
+
+
+def test_ann_topk_vs_brute(ray_session, embs_df):
+    from rayspatial.textops.ann import ann_topk
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/embeddings.parquet")
+    ids = embs_df["vec_id"].to_numpy()
+    qids = ids[ids % 100 == 0]
+    got = ann_topk(ds, qids, k=5).to_pandas()
+    m = _norm_mat(embs_df)
+    pos = {v: i for i, v in enumerate(ids)}
+    for q in qids:
+        s = m @ m[pos[q]]
+        cand = [(v, s[pos[v]]) for v in ids if v != q]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        want = [v for v, _ in cand[:5]]
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert list(sub["neighbor_id"]) == want
+
+
+def test_srp_candidates_deterministic(ray_session, embs_df):
+    from rayspatial.textops.ann import srp_bucket_candidates
+    from rayspatial.util import read_parquet_sized
+
+    a = srp_bucket_candidates(read_parquet_sized(f"{SF}/embeddings.parquet")).to_pandas()
+    b = srp_bucket_candidates(read_parquet_sized(f"{SF}/embeddings.parquet")).to_pandas()
+    assert set(zip(a["a"], a["b"])) == set(zip(b["a"], b["b"]))
+
+
+# --- analysis --------------------------------------------------------------
+
+
+def test_token_counts_and_stats(ray_session, docs_ds, docs_df):
+    from rayspatial.textops.analysis import text_stats, token_counts
+
+    got = token_counts(docs_ds).to_pandas().set_index("doc_id")["n_tokens"]
+    ref = docs_df.set_index("doc_id")["text"].str.split().str.len()
+    assert (got.sort_index() == ref.sort_index()).all()
+
+    st = text_stats(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    assert (st["n_chars"] == docs_df.set_index("doc_id")["text"].str.len().sort_index()).all()
+    assert (st["n_uniq_tokens"] <= st["n_tokens"]).all()
+    assert (st["n_spaces"] == docs_df.set_index("doc_id")["text"].str.count(" ").sort_index()).all()
+
+
+def test_fingerprints_unique_and_deterministic(ray_session, docs_ds):
+    from rayspatial.textops.analysis import fingerprints
+
+    a = fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    b = fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["fp"].to_numpy(), b["fp"].to_numpy())
+    # distinct texts -> distinct fingerprints (no collision on corpus)
+    assert a["fp"].nunique() == len(a)
+
+
+def test_lang_id_mechanics(ray_session, docs_ds, docs_df):
+    from rayspatial.textops.analysis import lang_id
+
+    sample = docs_df[docs_df.doc_id < 200][["text", "lang"]]
+    out = lang_id(docs_ds, sample).to_pandas()
+    assert len(out) == len(docs_df)
+    assert set(out["pred_lang"]) <= set(sample["lang"])
+    out2 = lang_id(docs_ds, sample).to_pandas()
+    m = out.set_index("doc_id")["pred_lang"].sort_index()
+    assert (m == out2.set_index("doc_id")["pred_lang"].sort_index()).all()
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def test_binary_features_stub(ray_session):
+    from rayspatial.pipeline.pages import read_pages
+    from rayspatial.textops.multimodal import (
+        FEATURE_DIM,
+        BinaryFeatureExtractor,
+        _fake_decode,
+        binary_features,
+    )
+
+    out = binary_features(read_pages(SF), binary_col="html", id_col="doc_id")
+    df = out.to_pandas().sort_values("doc_id")
+    assert len(df) == 500
+    assert all(len(f) == FEATURE_DIM for f in df["features"])
+    # features deterministic & equal to direct decode of the payload
+    pages = read_pages(SF).take(5)
+    for p in pages:
+        row = df[df["doc_id"] == p["doc_id"]].iloc[0]
+        assert row["payload_bytes"] == len(p["html"])
+        assert np.array_equal(np.array(row["features"]), _fake_decode(p["html"]))
+    # real decoder path is an explicit stub in this container
+    with pytest.raises((NotImplementedError, ValueError)):
+        BinaryFeatureExtractor(decoder="pil")
+    with pytest.raises(ValueError):
+        BinaryFeatureExtractor(decoder="nope")
