@@ -142,6 +142,24 @@ def _q_pages_by_lang(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n_pages"))
 
 
+def _q_knn_join(sf_dir: str):
+    from rayspatial.ops.knn import knn_join
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    out = knn_join(points_dataset(sf_dir), polygon_geoms(), k=3)
+    return out.select_columns(["doc_id", "poly_id", "rank"])
+
+
+def _q_nearest_poly(sf_dir: str):
+    from rayspatial.ops.knn import knn_join
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    out = knn_join(points_dataset(sf_dir), polygon_geoms(), k=1)
+    return out.select_columns(["doc_id", "poly_id"])
+
+
 # --- training-data operators (dedup / similarity / text analysis) ---------
 
 
@@ -251,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": _q_pip_join,
         "pip_join_shuffled": _q_pip_join_shuffled,
         "flagship_join_tiles": _q_flagship,
+        "knn_join": _q_knn_join,
+        "nearest_poly": _q_nearest_poly,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
         # training-data ops
@@ -297,6 +317,26 @@ def oracle_sql() -> dict[str, str]:
             "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pts"
         ),
         "pages_by_lang": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY lang",
+        "knn_join": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
+            "d AS (SELECT doc_id, poly_id, "
+            "GREATEST(xmin - lon, lon - xmax, 0) * GREATEST(xmin - lon, lon - xmax, 0) "
+            "+ GREATEST(ymin - lat, lat - ymax, 0) * GREATEST(ymin - lat, lat - ymax, 0) AS d2 "
+            "FROM pts CROSS JOIN polys), "
+            "r AS (SELECT doc_id, poly_id, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY d2, poly_id) AS rank FROM d) "
+            "SELECT doc_id, poly_id, rank FROM r WHERE rank <= 3"
+        ),
+        "nearest_poly": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
+            "d AS (SELECT doc_id, poly_id, "
+            "GREATEST(xmin - lon, lon - xmax, 0) * GREATEST(xmin - lon, lon - xmax, 0) "
+            "+ GREATEST(ymin - lat, lat - ymax, 0) * GREATEST(ymin - lat, lat - ymax, 0) AS d2 "
+            "FROM pts CROSS JOIN polys), "
+            "r AS (SELECT doc_id, poly_id, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY d2, poly_id) AS rank FROM d) "
+            "SELECT doc_id, poly_id FROM r WHERE rank = 1"
+        ),
         # training-data ops (SQL-expressible subset; the hash-family ops
         # — minhash/simhash/srp/lang_id/fingerprints/binary_features —
         # are rows-only checked and pytest-verified instead)
