@@ -173,16 +173,38 @@ def join_points_polygons_shuffled(
     partition_res: int = 4,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    salt_target: int | None = None,
+    salt_map: dict[int, int] | None = None,
 ):
     """Shuffle-mode join for very large polygon layers: points
     hash-partitioned by cell (groupby shuffle), polygons replicated into
-    overlapping cell partitions, local join per group."""
+    overlapping cell partitions, local join per group.
+
+    Skew (north_rule): pass ``salt_target`` (max point rows per shuffle
+    partition) to detect hot cells from a histogram pre-pass and SPLIT
+    them into ``ceil(n/target)`` salted keys before the shuffle — the
+    polygon side is replicated into every salt bucket via base-cell
+    lookup, so results are identical.  Pass a precomputed ``salt_map``
+    (cell -> salt factor) to skip the extra histogram pass.
+    """
     import ray
 
     from rayspatial.geom.wkb import to_wkb
+    from rayspatial.ops import skew
 
     if poly_ids is None:
         poly_ids = np.arange(len(polygons), dtype=np.int64)
+    if salt_map is None and salt_target is not None:
+        hist = pa.concat_tables(
+            [
+                b
+                for b in skew.cell_histogram(
+                    points_ds, partition_res, lon_col, lat_col
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+        salt_map = skew.plan_salts(hist, salt_target)
+    salt_map = salt_map or {}
     # replicate polygons into every cell their envelope touches
     bounds = polygons.bounds()
     cell_to_polys: dict[int, list[int]] = {}
@@ -199,7 +221,17 @@ def join_points_polygons_shuffled(
         lon = batch.column(lon_col).to_numpy()
         lat = batch.column(lat_col).to_numpy()
         pcell = cellmod.cell_encode(lon, lat, partition_res)
-        return batch.append_column("_pcell", pa.array(pcell))
+        # deterministic per-row salt (row position hash would not be
+        # stable across block splits; use a content-derived id column if
+        # present, else the lon/lat bit pattern)
+        if "doc_id" in batch.column_names:
+            rid = batch.column("doc_id").to_numpy()
+        else:
+            rid = lon.view(np.int64) ^ lat.view(np.int64)
+        salt = skew.salt_values(pcell, rid, salt_map)
+        return batch.append_column("_pcell", pa.array(pcell)).append_column(
+            "_salt", pa.array(salt)
+        )
 
     def join_group(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -207,7 +239,7 @@ def join_points_polygons_shuffled(
         payload = _ray.get(payload_ref)
         from rayspatial.geom.wkb import parse_wkb
 
-        empty = batch.drop_columns(["_pcell"]).slice(0, 0).append_column(
+        empty = batch.drop_columns(["_pcell", "_salt"]).slice(0, 0).append_column(
             "poly_id", pa.array([], type=pa.int64())
         )
         if batch.num_rows == 0:
@@ -224,7 +256,7 @@ def join_points_polygons_shuffled(
             lon_col,
             lat_col,
         )
-        return joiner(batch.drop_columns(["_pcell"]))
+        return joiner(batch.drop_columns(["_pcell", "_salt"]))
 
     ds = points_ds.map_batches(add_cell, batch_format="pyarrow")
-    return ds.groupby("_pcell").map_groups(join_group, batch_format="pyarrow")
+    return ds.groupby(["_pcell", "_salt"]).map_groups(join_group, batch_format="pyarrow")

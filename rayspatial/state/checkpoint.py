@@ -1,0 +1,173 @@
+"""Checkpoint manifest + resumable partitioned output (north_rule:
+"every partition emits lineage records and row/byte metrics to a
+checkpoint manifest so the streaming job resumes mid-shuffle after
+failure").
+
+Design:
+- Output is partitioned Parquet: one file per shuffle partition
+  (``part-<pid>.parquet``), never one giant file — a failed run can
+  skip finished partitions.
+- The manifest is a directory of one JSON file PER PARTITION
+  (``manifest/<pid>.json``), each written atomically
+  (write-temp + rename); a partition is "complete" iff its manifest
+  entry exists AND its data file exists.  Per-entry files (not one
+  appended log) because concurrent writer tasks must not contend.
+- Each entry records lineage + metrics: stage name, partition id,
+  input fingerprint (order-insensitive content hash of the partition's
+  key column), rows, bytes, output content hash, wall time.
+- Resume: a rerun recomputes the shuffle (Ray Data lineage handles
+  upstream retries), but each writer task first consults the manifest
+  and SKIPS its partition if complete — so only missing partitions
+  pay the write (and any per-partition post-processing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class CheckpointManifest:
+    def __init__(self, root: str, stage: str):
+        self.root = root
+        self.stage = stage
+        self.mdir = os.path.join(root, "manifest")
+        os.makedirs(self.mdir, exist_ok=True)
+
+    def entry_path(self, pid: int) -> str:
+        return os.path.join(self.mdir, f"{self.stage}-{pid}.json")
+
+    def data_path(self, pid: int) -> str:
+        return os.path.join(self.root, f"{self.stage}-part-{pid}.parquet")
+
+    def is_complete(self, pid: int) -> bool:
+        return os.path.exists(self.entry_path(pid)) and os.path.exists(
+            self.data_path(pid)
+        )
+
+    def completed(self) -> set[int]:
+        out = set()
+        prefix = f"{self.stage}-"
+        for f in os.listdir(self.mdir):
+            if f.startswith(prefix) and f.endswith(".json"):
+                pid = int(f[len(prefix) : -5])
+                if os.path.exists(self.data_path(pid)):
+                    out.add(pid)
+        return out
+
+    def record(self, pid: int, meta: dict) -> None:
+        """Atomic write-temp-rename of the partition's manifest entry."""
+        path = self.entry_path(pid)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        os.replace(tmp, path)
+
+    def entries(self) -> list[dict]:
+        out = []
+        for pid in sorted(self.completed()):
+            with open(self.entry_path(pid)) as f:
+                out.append(json.load(f))
+        return out
+
+
+def _content_hash(batch: pa.Table, cols: list[str] | None = None) -> int:
+    """Order-insensitive 64-bit content hash (xor of row hashes) —
+    stable under block reordering, so retries/resumes agree."""
+    from rayspatial.textops.hashing import hash_int64
+
+    cols = cols or batch.column_names
+    acc = np.zeros(len(batch), dtype=np.uint64)
+    for i, c in enumerate(cols):
+        col = batch.column(c)
+        if pa.types.is_floating(col.type):
+            v = col.to_numpy().view(np.uint64)
+        elif pa.types.is_integer(col.type):
+            v = col.to_numpy().astype(np.int64).view(np.uint64)
+        else:
+            from rayspatial.textops.hashing import hash_strings
+
+            v = hash_strings(col.cast(pa.string()))
+        acc ^= hash_int64(v, seed=i + 1)
+    total = np.bitwise_xor.reduce(hash_int64(acc, seed=0)) if len(acc) else np.uint64(0)
+    return int(total)
+
+
+def checkpointed_write(
+    ds,
+    out_dir: str,
+    key_col: str,
+    stage: str = "out",
+    num_partitions: int = 16,
+):
+    """Write ``ds`` as ``num_partitions`` keyed Parquet partitions with
+    a lineage/metrics manifest; re-running skips complete partitions.
+
+    Returns the manifest.  (The shuffle key is ``hash(key) % P`` so the
+    layout is stable across runs and cluster sizes.)
+    """
+    import pandas as pd
+
+    from rayspatial.textops.hashing import hash_int64
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = CheckpointManifest(out_dir, stage)
+    P = num_partitions
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy().astype(np.int64)
+        pid = (hash_int64(k.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return batch.append_column("_pid", pa.array(pid))
+
+    def write_partition(g: pd.DataFrame) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = int(g["_pid"].iloc[0])
+        batch = pa.Table.from_pandas(
+            g.drop(columns=["_pid"]), preserve_index=False
+        )
+        if manifest.is_complete(pid):
+            return pa.table(
+                {"pid": [pid], "rows": [len(batch)], "skipped": [True]}
+            )
+        data_path = manifest.data_path(pid)
+        tmp = f"{data_path}.tmp.{os.getpid()}"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, data_path)
+        manifest.record(
+            pid,
+            {
+                "stage": stage,
+                "partition": pid,
+                "rows": len(batch),
+                "bytes": os.path.getsize(data_path),
+                "key_col": key_col,
+                "input_fingerprint": _content_hash(batch, [key_col]),
+                "content_hash": _content_hash(batch),
+                "wall_s": round(time.perf_counter() - t0, 4),
+                "ts": time.time(),
+            },
+        )
+        return pa.table({"pid": [pid], "rows": [len(batch)], "skipped": [False]})
+
+    stats = (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(write_partition, batch_format="pandas")
+    )
+    # drain the stream (the writes are the side effect)
+    report = stats.to_pandas()
+    return manifest, report
+
+
+def read_checkpointed(out_dir: str, stage: str = "out"):
+    """Read back a checkpointed output as a Ray Dataset."""
+    import ray.data as rd
+
+    manifest = CheckpointManifest(out_dir, stage)
+    paths = [manifest.data_path(pid) for pid in sorted(manifest.completed())]
+    return rd.read_parquet(paths)
