@@ -160,6 +160,50 @@ def _q_nearest_poly(sf_dir: str):
     return out.select_columns(["doc_id", "poly_id"])
 
 
+def _q_poly_area_perimeter(sf_dir: str):
+    """Measurement kernels (area/length) over the polygon layer as a
+    map_batches stage on WKB (reference measurement.py:23-47,152-178)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial.geom.constructive import boundary
+    from rayspatial.geom.measures import area, length
+    from rayspatial.geom.wkb import parse_wkb, to_wkb
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    ga = polygon_geoms()
+    tab = pa.table(
+        {
+            "poly_id": pa.array(np.arange(len(ga), dtype=np.int64)),
+            "wkb": pa.array(to_wkb(ga), type=pa.binary()),
+        }
+    )
+
+    def measures(batch: pa.Table) -> pa.Table:
+        g = parse_wkb(batch.column("wkb").to_pylist())
+        return pa.table(
+            {
+                "poly_id": batch.column("poly_id"),
+                "area": pa.array(area(g)),
+                "perimeter": pa.array(length(boundary(g))),
+            }
+        )
+
+    return rd.from_arrow(tab).map_batches(measures, batch_format="pyarrow")
+
+
+def _q_tile_vectorize(sf_dir: str):
+    """Raster->vector tile materialization: per-tile count grids ->
+    maximal-rectangle vector boxes (north_star raster<->vector)."""
+    from rayspatial.ops.tiles import rasterize_tiles, vectorize_tiles
+    from rayspatial.pipeline.flagship import points_dataset
+
+    raster = rasterize_tiles(points_dataset(sf_dir), res=3, tile_res=6)
+    vec = vectorize_tiles(raster, res=3, tile_res=6, threshold=1)
+    return vec.select_columns(["cell_x", "cell_y", "res"])
+
+
 # --- training-data operators (dedup / similarity / text analysis) ---------
 
 
@@ -271,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_join_tiles": _q_flagship,
         "knn_join": _q_knn_join,
         "nearest_poly": _q_nearest_poly,
+        "poly_area_perimeter": _q_poly_area_perimeter,
+        "tile_vectorize": _q_tile_vectorize,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
         # training-data ops
@@ -317,6 +363,11 @@ def oracle_sql() -> dict[str, str]:
             "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pts"
         ),
         "pages_by_lang": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY lang",
+        "poly_area_perimeter": (
+            f"WITH {_POLYS_CTE} "
+            "SELECT poly_id, (xmax - xmin) * (ymax - ymin) AS area, "
+            "2 * ((xmax - xmin) + (ymax - ymin)) AS perimeter FROM polys"
+        ),
         "knn_join": (
             f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
             "d AS (SELECT doc_id, poly_id, "

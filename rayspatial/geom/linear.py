@@ -1,0 +1,187 @@
+"""Linear referencing (reference pygeos/linear.py).
+
+Vectorized over the GeomArray part layout; operates on LINESTRING /
+LINEARRING / MULTILINESTRING rows, missing/other types follow the
+reference's conventions (None result / NaN distance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rayspatial.geom.array import (
+    LINEARRING,
+    LINESTRING,
+    MISSING,
+    MULTILINESTRING,
+    PK_LINE,
+    GeomArray,
+    _Builder,
+)
+
+__all__ = [
+    "line_interpolate_point",
+    "line_locate_point",
+    "line_merge",
+    "shortest_line",
+]
+
+_LINE_TYPES = (LINESTRING, LINEARRING, MULTILINESTRING)
+
+
+def _line_parts(ga: GeomArray, g: int) -> list[np.ndarray]:
+    return [
+        ga.part_coords(p)
+        for p in np.flatnonzero(ga.part_geom == g)
+        if ga.part_kind[p] == PK_LINE
+    ]
+
+
+def _seg_lengths(xy: np.ndarray) -> np.ndarray:
+    d = np.diff(xy, axis=0)
+    return np.hypot(d[:, 0], d[:, 1])
+
+
+def line_interpolate_point(ga: GeomArray, distance, normalized: bool = False) -> GeomArray:
+    """Point at ``distance`` along each line (linear.py:15-54);
+    negative distances measure from the end; clamped to the line."""
+    from rayspatial.geom.creation import points
+
+    dist = np.broadcast_to(np.asarray(distance, dtype=np.float64), len(ga))
+    xy_out = np.full((len(ga), 2), np.nan)
+    for g in range(len(ga)):
+        if ga.types[g] not in _LINE_TYPES:
+            continue
+        parts = _line_parts(ga, g)
+        if not parts:
+            continue
+        xy = np.vstack(parts)  # multilines treated as one chain
+        seg = _seg_lengths(xy)
+        total = seg.sum()
+        d = dist[g] * total if normalized else dist[g]
+        if d < 0:
+            d = total + d
+        d = min(max(d, 0.0), total)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        i = int(np.searchsorted(cum, d, side="right") - 1)
+        i = min(i, len(seg) - 1)
+        t = 0.0 if seg[i] == 0 else (d - cum[i]) / seg[i]
+        xy_out[g] = xy[i] + t * (xy[i + 1] - xy[i])
+    return points(xy_out)
+
+
+def line_locate_point(ga: GeomArray, pts: GeomArray, normalized: bool = False) -> np.ndarray:
+    """Distance along each line to the projection of the point
+    (linear.py:55-90); NaN for non-lines/missing."""
+    from rayspatial.geom.strtree import _point_coords
+
+    px, py = _point_coords(pts)
+    out = np.full(len(ga), np.nan)
+    for g in range(len(ga)):
+        if ga.types[g] not in _LINE_TYPES or np.isnan(px[g]):
+            continue
+        parts = _line_parts(ga, g)
+        if not parts:
+            continue
+        xy = np.vstack(parts)
+        a = xy[:-1]
+        b = xy[1:]
+        ab = b - a
+        ab2 = (ab * ab).sum(axis=1)
+        ap = np.column_stack([px[g] - a[:, 0], py[g] - a[:, 1]])
+        t = np.where(ab2 > 0, (ap * ab).sum(axis=1) / np.where(ab2 > 0, ab2, 1), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        d2 = (proj[:, 0] - px[g]) ** 2 + (proj[:, 1] - py[g]) ** 2
+        seg = np.sqrt(ab2)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        best = int(np.argmin(d2))
+        loc = cum[best] + t[best] * seg[best]
+        total = cum[-1]
+        out[g] = loc / total if (normalized and total > 0) else loc
+    return out
+
+
+def line_merge(ga: GeomArray) -> GeomArray:
+    """Merge MULTILINESTRING parts that share endpoints into maximal
+    chains (linear.py:91-114).  Single linestrings pass through."""
+    b = _Builder()
+    row = 0
+    for g in range(len(ga)):
+        t = int(ga.types[g])
+        if t == MISSING:
+            b.types.append(MISSING)
+            b.has_z.append(False)
+            b.num_children.append(0)
+            row += 1
+            continue
+        parts = [p.copy() for p in _line_parts(ga, g)]
+        if t not in _LINE_TYPES or not parts:
+            b.types.append(t if t in _LINE_TYPES else ga.types[g])
+            b.has_z.append(False)
+            b.num_children.append(0)
+            row += 1
+            continue
+        # greedy endpoint chaining
+        chains: list[np.ndarray] = []
+        rem = parts
+        while rem:
+            chain = rem.pop(0)
+            changed = True
+            while changed:
+                changed = False
+                for i, r in enumerate(rem):
+                    if np.array_equal(chain[-1], r[0]):
+                        chain = np.vstack([chain, r[1:]])
+                    elif np.array_equal(chain[-1], r[-1]):
+                        chain = np.vstack([chain, r[::-1][1:]])
+                    elif np.array_equal(chain[0], r[-1]):
+                        chain = np.vstack([r, chain[1:]])
+                    elif np.array_equal(chain[0], r[0]):
+                        chain = np.vstack([r[::-1], chain[1:]])
+                    else:
+                        continue
+                    rem.pop(i)
+                    changed = True
+                    break
+            chains.append(chain)
+        if len(chains) == 1:
+            b.types.append(LINESTRING)
+            b.add_part(row, PK_LINE, b.sub_counter, chains[0])
+            b.sub_counter += 1
+            b.num_children.append(1)
+        else:
+            b.types.append(MULTILINESTRING)
+            for c in chains:
+                b.add_part(row, PK_LINE, b.sub_counter, c)
+                b.sub_counter += 1
+            b.num_children.append(len(chains))
+        b.has_z.append(False)
+        row += 1
+    return b.finish()
+
+
+def shortest_line(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """LINESTRING between the closest points of each pair
+    (linear.py:144-171); missing if either side is missing/empty."""
+    from rayspatial.geom import measures as M
+
+    b = _Builder()
+    row = 0
+    na, nb_ = len(ga), len(gb)
+    n = max(na, nb_)
+    for g in range(n):
+        i, j = min(g, na - 1), min(g, nb_ - 1)
+        pa_, pb_ = M._closest_points(ga, i, gb, j)
+        if pa_ is None:
+            b.types.append(MISSING)
+            b.has_z.append(False)
+            b.num_children.append(0)
+        else:
+            b.types.append(LINESTRING)
+            b.add_part(row, PK_LINE, b.sub_counter, np.vstack([pa_, pb_]))
+            b.sub_counter += 1
+            b.has_z.append(False)
+            b.num_children.append(1)
+        row += 1
+    return b.finish()

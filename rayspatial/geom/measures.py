@@ -186,6 +186,107 @@ def _geom_dist(ga: GeomArray, i: int, gb: GeomArray, j: int) -> float:
     return float(np.sqrt(best))
 
 
+def _seg_seg_intersection(a1, a2, b1, b2):
+    """One intersection point of segments [a1,a2] x [b1,b2] or None."""
+    d1 = a2 - a1
+    d2 = b2 - b1
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if denom == 0:
+        return None
+    t = ((b1[0] - a1[0]) * d2[1] - (b1[1] - a1[1]) * d2[0]) / denom
+    u = ((b1[0] - a1[0]) * d1[1] - (b1[1] - a1[1]) * d1[0]) / denom
+    if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+        return a1 + np.clip(t, 0, 1) * d1
+    return None
+
+
+def _closest_points(ga: GeomArray, i: int, gb: GeomArray, j: int):
+    """(pa, pb): closest point pair between the two geometries (used by
+    shortest_line, reference linear.py:144-171); (None, None) when
+    either side is missing/empty.  For intersecting pairs both points
+    coincide at a witness of the intersection."""
+    from rayspatial.geom import predicates as P
+
+    pa, sa1, sa2 = _geom_segments(ga, i)
+    pb, sb1, sb2 = _geom_segments(gb, j)
+    if (len(pa) + len(sa1)) == 0 or (len(pb) + len(sb1)) == 0:
+        return None, None
+    if P._pair_intersects(ga, i, gb, j):
+        # witness: a vertex of one inside/on the other, else a segment
+        # crossing point
+        va = np.vstack([pa, sa1, sa2]) if len(sa1) else pa
+        for v in va:
+            sub = _slice_single_point(v)
+            if P._pair_intersects(sub, 0, gb, j):
+                return v.copy(), v.copy()
+        vb = np.vstack([pb, sb1, sb2]) if len(sb1) else pb
+        for v in vb:
+            sub = _slice_single_point(v)
+            if P._pair_intersects(ga, i, sub, 0):
+                return v.copy(), v.copy()
+        for k in range(len(sa1)):
+            for m in range(len(sb1)):
+                w = _seg_seg_intersection(sa1[k], sa2[k], sb1[m], sb2[m])
+                if w is not None:
+                    return w.copy(), w.copy()
+        # fallback (shouldn't happen): bbox overlap center
+        c = (ga.bounds()[i, :2] + gb.bounds()[j, 2:]) / 2.0
+        return c, c.copy()
+
+    best = np.inf
+    out_a = out_b = None
+
+    def upd(d2, qa, qb):
+        nonlocal best, out_a, out_b
+        if d2 < best:
+            best, out_a, out_b = d2, qa, qb
+
+    if len(pa) and len(pb):
+        d = (pa[:, None, 0] - pb[None, :, 0]) ** 2 + (pa[:, None, 1] - pb[None, :, 1]) ** 2
+        k = np.unravel_index(np.argmin(d), d.shape)
+        upd(float(d[k]), pa[k[0]].copy(), pb[k[1]].copy())
+    def pt_vs_segs(pts, s1, s2, swap):
+        for p in pts:
+            dx = s2[:, 0] - s1[:, 0]
+            dy = s2[:, 1] - s1[:, 1]
+            ll = dx * dx + dy * dy
+            t = np.where(ll > 0, ((p[0] - s1[:, 0]) * dx + (p[1] - s1[:, 1]) * dy) / np.where(ll > 0, ll, 1.0), 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            qx = s1[:, 0] + t * dx
+            qy = s1[:, 1] + t * dy
+            d2 = (p[0] - qx) ** 2 + (p[1] - qy) ** 2
+            m = int(np.argmin(d2))
+            q = np.array([qx[m], qy[m]])
+            if swap:
+                upd(float(d2[m]), q, p.copy())
+            else:
+                upd(float(d2[m]), p.copy(), q)
+
+    if len(pa) and len(sb1):
+        pt_vs_segs(pa, sb1, sb2, swap=False)
+    if len(pb) and len(sa1):
+        pt_vs_segs(pb, sa1, sa2, swap=True)
+    if len(sa1) and len(sb1):
+        for p in np.vstack([sa1, sa2]):
+            pt_vs_segs(p[None, :], sb1, sb2, swap=False)
+        for p in np.vstack([sb1, sb2]):
+            pt_vs_segs(p[None, :], sa1, sa2, swap=True)
+    return out_a, out_b
+
+
+def _slice_single_point(v: np.ndarray) -> GeomArray:
+    from rayspatial.geom.array import PK_POINT as _PKP
+
+    return GeomArray(
+        types=np.array([0], dtype=np.int8),
+        part_geom=np.array([0], dtype=np.int64),
+        part_kind=np.array([_PKP], dtype=np.int8),
+        part_sub=np.array([0], dtype=np.int64),
+        part_off=np.array([0, 1], dtype=np.int64),
+        coords=v.reshape(1, 2).astype(np.float64),
+    )
+
+
 def distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     """Pairwise distance (reference measurement.py:48-74); missing or
     empty -> NaN.  Fast path when both sides are all single points."""

@@ -1,0 +1,337 @@
+"""Set operations (reference pygeos/set_operations.py).
+
+Scope (SURVEY.md §7.4 item 4: general polygon overlay is the LAST
+phase and not needed for the flagship metric): supported pairs are the
+ones the web-scale pipeline uses — point-vs-anything, box-vs-box,
+containment and disjoint cases — everything else raises
+``NotImplementedError`` loudly rather than silently approximating.
+
+Reductions (``union_all`` / ``intersection_all``) are REORDERABLE in
+the reference's ufunc registry (src/ufuncs.c:3328-3334), which is the
+formal license for the engine's partial-per-block + final combine
+implementation in ops/ (associative + commutative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rayspatial.geom.array import (
+    GEOMETRYCOLLECTION,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    PK_HOLE,
+    PK_POINT,
+    PK_SHELL,
+    POINT,
+    POLYGON,
+    GeomArray,
+    _Builder,
+)
+from rayspatial.geom.constructive import _append_empty, _append_missing, box
+
+__all__ = [
+    "intersection",
+    "union",
+    "difference",
+    "symmetric_difference",
+    "union_all",
+    "coverage_union_all",
+    "grid_to_boxes",
+]
+
+
+def _is_box(ga: GeomArray, i: int) -> bool:
+    """Axis-aligned rectangle polygon (5-pt closed ring, no holes)."""
+    parts = np.flatnonzero(ga.part_geom == i)
+    if ga.types[i] != POLYGON or len(parts) != 1:
+        return False
+    if ga.part_kind[parts[0]] != PK_SHELL:
+        return False
+    xy = ga.part_coords(parts[0])
+    if len(xy) != 5 or not np.array_equal(xy[0], xy[-1]):
+        return False
+    xs, ys = np.unique(xy[:, 0]), np.unique(xy[:, 1])
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _pairwise(ga: GeomArray, gb: GeomArray, fn) -> GeomArray:
+    n = max(len(ga), len(gb))
+    b = _Builder()
+    for g in range(n):
+        i, j = min(g, len(ga) - 1), min(g, len(gb) - 1)
+        fn(b, g, i, j)
+    return b.finish()
+
+
+def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """Pairwise intersection (set_operations.py:79-132).  Supported:
+    missing, point-vs-any, box-vs-box; else NotImplementedError."""
+    from rayspatial.geom import predicates as P
+
+    bnds_a, bnds_b = ga.bounds(), gb.bounds()
+
+    def one(b: _Builder, g: int, i: int, j: int):
+        if ga.types[i] == -1 or gb.types[j] == -1:
+            _append_missing(b)
+            return
+        for (src, si, other, oj) in ((ga, i, gb, j), (gb, j, ga, i)):
+            if src.types[si] == POINT:
+                if P._pair_intersects(src, si, other, oj):
+                    parts = np.flatnonzero(src.part_geom == si)
+                    b.types.append(POINT)
+                    b.add_part(g, PK_POINT, b.sub_counter, src.part_coords(parts[0]).copy())
+                    b.sub_counter += 1
+                    b.has_z.append(False)
+                    b.num_children.append(1)
+                else:
+                    _append_empty(b, POINT)
+                return
+        if _is_box(ga, i) and _is_box(gb, j):
+            x0 = max(bnds_a[i, 0], bnds_b[j, 0])
+            y0 = max(bnds_a[i, 1], bnds_b[j, 1])
+            x1 = min(bnds_a[i, 2], bnds_b[j, 2])
+            y1 = min(bnds_a[i, 3], bnds_b[j, 3])
+            if x0 > x1 or y0 > y1:
+                _append_empty(b, POLYGON)
+                return
+            sub = box(x0, y0, x1, y1)
+            _copy_geom(sub, 0, b, g)
+            return
+        raise NotImplementedError(
+            "general polygon overlay not implemented (supported: point-vs-any, box-vs-box)"
+        )
+
+    return _pairwise(ga, gb, one)
+
+
+def _copy_geom(src: GeomArray, i: int, b: _Builder, out_row: int) -> None:
+    b.types.append(int(src.types[i]))
+    poly_map: dict[int, int] = {}
+    nch = 0
+    for p in np.flatnonzero(src.part_geom == i):
+        kind = int(src.part_kind[p])
+        sub = int(src.part_sub[p])
+        if kind in (PK_SHELL, PK_HOLE):
+            if sub not in poly_map:
+                poly_map[sub] = b.poly_counter
+                b.poly_counter += 1
+            b.add_part(out_row, kind, poly_map[sub], src.part_coords(p).copy())
+            if kind == PK_SHELL:
+                nch += 1
+        else:
+            b.add_part(out_row, kind, b.sub_counter, src.part_coords(p).copy())
+            b.sub_counter += 1
+            nch += 1
+    b.has_z.append(False)
+    b.num_children.append(max(nch, 1) if int(src.types[i]) != -1 else 0)
+
+
+def union(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """Pairwise union (set_operations.py:258-313).  Supported: missing,
+    equal, containment, disjoint (collected); else NotImplementedError."""
+    from rayspatial.geom import predicates as P
+
+    def one(b: _Builder, g: int, i: int, j: int):
+        if ga.types[i] == -1 or gb.types[j] == -1:
+            _append_missing(b)
+            return
+        from rayspatial.geom.strtree import _pair_predicate
+
+        if _pair_predicate(ga, i, gb, j, "covers"):
+            _copy_geom(ga, i, b, g)
+            return
+        if _pair_predicate(gb, j, ga, i, "covers"):
+            _copy_geom(gb, j, b, g)
+            return
+        if not P._pair_intersects(ga, i, gb, j):
+            _collect_two(ga, i, gb, j, b, g)
+            return
+        raise NotImplementedError(
+            "overlapping union not implemented (supported: equal/containment/disjoint)"
+        )
+
+    return _pairwise(ga, gb, one)
+
+
+def _collect_two(ga: GeomArray, i: int, gb: GeomArray, j: int, b: _Builder,
+                 out_row: int) -> None:
+    ta, tb = int(ga.types[i]), int(gb.types[j])
+    promote = {POINT: MULTIPOINT, POLYGON: MULTIPOLYGON}
+    typ = promote.get(ta, GEOMETRYCOLLECTION) if ta == tb else GEOMETRYCOLLECTION
+    b.types.append(typ)
+    nch = 0
+    for src, si in ((ga, i), (gb, j)):
+        poly_map: dict[int, int] = {}
+        for p in np.flatnonzero(src.part_geom == si):
+            kind = int(src.part_kind[p])
+            sub = int(src.part_sub[p])
+            if kind in (PK_SHELL, PK_HOLE):
+                if sub not in poly_map:
+                    poly_map[sub] = b.poly_counter
+                    b.poly_counter += 1
+                b.add_part(out_row, kind, poly_map[sub], src.part_coords(p).copy())
+                if kind == PK_SHELL:
+                    nch += 1
+            else:
+                b.add_part(out_row, kind, b.sub_counter, src.part_coords(p).copy())
+                b.sub_counter += 1
+                nch += 1
+    b.has_z.append(False)
+    b.num_children.append(nch)
+
+
+def difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """Pairwise difference (set_operations.py:22-78).  Supported:
+    missing, disjoint (-> a), b covers a (-> empty); else
+    NotImplementedError."""
+    from rayspatial.geom import predicates as P
+
+    def one(b: _Builder, g: int, i: int, j: int):
+        if ga.types[i] == -1 or gb.types[j] == -1:
+            _append_missing(b)
+            return
+        if not P._pair_intersects(ga, i, gb, j):
+            _copy_geom(ga, i, b, g)
+            return
+        from rayspatial.geom.strtree import _pair_predicate
+
+        if _pair_predicate(gb, j, ga, i, "covers"):
+            _append_empty(b, int(ga.types[i]))
+            return
+        raise NotImplementedError(
+            "partial difference not implemented (supported: disjoint/contained)"
+        )
+
+    return _pairwise(ga, gb, one)
+
+
+def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """(set_operations.py:168-222): missing, disjoint (collect), equal
+    (-> empty); else NotImplementedError."""
+    from rayspatial.geom import predicates as P
+
+    def one(b: _Builder, g: int, i: int, j: int):
+        if ga.types[i] == -1 or gb.types[j] == -1:
+            _append_missing(b)
+            return
+        if not P._pair_intersects(ga, i, gb, j):
+            _collect_two(ga, i, gb, j, b, g)
+            return
+        from rayspatial.geom.strtree import _pair_predicate
+
+        if _pair_predicate(ga, i, gb, j, "equals"):
+            _append_empty(b, int(ga.types[i]))
+            return
+        raise NotImplementedError("partial symmetric_difference not implemented")
+
+    return _pairwise(ga, gb, one)
+
+
+def union_all(ga: GeomArray) -> GeomArray:
+    """Reduce to one geometry (set_operations.py:314-396): all-missing
+    -> missing (reference lines 389-396); all points -> MULTIPOINT of
+    DISTINCT points; pairwise-disjoint polygons -> MULTIPOLYGON; else
+    NotImplementedError.  Reorderable, so ops-level partial+final
+    combines are exact."""
+    from rayspatial.geom import predicates as P
+
+    live = np.flatnonzero(~(ga.is_missing() | ga.is_empty()))
+    b = _Builder()
+    if not len(live):
+        if (ga.types == -1).all():
+            _append_missing(b)
+        else:
+            _append_empty(b, GEOMETRYCOLLECTION)
+        return b.finish()
+    if (ga.types[live] == POINT).all():
+        pts = np.vstack([ga.part_coords(p) for p in range(ga.n_parts)
+                         if ga.part_geom[p] in set(live.tolist())])
+        uniq = np.unique(pts, axis=0)
+        b.types.append(MULTIPOINT)
+        for k in range(len(uniq)):
+            b.add_part(0, PK_POINT, b.sub_counter, uniq[k : k + 1])
+            b.sub_counter += 1
+        b.has_z.append(False)
+        b.num_children.append(len(uniq))
+        return b.finish()
+    if ((ga.types[live] == POLYGON) | (ga.types[live] == MULTIPOLYGON)).all():
+        bb = ga.bounds()
+        for x, i in enumerate(live):
+            for j in live[x + 1 :]:
+                if (
+                    bb[i, 0] <= bb[j, 2] and bb[j, 0] <= bb[i, 2]
+                    and bb[i, 1] <= bb[j, 3] and bb[j, 1] <= bb[i, 3]
+                    and P._pair_intersects(ga, int(i), ga, int(j))
+                ):
+                    raise NotImplementedError(
+                        "union_all of overlapping polygons not implemented"
+                    )
+        return coverage_union_all(ga)
+    raise NotImplementedError("union_all supports points / disjoint polygons")
+
+
+def coverage_union_all(ga: GeomArray) -> GeomArray:
+    """Merge a non-overlapping polygonal coverage into one MULTIPOLYGON
+    (set_operations.py:401-466).  Parts are concatenated; shared
+    boundaries are NOT dissolved (engine semantics, documented) — use
+    ``grid_to_boxes`` for the dissolved rectilinear case."""
+    b = _Builder()
+    b.types.append(MULTIPOLYGON)
+    nch = 0
+    for i in range(len(ga)):
+        if ga.types[i] not in (POLYGON, MULTIPOLYGON):
+            if ga.types[i] == -1 or ga.is_empty()[i]:
+                continue
+            raise NotImplementedError("coverage_union_all: polygonal inputs only")
+        poly_map: dict[int, int] = {}
+        for p in np.flatnonzero(ga.part_geom == i):
+            kind = int(ga.part_kind[p])
+            sub = int(ga.part_sub[p])
+            if sub not in poly_map:
+                poly_map[sub] = b.poly_counter
+                b.poly_counter += 1
+            b.add_part(0, kind, poly_map[sub], ga.part_coords(p).copy())
+            if kind == PK_SHELL:
+                nch += 1
+    b.has_z.append(False)
+    b.num_children.append(nch)
+    return b.finish()
+
+
+def grid_to_boxes(mask: np.ndarray, x0: float, y0: float, dx: float, dy: float):
+    """Vectorize a boolean raster grid into maximal axis-aligned boxes
+    (row-run + vertical merge) — the raster->vector half of the tile
+    materialization (north_star).  Returns (n, 4) [xmin,ymin,xmax,ymax].
+
+    Deterministic: runs are scanned bottom-up, left-right; vertically
+    adjacent identical runs merge.  The returned boxes partition the
+    masked region exactly (no overlaps, no gaps)."""
+    ny, nx = mask.shape
+    open_runs: dict[tuple[int, int], int] = {}  # (cx0, cx1) -> row started
+    out = []
+    for iy in range(ny + 1):
+        row_runs = []
+        if iy < ny:
+            row = mask[iy]
+            in_run = False
+            start = 0
+            for ix in range(nx + 1):
+                v = row[ix] if ix < nx else False
+                if v and not in_run:
+                    start, in_run = ix, True
+                elif not v and in_run:
+                    row_runs.append((start, ix))
+                    in_run = False
+        next_open = {}
+        for r in row_runs:
+            if r in open_runs:
+                next_open[r] = open_runs.pop(r)
+            else:
+                next_open[r] = iy
+        for (cx0, cx1), row0 in open_runs.items():
+            out.append(
+                (x0 + cx0 * dx, y0 + row0 * dy, x0 + cx1 * dx, y0 + iy * dy)
+            )
+        open_runs = next_open
+    return np.asarray(out, dtype=np.float64).reshape(-1, 4)

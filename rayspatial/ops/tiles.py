@@ -148,27 +148,13 @@ def vectorize_tiles(raster_ds, res: int, tile_res: int, threshold: int = 1):
             xmin, ymin, xmax, ymax = (v[0] for v in cellmod.cell_bounds(cid))
             w = (xmax - xmin) / nsub
             h = (ymax - ymin) / nsub
-            # row-wise run-length merge of hot pixels into boxes
-            boxes = []
-            for gy in range(nsub):
-                hot = grid[gy] >= threshold
-                if not hot.any():
-                    continue
-                d = np.diff(np.r_[0, hot.astype(np.int8), 0])
-                starts = np.flatnonzero(d == 1)
-                ends = np.flatnonzero(d == -1)
-                for s, e in zip(starts, ends):
-                    boxes.append(
-                        (
-                            xmin + s * w,
-                            ymin + gy * h,
-                            xmin + e * w,
-                            ymin + (gy + 1) * h,
-                        )
-                    )
-            if not boxes:
+            # maximal-rectangle vectorization (row runs + vertical
+            # merge of identical runs) — geom.setops.grid_to_boxes
+            from rayspatial.geom.setops import grid_to_boxes
+
+            arr = grid_to_boxes(grid >= threshold, xmin, ymin, w, h)
+            if not len(arr):
                 continue
-            arr = np.asarray(boxes)
             ga = mkbox(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
             for wkb_blob in to_wkb(ga):
                 out_rows.append(
