@@ -207,10 +207,12 @@ def _q_tile_vectorize(sf_dir: str):
 # --- training-data operators (dedup / similarity / text analysis) ---------
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, rows_per_block: int | None = None):
     from rayspatial.util import read_parquet_sized
 
-    return read_parquet_sized(f"{sf_dir}/documents.parquet")
+    return read_parquet_sized(
+        f"{sf_dir}/documents.parquet", rows_per_block=rows_per_block
+    )
 
 
 def _embs(sf_dir: str):
@@ -240,19 +242,19 @@ def _q_text_stats(sf_dir: str):
 def _q_ngram_dup_pairs(sf_dir: str):
     from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
 
-    return ngram_jaccard_dup_pairs(_docs(sf_dir), k=3, threshold_pct=50)
+    return ngram_jaccard_dup_pairs(_docs(sf_dir, rows_per_block=512), k=3, threshold_pct=50)
 
 
 def _q_minhash_candidates(sf_dir: str):
     from rayspatial.textops.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(sf_dir))
+    return minhash_lsh_candidates(_docs(sf_dir, rows_per_block=512))
 
 
 def _q_simhash_pairs(sf_dir: str):
     from rayspatial.textops.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_docs(sf_dir), hamming_k=3)
+    return simhash_dup_pairs(_docs(sf_dir, rows_per_block=512), hamming_k=3)
 
 
 def _q_emb_dup_pairs(sf_dir: str):
@@ -289,7 +291,7 @@ def _q_lang_id(sf_dir: str):
         .to_pandas()
     )
     sample = sample[sample.doc_id < 200]
-    return lang_id(_docs(sf_dir), sample)
+    return lang_id(_docs(sf_dir, rows_per_block=512), sample)
 
 
 def _q_fingerprints(sf_dir: str):

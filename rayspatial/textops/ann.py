@@ -186,11 +186,12 @@ def srp_bucket_candidates(ds, num_bits: int = 16, num_tables: int = 4,
         )
 
     from rayspatial.textops.dedup import pairs_from_buckets
+    from rayspatial.util import hash_partitioned_agg
 
     rows = ds.map_batches(bucketize, batch_format="pyarrow")
     pairs = pairs_from_buckets(rows, ["tab", "key"], id_col, max_bucket=max_bucket)
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_tables"))
-        .select_columns(["a", "b"])
-    )
+
+    def distinct_pairs(df):
+        return df[["a", "b"]].drop_duplicates()
+
+    return hash_partitioned_agg(pairs, ["a", "b"], distinct_pairs)

@@ -47,7 +47,7 @@ def exact_dedup_groups(ds, key_col: str = "text", id_col: str = "doc_id"):
     total — collision-free in practice at 10^12 rows) so the shuffle
     moves 24 bytes/row instead of the text payload.
     """
-    from ray.data.aggregate import Count, Min
+    from rayspatial.util import hash_partitioned_agg
 
     def to_hashes(batch: pa.Table) -> pa.Table:
         from rayspatial.textops.hashing import rolling_fingerprint
@@ -63,10 +63,17 @@ def exact_dedup_groups(ds, key_col: str = "text", id_col: str = "doc_id"):
         )
 
     hashed = ds.map_batches(to_hashes, batch_format="pyarrow")
-    agg = hashed.groupby(["h1", "h2"]).aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
-    )
-    return agg.select_columns([id_col, "n_copies"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["h1", "h2"], sort=False)[id_col]
+            .agg([("rep", "min"), ("n_copies", "size")])
+            .reset_index(drop=True)
+            .rename(columns={"rep": id_col})
+        )
+        return out[[id_col, "n_copies"]]
+
+    return hash_partitioned_agg(hashed, ["h1", "h2"], agg)
 
 
 def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
@@ -199,7 +206,7 @@ def ngram_jaccard_dup_pairs(
     ``100*inter >= pct*(na+nb-inter)`` (no float compare — the DuckDB
     oracle uses the same integers).  Output (a, b, inter) sorted keys.
     """
-    from ray.data.aggregate import Count, Min
+    from rayspatial.util import hash_partitioned_agg
 
     sh = ds.map_batches(
         lambda b: _shingle_rows(b, k, id_col), batch_format="pyarrow"
@@ -207,11 +214,15 @@ def ngram_jaccard_dup_pairs(
     pairs = pairs_from_buckets(
         sh, ["g"], id_col, carry_cols=["nsh"], max_bucket=max_bucket
     )
-    agg = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="inter"),
-        Min("nsh_a", alias_name="na"),
-        Min("nsh_b", alias_name="nb"),
-    )
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["a", "b"], sort=False)
+            .agg(inter=("nsh_a", "size"), na=("nsh_a", "first"), nb=("nsh_b", "first"))
+            .reset_index()
+        )
+
+    agg = hash_partitioned_agg(pairs, ["a", "b"], pair_counts)
 
     def jfilter(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
@@ -286,18 +297,18 @@ def minhash_lsh_candidates(
     Output (a, b) distinct pairs.  Verify with ngram_jaccard_dup_pairs
     semantics downstream if exactness is required.
     """
-    from ray.data.aggregate import Count
+    from rayspatial.util import hash_partitioned_agg
 
     rows = ds.map_batches(
         lambda b: _band_rows(b, k, num_perm, bands, id_col),
         batch_format="pyarrow",
     )
     pairs = pairs_from_buckets(rows, ["band", "key"], id_col, max_bucket=max_bucket)
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_buckets"))
-        .select_columns(["a", "b"])
-    )
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["a", "b"]].drop_duplicates()
+
+    return hash_partitioned_agg(pairs, ["a", "b"], distinct_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -322,15 +333,17 @@ def simhash_batch(texts: pa.Array, id_col_vals: np.ndarray) -> np.ndarray:
     out = np.zeros(len(py), dtype=np.uint64)
     if len(th) == 0:
         return out.view(np.int64)
-    # bit matrix (T, 64) in +-1, segment-summed per doc, sign -> bit
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    bits = bits * 2 - 1
+    # bit matrix (T, 64) in +-1, segment-summed per doc, sign -> bit.
+    # unpackbits/packbits, NOT broadcast uint64 shifts (numpy's u8
+    # broadcast shift is ~50x slower than the C bit twiddles)
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int16)
     nonempty = np.flatnonzero(counts > 0)
-    sums = np.add.reduceat(bits, off[:-1][nonempty], axis=0)
-    simbits = (sums > 0).astype(np.uint64)
-    vals = (simbits << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    ones = np.add.reduceat(bits, off[:-1][nonempty], axis=0).astype(np.int64)
+    # sign of sum(+-1) == (2*ones > count)
+    simbits = (2 * ones > counts[nonempty, None]).astype(np.uint8)
+    vals = np.packbits(simbits, axis=1, bitorder="little").view(np.uint64).ravel()
     out[nonempty] = vals
     return out.view(np.int64)
 
@@ -372,13 +385,12 @@ def simhash_dup_pairs(ds, hamming_k: int = 3, id_col: str = "doc_id",
         x = batch.column("sh_a").to_numpy().view(np.uint64) ^ batch.column(
             "sh_b"
         ).to_numpy().view(np.uint64)
-        ham = np.zeros(len(x), dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):
-            if not v.any():
-                break
-            ham += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
+        # vectorized popcount via unpackbits (no slow u64 shift loop)
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
         keep = ham <= hamming_k
         return pa.table(
             {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
@@ -386,10 +398,15 @@ def simhash_dup_pairs(ds, hamming_k: int = 3, id_col: str = "doc_id",
         )
 
     # a pair can match in several blocks -> dedup
-    return (
-        cand.map_batches(verify, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    from rayspatial.util import hash_partitioned_agg
+
+    def min_ham(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["a", "b"], sort=False)["hamming"].min().reset_index()
+        )
+
+    return hash_partitioned_agg(
+        cand.map_batches(verify, batch_format="pyarrow"), ["a", "b"], min_ham
     )
 
 

@@ -28,24 +28,72 @@ def cluster_cpus(default: int = 8) -> int:
     return default
 
 
-def num_blocks_for(rows: int, bytes_: int = 0, min_blocks: int = 1) -> int:
-    by_rows = math.ceil(rows / TARGET_ROWS_PER_BLOCK)
+def num_blocks_for(rows: int, bytes_: int = 0, min_blocks: int = 1,
+                   rows_per_block: int | None = None) -> int:
+    by_rows = math.ceil(rows / (rows_per_block or TARGET_ROWS_PER_BLOCK))
     by_bytes = math.ceil(bytes_ / TARGET_BYTES_PER_BLOCK) if bytes_ else 1
     cap = 4 * cluster_cpus()
     return max(min_blocks, min(max(by_rows, by_bytes), cap))
 
 
+def hash_partitioned_agg(ds, key_cols: list[str], pandas_agg,
+                         num_partitions: int | None = None):
+    """High-cardinality groupby-aggregate: hash-partition rows by key
+    (ONE shuffle into ``num_partitions`` groups), then run a vectorized
+    pandas aggregation over each partition.
+
+    Ray's built-in sort-based ``groupby().aggregate()`` degrades badly
+    when the number of DISTINCT groups approaches the number of rows
+    (measured: 1.1M 2-key groups over 1.3M rows = 292s vs 4s this way);
+    partition-wise pandas aggregation is the right shape because each
+    key lives in exactly one partition.
+
+    ``pandas_agg(df) -> DataFrame`` must aggregate a partition's rows
+    (all rows of any key are guaranteed co-partitioned).  Returns a
+    Dataset of Arrow blocks.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.textops.hashing import hash_int64
+
+    P = num_partitions or 2 * cluster_cpus()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            col = batch.column(c).to_numpy()
+            h = hash_int64(h ^ col.astype(np.int64).view(np.uint64))
+        return batch.append_column(
+            "_agg_part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    def agg_partition(df):
+        out = pandas_agg(df.drop(columns=["_agg_part"]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_agg_part")
+        .map_groups(agg_partition, batch_format="pandas")
+    )
+
+
 def read_parquet_sized(path: str, columns: list[str] | None = None,
-                       rows_hint: int | None = None):
+                       rows_hint: int | None = None,
+                       rows_per_block: int | None = None):
     """read_parquet with volume-driven ``override_num_blocks``.
 
     ``rows_hint``: expected OUTPUT rows if a downstream stage fans out
     (e.g. page expansion) — sizes blocks for the work, not the file.
+    ``rows_per_block``: override the 32k default for stages whose
+    per-row cost is heavy (signature computation, decode) so a small
+    table still splits into parallel tasks.
     """
     import pyarrow.parquet as pq
     import ray.data as rd
 
     md = pq.read_metadata(path)
     rows = rows_hint if rows_hint is not None else md.num_rows
-    nb = num_blocks_for(rows, md.serialized_size)
+    nb = num_blocks_for(rows, md.serialized_size, rows_per_block=rows_per_block)
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
