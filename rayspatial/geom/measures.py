@@ -348,6 +348,75 @@ def hausdorff_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     return out
 
 
+def frechet_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """Discrete Frechet distance between vertex chains (reference
+    measurement.py:218-258; GEOS >= 3.7 discrete algorithm).  NaN for
+    missing/empty or non-lineal inputs without vertices."""
+    n = len(ga)
+    out = np.full(n, np.nan)
+    ma = ga.is_missing() | ga.is_empty()
+    mb = gb.is_missing() | gb.is_empty()
+    for i in range(n):
+        j = min(i, len(gb) - 1)
+        if ma[i] or mb[j]:
+            continue
+        va = _geom_vertices(ga, i)
+        vb = _geom_vertices(gb, j)
+        if not len(va) or not len(vb):
+            continue
+        # dynamic program over the coupling (classic discrete Frechet)
+        d = np.hypot(va[:, None, 0] - vb[None, :, 0], va[:, None, 1] - vb[None, :, 1])
+        ca = np.empty_like(d)
+        ca[0, 0] = d[0, 0]
+        for q in range(1, d.shape[1]):
+            ca[0, q] = max(ca[0, q - 1], d[0, q])
+        for p_ in range(1, d.shape[0]):
+            ca[p_, 0] = max(ca[p_ - 1, 0], d[p_, 0])
+            prev_row = ca[p_ - 1]
+            row = ca[p_]
+            for q in range(1, d.shape[1]):
+                row[q] = max(min(prev_row[q], prev_row[q - 1], row[q - 1]), d[p_, q])
+        out[i] = ca[-1, -1]
+    return out
+
+
+def minimum_clearance(ga: GeomArray) -> np.ndarray:
+    """Minimum clearance (reference measurement.py:260-289): smallest
+    distance between a vertex and a non-incident vertex/segment —
+    moving any vertex less than this cannot change topology.  inf for
+    point-only geometries (GEOS convention), NaN for missing/empty."""
+    n = len(ga)
+    out = np.full(n, np.nan)
+    miss = ga.is_missing() | ga.is_empty()
+    for i in range(n):
+        if miss[i]:
+            continue
+        pts_, s1, s2 = _geom_segments(ga, i)
+        verts = np.vstack([pts_, s1, s2]) if len(s1) else pts_
+        verts = np.unique(verts, axis=0)
+        best = np.inf
+        if len(verts) > 1:
+            dv = np.hypot(
+                verts[:, None, 0] - verts[None, :, 0],
+                verts[:, None, 1] - verts[None, :, 1],
+            )
+            dv[dv == 0] = np.inf
+            best = float(dv.min())
+        for k in range(len(s1)):
+            a, bseg = s1[k], s2[k]
+            mask = ~(
+                ((verts == a).all(axis=1)) | ((verts == bseg).all(axis=1))
+            )
+            vv = verts[mask]
+            if len(vv):
+                d2 = _pt_seg_dist2(vv[:, 0], vv[:, 1], a[0], a[1], bseg[0], bseg[1])
+                m = float(np.sqrt(d2.min()))
+                if m > 0:
+                    best = min(best, m)
+        out[i] = best
+    return out
+
+
 def minimum_bounding_radius(ga: GeomArray) -> np.ndarray:
     """Radius of the minimum bounding circle (reference
     measurement.py:290-322).  Welzl's algorithm over geometry vertices."""

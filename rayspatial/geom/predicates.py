@@ -195,6 +195,147 @@ def is_valid(ga: GeomArray) -> np.ndarray:
     return out
 
 
+def is_valid_reason(ga: GeomArray) -> np.ndarray:
+    """Validity message per geometry (predicates.py:392-417): 'Valid
+    Geometry' when valid, a reason string otherwise, None for missing."""
+    out = np.empty(len(ga), dtype=object)
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            out[i] = None
+            continue
+        reason = "Valid Geometry"
+        for p in np.flatnonzero(ga.part_geom == i):
+            if ga.part_kind[p] in (PK_SHELL, PK_HOLE):
+                xy = ga.part_coords(p)
+                if len(xy) < 4:
+                    reason = "Too few points in geometry component"
+                    break
+                if not (xy[0] == xy[-1]).all():
+                    reason = "Ring not closed"
+                    break
+                if _line_self_intersects(xy):
+                    reason = "Self-intersection"
+                    break
+        out[i] = reason
+    return out
+
+
+def prepare(ga: GeomArray) -> None:
+    """API-parity no-op (reference creation.py:472-501 caches a prepared
+    geometry on the object).  The engine prepares per polygon partition
+    inside join workers (ops.join builds decompositions once per
+    worker), so there is no per-object cache to populate here."""
+    return None
+
+
+def destroy_prepared(ga: GeomArray) -> None:
+    """API-parity no-op (see :func:`prepare`)."""
+    return None
+
+
+def is_prepared(ga: GeomArray) -> np.ndarray:
+    """False for every geometry — preparation is worker-side state, not
+    a geometry attribute (reference predicates.py:224-259)."""
+    return np.zeros(len(ga), dtype=bool)
+
+
+def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+    """DE-9IM matrix string per pair (predicates.py:953-974).
+
+    Implemented for POINT left-hand sides vs point/line/polygon (the
+    join-predicate cases this engine uses); other combinations raise
+    NotImplementedError.  Missing on either side -> None."""
+    n = len(ga)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        j = min(i, len(gb) - 1)
+        if ga.types[i] == MISSING or gb.types[j] == MISSING:
+            out[i] = None
+            continue
+        if ga.types[i] != POINT:
+            raise NotImplementedError(
+                "relate: only POINT left-hand geometries are supported"
+            )
+        loc = _locate_point_in(ga, i, gb, j)
+        bdim = _boundary_dim(gb, j)
+        edim = "2" if gb.types[j] in (3, 6) else ("1" if gb.types[j] in (1, 2, 5) else "0")
+        if loc == "interior":
+            out[i] = "0FFFFF" + ("FF2" if edim == "0" else (f"1{bdim}2" if edim == "1" else "212"))
+        elif loc == "boundary":
+            out[i] = "F0FFFF" + ("FF2" if edim == "0" else (f"1{bdim}2" if edim == "1" else "212"))
+        else:
+            out[i] = "FF0FFF" + ("FF2" if edim == "0" else (f"1{bdim}2" if edim == "1" else "212"))
+    return out
+
+
+def _boundary_dim(gb: GeomArray, j: int) -> str:
+    t = int(gb.types[j])
+    if t in (3, 6):
+        return "1"
+    if t in (1, 5):
+        return "0"
+    return "F"
+
+
+def _locate_point_in(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
+    parts = np.flatnonzero(ga.part_geom == i)
+    if not len(parts):
+        return "exterior"
+    px, py = ga.part_coords(parts[0])[0]
+    t = int(gb.types[j])
+    if t in (3, 6):
+        from rayspatial.geom.strtree import _locate_in_polyset
+
+        d = _Decomp(gb, j)
+        loc = _locate_in_polyset(d, np.array([px]), np.array([py]))[0]
+        return {INT: "interior", BND: "boundary", EXT: "exterior"}[int(loc)]
+    if t in (0, 4):
+        for p in np.flatnonzero(gb.part_geom == j):
+            q = gb.part_coords(p)[0]
+            if q[0] == px and q[1] == py:
+                return "interior"
+        return "exterior"
+    # lineal: on an endpoint -> boundary, on the line -> interior
+    from rayspatial.geom import measures as M
+
+    for p in np.flatnonzero(gb.part_geom == j):
+        xy = gb.part_coords(p)
+        if ((xy[0][0] == px and xy[0][1] == py)
+                or (xy[-1][0] == px and xy[-1][1] == py)):
+            return "boundary"
+    pa_, sa1, sa2 = M._geom_segments(gb, j)
+    if len(sa1):
+        d2 = M._pt_seg_dist2(px, py, sa1[:, 0], sa1[:, 1], sa2[:, 0], sa2[:, 1])
+        if np.min(d2) == 0.0:
+            return "interior"
+    return "exterior"
+
+
+def relate_pattern(ga: GeomArray, gb: GeomArray, pattern: str) -> np.ndarray:
+    """True where relate(a, b) matches ``pattern`` ('*' any, 'T' any
+    non-F dimension) — predicates.py:975-1008."""
+    if len(pattern) != 9:
+        raise ValueError("pattern must have length 9")
+    mats = relate(ga, gb)
+    out = np.zeros(len(mats), dtype=bool)
+    for i, m in enumerate(mats):
+        if m is None:
+            continue
+        ok = True
+        for pc_, mc in zip(pattern, m):
+            if pc_ == "*":
+                continue
+            if pc_ in ("T",):
+                if mc == "F":
+                    ok = False
+                    break
+            elif pc_.upper() != mc.upper():
+                ok = False
+                break
+        out[i] = ok
+    return out
+
+
 # ---------------------------------------------------------------------------
 # structural equality (the test oracle)
 

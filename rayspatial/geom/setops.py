@@ -32,9 +32,11 @@ from rayspatial.geom.constructive import _append_empty, _append_missing, box
 
 __all__ = [
     "intersection",
+    "intersection_all",
     "union",
     "difference",
     "symmetric_difference",
+    "symmetric_difference_all",
     "union_all",
     "coverage_union_all",
     "grid_to_boxes",
@@ -335,3 +337,39 @@ def grid_to_boxes(mask: np.ndarray, x0: float, y0: float, dx: float, dy: float):
             )
         open_runs = next_open
     return np.asarray(out, dtype=np.float64).reshape(-1, 4)
+
+
+def _reduce_pairwise(ga: GeomArray, fn) -> GeomArray:
+    """Left fold of a pairwise op over the rows (the reference's
+    ufunc.reduce with reorderable identity, src/ufuncs.c:3328-3334)."""
+    live = np.flatnonzero(~ga.is_missing())
+    if not len(live):
+        b = _Builder()
+        _append_missing(b)
+        return b.finish()
+    acc = _slice_rows(ga, [int(live[0])])
+    for i in live[1:]:
+        acc = fn(acc, _slice_rows(ga, [int(i)]))
+    return acc
+
+
+def _slice_rows(ga: GeomArray, rows: list[int]) -> GeomArray:
+    b = _Builder()
+    for out_row, r in enumerate(rows):
+        if ga.types[r] == -1:
+            _append_missing(b)
+            continue
+        _copy_geom(ga, r, b, out_row)
+    return b.finish()
+
+
+def intersection_all(ga: GeomArray) -> GeomArray:
+    """Reduce by intersection (set_operations.py:133-167); supported
+    element combinations follow :func:`intersection`."""
+    return _reduce_pairwise(ga, intersection)
+
+
+def symmetric_difference_all(ga: GeomArray) -> GeomArray:
+    """Reduce by symmetric difference (set_operations.py:223-257);
+    supported combinations follow :func:`symmetric_difference`."""
+    return _reduce_pairwise(ga, symmetric_difference)

@@ -1,0 +1,87 @@
+"""Parity tests for the second wave of operators: relate /
+is_valid_reason / frechet / minimum_clearance / reductions / flat
+namespace."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rayspatial import geom as g
+from rayspatial.geom import io as gio
+
+
+def _wkt(*w):
+    return gio.from_wkt(np.array(w, dtype=object))
+
+
+def test_flat_namespace_surface():
+    # a pygeos user's call sites resolve
+    for name in [
+        "points", "linestrings", "polygons", "box", "contains", "covers",
+        "intersects", "dwithin", "area", "distance", "bounds", "buffer",
+        "centroid", "convex_hull", "union_all", "get_parts", "apply",
+        "from_wkb", "to_wkb", "from_wkt", "to_wkt", "STRtree", "relate",
+        "equals_exact", "prepare", "is_prepared", "frechet_distance",
+        "minimum_clearance", "intersection_all", "line_merge",
+    ]:
+        assert hasattr(g, name), name
+
+
+def test_relate_point_cases():
+    poly = _wkt(*["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"] * 4)
+    pts = g.points([[1, 1], [0, 0], [99, 99], [np.nan, np.nan]])
+    assert list(g.relate(pts, poly)) == [
+        "0FFFFF212",  # interior
+        "F0FFFF212",  # boundary (GEOS: point-on-vertex)
+        "FF0FFF212",  # exterior
+        None,
+    ]
+    assert list(g.relate_pattern(pts, poly, "T********")) == [True, False, False, False]
+    # within == relate T*F**F***
+    assert list(g.relate_pattern(pts, poly, "T*F**F***")) == [True, False, False, False]
+    with pytest.raises(NotImplementedError):
+        g.relate(poly, poly)
+
+
+def test_is_valid_reason():
+    got = g.is_valid_reason(
+        _wkt(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))",  # bow-tie
+            None,
+        )
+    )
+    assert got[0] == "Valid Geometry"
+    assert got[1] == "Self-intersection"
+    assert got[2] is None
+    # consistency with is_valid (reference: reason iff not valid)
+    v = g.is_valid(_wkt("POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))"))
+    assert not v[0]
+
+
+def test_frechet_and_clearance():
+    a = _wkt("LINESTRING (0 0, 2 0)")
+    b = _wkt("LINESTRING (0 1, 2 1)")
+    assert g.frechet_distance(a, b)[0] == 1.0
+    # frechet >= hausdorff always
+    c = _wkt("LINESTRING (0 0, 2 0)")
+    d = _wkt("LINESTRING (2 1, 0 1)")  # reversed: frechet forced across
+    assert g.frechet_distance(c, d)[0] >= g.hausdorff_distance(c, d)[0]
+    tri = _wkt("POLYGON ((0 0, 10 0, 5 1, 0 0))")
+    assert g.minimum_clearance(tri)[0] == 1.0
+    assert np.isnan(g.minimum_clearance(g.points([[np.nan, np.nan]]))[0])
+
+
+def test_reductions():
+    boxes = g.box(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
+                  np.array([4.0, 5.0]), np.array([4.0, 5.0]))
+    inter = g.intersection_all(boxes)
+    assert g.area(inter)[0] == 9.0  # box(1,1,4,4)
+    pts = g.points([[0, 0], [5, 5], [0, 0]])
+    u = g.union_all(pts)
+    assert gio.to_wkt(u) == ["MULTIPOINT (0 0, 5 5)"]
+    disj = g.box(np.array([0.0, 10.0]), np.array([0.0, 10.0]),
+                 np.array([1.0, 11.0]), np.array([1.0, 11.0]))
+    sd = g.symmetric_difference_all(disj)
+    assert g.area(sd)[0] == 2.0
