@@ -204,6 +204,45 @@ def _q_tile_vectorize(sf_dir: str):
     return vec.select_columns(["cell_x", "cell_y", "res"])
 
 
+def _q_events_windowed(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (custom windowed-agg
+    operator; value summed in integer cents so the oracle compare is
+    exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.window import tumbling_window
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        return batch.set_column(
+            batch.column_names.index("value"), "value", cents
+        )
+
+    return tumbling_window(ds.map_batches(to_cents, batch_format="pyarrow"),
+                           width_s=3600, keys=["event_type"])
+
+
+def _q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user."""
+    from rayspatial.ops.window import sessionize
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = sessionize(ds, gap_s=1800)
+    return out.select_columns(
+        ["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
 # --- training-data operators (dedup / similarity / text analysis) ---------
 
 
@@ -319,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_poly": _q_nearest_poly,
         "poly_area_perimeter": _q_poly_area_perimeter,
         "tile_vectorize": _q_tile_vectorize,
+        "events_windowed": _q_events_windowed,
+        "sessions": _q_sessions,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
         # training-data ops
@@ -365,6 +406,23 @@ def oracle_sql() -> dict[str, str]:
             "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pts"
         ),
         "pages_by_lang": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY lang",
+        "events_windowed": (
+            "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
+            "AS window_start, event_type, COUNT(*) AS n_events, "
+            "SUM(CAST(round(value * 100.0) AS BIGINT)) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessions": (
+            "WITH l AS (SELECT user_id, ts, event_id, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "b AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM l), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
         "poly_area_perimeter": (
             f"WITH {_POLYS_CTE} "
             "SELECT poly_id, (xmax - xmin) * (ymax - ymin) AS area, "
