@@ -15,8 +15,13 @@ vectorized numpy. No GEOS, no shapely — everything from scratch.
 # same call sites for the implemented surface.
 
 from rayspatial.geom.accessors import (  # noqa: E402,F401
+    empty,
     force_2d,
     force_3d,
+    get_precision,
+    get_srid,
+    set_precision,
+    set_srid,
     get_coordinate_dimension,
     get_dimensions,
     get_exterior_ring,

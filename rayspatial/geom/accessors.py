@@ -50,6 +50,11 @@ __all__ = [
     "get_rings",
     "force_2d",
     "force_3d",
+    "get_srid",
+    "set_srid",
+    "get_precision",
+    "set_precision",
+    "empty",
 ]
 
 _DIMS = {
@@ -339,6 +344,71 @@ def get_rings(ga: GeomArray) -> tuple[GeomArray, np.ndarray]:
         src.append(g)
         row += 1
     return b.finish(), np.asarray(src, dtype=np.int64)
+
+
+_SRID_ATTR = "_srids"
+
+
+def get_srid(ga: GeomArray) -> np.ndarray:
+    """Spatial reference id per geometry (reference geometry.py:177-205);
+    0 default, -1 missing.  The engine stores srid as a sidecar array
+    (set_srid returns a new GeomArray carrying it)."""
+    srids = getattr(ga, _SRID_ATTR, None)
+    out = (
+        np.zeros(len(ga), dtype=np.int64)
+        if srids is None
+        else np.asarray(srids, dtype=np.int64).copy()
+    )
+    out[ga.types == MISSING] = -1
+    return out
+
+
+def set_srid(ga: GeomArray, srid) -> GeomArray:
+    """Return a copy with srid set (reference geometry.py:206-231)."""
+    from dataclasses import replace
+
+    out = replace(ga)
+    setattr(out, _SRID_ATTR, np.broadcast_to(
+        np.asarray(srid, dtype=np.int64), len(ga)
+    ).copy())
+    return out
+
+
+def set_precision(ga: GeomArray, grid_size: float, mode: str = "pointwise") -> GeomArray:
+    """Round all coordinates to a precision grid (reference
+    geometry.py:699-791).  Only ``mode='pointwise'`` is implemented
+    (coordinates snapped independently; no topology repair) — the
+    valid_output/keep_collapsed modes need full overlay support."""
+    if mode != "pointwise":
+        raise NotImplementedError("set_precision: only pointwise mode")
+    if grid_size <= 0:
+        raise ValueError("grid_size must be positive")
+    from dataclasses import replace
+
+    snapped = np.round(ga.coords / grid_size) * grid_size
+    return replace(ga, coords=snapped)
+
+
+def get_precision(ga: GeomArray) -> np.ndarray:
+    """Engine geometries carry no per-geometry precision grid -> 0.0
+    (reference geometry.py:658-698 default)."""
+    out = np.zeros(len(ga), dtype=np.float64)
+    out[ga.types == MISSING] = np.nan
+    return out
+
+
+def empty(n: int, geom_type: int | None = None) -> GeomArray:
+    """Array of missing (or typed-empty) geometries (reference
+    creation.py:524-553)."""
+    b = _Builder()
+    for _ in range(n):
+        if geom_type is None:
+            b.types.append(MISSING)
+        else:
+            b.types.append(int(geom_type))
+        b.has_z.append(False)
+        b.num_children.append(0)
+    return b.finish()
 
 
 def force_2d(ga: GeomArray) -> GeomArray:
