@@ -70,37 +70,41 @@ def sessionize(events_ds, gap_s: int, user_col: str = "user_id",
     stitch sessions crossing the boundary in a second pass.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="stable")
-        ts = g[ts_col].astype("int64").to_numpy()  # us
-        brk = np.zeros(len(g), dtype=bool)
-        brk[0] = True
-        if len(g) > 1:
-            brk[1:] = np.diff(ts) > gap_s * 1_000_000
+    from rayspatial.util import hash_partitioned_agg
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # all events of a user are co-partitioned; process EVERY user
+        # in this partition in one vectorized pass (sort by user, ts;
+        # session break on user change or gap)
+        df = df.sort_values([user_col, ts_col, "event_id"], kind="stable")
+        uid = df[user_col].to_numpy()
+        ts = df[ts_col].astype("int64").to_numpy()  # us
+        brk = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            same_user = uid[1:] == uid[:-1]
+            brk[1:] = ~same_user | (np.diff(ts) > gap_s * 1_000_000)
         sid = np.cumsum(brk) - 1
         out = (
             pd.DataFrame(
                 {
-                    "user_id": g[user_col].to_numpy(),
+                    "user_id": uid,
                     "sid": sid,
                     "ts": ts,
-                    "value": g["value"].to_numpy(),
+                    "value": df["value"].to_numpy(),
                 }
             )
-            .groupby(["user_id", "sid"], sort=True)
+            .groupby("sid", sort=True)
             .agg(
+                user_id=("user_id", "first"),
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
                 n_events=("ts", "size"),
                 sum_value=("value", "sum"),
             )
-            .reset_index()
-            .drop(columns=["sid"])
+            .reset_index(drop=True)
         )
         out["session_start"] = out["session_start"].astype("datetime64[us]")
         out["session_end"] = out["session_end"].astype("datetime64[us]")
         return out
 
-    grouped = events_ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
-    # back to Arrow blocks for anything downstream
-    return grouped.map_batches(lambda b: b, batch_format="pyarrow")
+    return hash_partitioned_agg(events_ds, [user_col], per_partition)
