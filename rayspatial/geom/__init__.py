@@ -139,6 +139,11 @@ from rayspatial.geom.setops import (  # noqa: E402,F401
     union,
     union_all,
 )
+from rayspatial.geom.polygonize import polygonize, polygonize_full  # noqa: E402,F401
 from rayspatial.geom.strtree import STRtree  # noqa: E402,F401
+from rayspatial.geom.triangulate import (  # noqa: E402,F401
+    delaunay_triangles,
+    voronoi_polygons,
+)
 from rayspatial.geom.wkb import parse_wkb as from_wkb  # noqa: E402,F401
 from rayspatial.geom.wkb import to_wkb  # noqa: E402,F401

@@ -100,8 +100,29 @@ def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
             sub = box(x0, y0, x1, y1)
             _copy_geom(sub, 0, b, g)
             return
+        # polygon clipped by a CONVEX polygon: Sutherland-Hodgman exact
+        ra = _poly_single_ring(ga, i)
+        rb = _poly_single_ring(gb, j)
+        if ra is not None and rb is not None:
+            if _is_convex_ring(rb):
+                res = convex_clip(ra, rb)
+            elif _is_convex_ring(ra):
+                res = convex_clip(rb, ra)
+            else:
+                res = None
+            if res is not None:
+                if len(res) < 3:
+                    _append_empty(b, POLYGON)
+                    return
+                b.types.append(POLYGON)
+                b.add_part(g, PK_SHELL, b.poly_counter, np.vstack([res, res[:1]]))
+                b.poly_counter += 1
+                b.has_z.append(False)
+                b.num_children.append(1)
+                return
         raise NotImplementedError(
-            "general polygon overlay not implemented (supported: point-vs-any, box-vs-box)"
+            "general polygon overlay not implemented (supported: point-vs-any,"
+            " box-vs-box, convex-vs-polygon)"
         )
 
     return _pairwise(ga, gb, one)
@@ -373,3 +394,85 @@ def symmetric_difference_all(ga: GeomArray) -> GeomArray:
     """Reduce by symmetric difference (set_operations.py:223-257);
     supported combinations follow :func:`symmetric_difference`."""
     return _reduce_pairwise(ga, symmetric_difference)
+
+
+# ---------------------------------------------------------------------------
+# convex clipping (Sutherland–Hodgman) — extends intersection beyond
+# boxes: any polygon clipped by a CONVEX polygon is exact
+
+
+def _clip_halfplane(pts: np.ndarray, point_on_line: np.ndarray,
+                    normal: np.ndarray) -> np.ndarray:
+    """Clip an open polygon ring (n, 2) to the half-plane
+    {p : (p - point_on_line) . normal >= 0}."""
+    if not len(pts):
+        return pts
+    d = (pts - point_on_line) @ normal
+    out = []
+    n = len(pts)
+    for k in range(n):
+        k2 = (k + 1) % n
+        a, bq = pts[k], pts[k2]
+        da, db = d[k], d[k2]
+        if da >= 0:
+            out.append(a)
+        if (da > 0 and db < 0) or (da < 0 and db > 0):
+            t = da / (da - db)
+            out.append(a + t * (bq - a))
+    if not out:
+        return np.empty((0, 2))
+    arr = np.asarray(out)
+    # drop consecutive duplicates
+    keep = np.r_[True, (np.abs(np.diff(arr, axis=0)) > 0).any(axis=1)]
+    arr = arr[keep]
+    if len(arr) > 1 and (arr[0] == arr[-1]).all():
+        arr = arr[:-1]
+    return arr
+
+
+def _ring_open_ccw(xy: np.ndarray) -> np.ndarray:
+    """Closed ring -> open CCW vertex list."""
+    r = xy[:-1] if len(xy) > 1 and (xy[0] == xy[-1]).all() else xy
+    x, y = r[:, 0], r[:, 1]
+    area2 = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+    return r if area2 >= 0 else r[::-1]
+
+
+def _is_convex_ring(r: np.ndarray) -> bool:
+    """Open CCW ring convexity (all cross products >= 0)."""
+    n = len(r)
+    if n < 3:
+        return False
+    a = r
+    bq = np.roll(r, -1, axis=0)
+    c = np.roll(r, -2, axis=0)
+    cross = (bq[:, 0] - a[:, 0]) * (c[:, 1] - bq[:, 1]) - (
+        bq[:, 1] - a[:, 1]
+    ) * (c[:, 0] - bq[:, 0])
+    return bool((cross >= -1e-12).all())
+
+
+def _poly_single_ring(ga: GeomArray, i: int) -> np.ndarray | None:
+    """The open CCW shell of a single-ring (no holes) polygon, else None."""
+    parts = np.flatnonzero(ga.part_geom == i)
+    if ga.types[i] != POLYGON or len(parts) != 1:
+        return None
+    if ga.part_kind[parts[0]] != PK_SHELL:
+        return None
+    return _ring_open_ccw(ga.part_coords(parts[0]))
+
+
+def convex_clip(subject: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip open subject ring by open CCW CONVEX
+    ring.  Returns the open result ring (possibly empty)."""
+    out = subject
+    n = len(clip_ccw)
+    for k in range(n):
+        a = clip_ccw[k]
+        bq = clip_ccw[(k + 1) % n]
+        edge = bq - a
+        normal = np.array([-edge[1], edge[0]])  # inward for CCW
+        out = _clip_halfplane(out, a, normal)
+        if not len(out):
+            break
+    return out

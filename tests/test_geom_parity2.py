@@ -85,3 +85,67 @@ def test_reductions():
                  np.array([1.0, 11.0]), np.array([1.0, 11.0]))
     sd = g.symmetric_difference_all(disj)
     assert g.area(sd)[0] == 2.0
+
+
+def test_delaunay_and_voronoi():
+    from rayspatial.geom.triangulate import delaunay_triangles, voronoi_polygons
+
+    pts = g.multipoints(g.points([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]]))
+    tris = delaunay_triangles(pts)
+    # 4 triangles tiling the unit square exactly
+    assert g.get_num_geometries(tris)[0] == 4
+    assert g.area(tris)[0] == 1.0
+    edges = delaunay_triangles(pts, only_edges=True)
+    assert g.get_type_id(edges)[0] == 5  # MULTILINESTRING
+    vor = voronoi_polygons(pts)
+    # one cell per site; cells partition the extended envelope
+    assert g.get_num_geometries(vor)[0] == 5
+    assert np.isclose(g.area(vor)[0], 9.0)  # 3x3 envelope (margin 1.0)
+    # deterministic across calls
+    a = gio.to_wkt(delaunay_triangles(pts))
+    b = gio.to_wkt(delaunay_triangles(pts))
+    assert a == b
+
+
+def test_convex_clip_intersection():
+    tri = g.polygons([[[0, 0], [4, 0], [0, 4]]])
+    sq = g.polygons([[[1, 1], [3, 1], [3, 3], [1, 3]]])
+    inter = g.intersection(tri, sq)
+    assert g.area(inter)[0] == 2.0
+    # concave subject vs convex clip still exact
+    concave = g.polygons([[[0, 0], [4, 0], [4, 4], [2, 1.0], [0, 4]]])
+    # clip strip below the notch: full 4 x 0.5 rectangle survives
+    clip = g.box(0, 0, 4, 0.5)
+    assert np.isclose(g.area(g.intersection(concave, clip))[0], 2.0)
+    # clip strip through the notch (y in [2,4]): two lobes remain;
+    # area = full strip (8) minus notch triangle part above y=2
+    # clip strip through the notch (y in [2,4]): two lobes remain
+    # (S-H links them with a zero-width bridge; area is exact):
+    # notch width at height y is (4/3)(y-1) -> integral over [2,4] = 16/3
+    clip2 = g.box(0, 2, 4, 4)
+    assert np.isclose(g.area(g.intersection(concave, clip2))[0], 8 - 16 / 3)
+    # two concave polygons: out of scope, loud
+    with pytest.raises(NotImplementedError):
+        g.intersection(concave, concave)
+
+
+def test_polygonize():
+    from rayspatial.geom.polygonize import polygonize, polygonize_full
+
+    ml = gio.from_wkt(
+        np.array(
+            [
+                "MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 1, 0 1), (0 1, 0 0), "
+                "(1 0, 2 0), (2 0, 2 1), (2 1, 1 1), (5 5, 6 6))"
+            ],
+            dtype=object,
+        )
+    )
+    p = polygonize(ml)
+    assert g.get_num_geometries(p)[0] == 2
+    assert g.area(p)[0] == 2.0
+    polys, cuts, dang = polygonize_full(ml)
+    assert g.length(dang)[0] == pytest.approx(np.sqrt(2.0))
+    assert g.length(cuts)[0] == 0.0
+    ring = gio.from_wkt(np.array(["LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"], dtype=object))
+    assert g.area(polygonize(ring))[0] == 16.0
