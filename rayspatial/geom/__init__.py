@@ -44,6 +44,8 @@ from rayspatial.geom.constructive import (  # noqa: E402,F401
     boundary,
     box,
     buffer,
+    build_area,
+    make_valid,
     centroid,
     clip_by_rect,
     convex_hull,

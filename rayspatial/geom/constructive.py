@@ -859,3 +859,101 @@ def minimum_bounding_circle(ga: GeomArray, quadsegs: int = 8) -> GeomArray:
             continue
         _append_ring_polygon(b, i, _circle_ring(cx, cy, r, quadsegs))
     return b.finish()
+
+
+def make_valid(ga: GeomArray) -> GeomArray:
+    """Repair invalid (self-intersecting) polygons (reference
+    constructive.py:463-481; GEOS >= 3.8 MakeValid 'linework'
+    semantics for bow-ties): node the boundary, polygonize, keep the
+    even-odd-interior faces.  Valid geometries pass through unchanged;
+    non-polygonal types pass through (they are valid by construction
+    in this engine's builders)."""
+    from rayspatial.geom import predicates as P
+    from rayspatial.geom.overlay import make_valid_rings
+
+    valid = P.is_valid(ga)
+    b = _Builder()
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            _append_missing(b)
+            continue
+        if valid[i] or ga.types[i] not in (POLYGON, MULTIPOLYGON):
+            _copy_row(ga, i, b)
+            continue
+        rings = [
+            ga.part_coords(p)
+            for p in np.flatnonzero(ga.part_geom == i)
+            if ga.part_kind[p] in (PK_SHELL, PK_HOLE)
+        ]
+        faces = make_valid_rings(rings)
+        if not faces:
+            _append_empty(b, POLYGON)
+            continue
+        b.types.append(POLYGON if len(faces) == 1 else MULTIPOLYGON)
+        for f in faces:
+            b.add_part(i, PK_SHELL, b.poly_counter, f)
+            b.poly_counter += 1
+        b.has_z.append(False)
+        b.num_children.append(len(faces))
+    return b.finish()
+
+
+def build_area(ga: GeomArray) -> GeomArray:
+    """Areal geometry from a geometry's linework (reference
+    constructive.py:441-462): polygonize the edges and keep faces by
+    the even-odd rule, nested odd faces becoming holes — equivalent to
+    make_valid over the closed linework."""
+    from rayspatial.geom.overlay import (
+        _even_odd_inside,
+        _node_all,
+        _rings_to_segs,
+    )
+    from rayspatial.geom.polygonize import _trace_faces
+
+    b = _Builder()
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            _append_missing(b)
+            continue
+        chains = [
+            ga.part_coords(p)
+            for p in np.flatnonzero(ga.part_geom == i)
+            if ga.part_kind[p] != 0  # all line/ring parts
+        ]
+        segs = _node_all(_rings_to_segs(chains))
+        ccw, _, _ = _trace_faces(segs)
+        from rayspatial.geom.overlay import (
+            _edge_offset_point,
+            _even_odd_segments,
+            assemble_faces,
+            build_face_forest,
+        )
+
+        seg_arrays = [(np.asarray(a), np.asarray(bq)) for a, bq in segs]
+        parent, children = build_face_forest(ccw)
+        keep = [
+            _even_odd_segments(
+                _edge_offset_point(f, [ccw[c] for c in children[k]]), seg_arrays
+            )
+            for k, f in enumerate(ccw)
+        ]
+        polys = assemble_faces(ccw, keep, parent)
+        if not polys:
+            _append_empty(b, POLYGON)
+            continue
+        b.types.append(POLYGON if len(polys) == 1 else MULTIPOLYGON)
+        for shell, holes in polys:
+            pid = b.poly_counter
+            b.poly_counter += 1
+            b.add_part(i, PK_SHELL, pid, shell)
+            for h in holes:
+                b.add_part(i, PK_HOLE, pid, h)
+        b.has_z.append(False)
+        b.num_children.append(len(polys))
+    return b.finish()
+
+
+def _copy_row(ga: GeomArray, i: int, b: _Builder) -> None:
+    from rayspatial.geom.setops import _copy_geom
+
+    _copy_geom(ga, i, b, len(b.types))

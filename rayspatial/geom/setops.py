@@ -120,9 +120,18 @@ def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
                 b.has_z.append(False)
                 b.num_children.append(1)
                 return
+        # general polygon overlay (noded-face classification)
+        if ga.types[i] in (POLYGON, MULTIPOLYGON) and gb.types[j] in (POLYGON, MULTIPOLYGON):
+            from rayspatial.geom.overlay import polygon_overlay
+
+            sub = polygon_overlay(
+                _slice_rows(ga, [i]), _slice_rows(gb, [j]), "intersection"
+            )
+            _copy_geom(sub, 0, b, g)
+            return
         raise NotImplementedError(
-            "general polygon overlay not implemented (supported: point-vs-any,"
-            " box-vs-box, convex-vs-polygon)"
+            "intersection: unsupported operand types "
+            f"({int(ga.types[i])}, {int(gb.types[j])})"
         )
 
     return _pairwise(ga, gb, one)
@@ -170,9 +179,13 @@ def union(ga: GeomArray, gb: GeomArray) -> GeomArray:
         if not P._pair_intersects(ga, i, gb, j):
             _collect_two(ga, i, gb, j, b, g)
             return
-        raise NotImplementedError(
-            "overlapping union not implemented (supported: equal/containment/disjoint)"
-        )
+        if ga.types[i] in (POLYGON, MULTIPOLYGON) and gb.types[j] in (POLYGON, MULTIPOLYGON):
+            from rayspatial.geom.overlay import polygon_overlay
+
+            sub = polygon_overlay(_slice_rows(ga, [i]), _slice_rows(gb, [j]), "union")
+            _copy_geom(sub, 0, b, g)
+            return
+        raise NotImplementedError("union: unsupported operand types")
 
     return _pairwise(ga, gb, one)
 
@@ -222,9 +235,13 @@ def difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
         if _pair_predicate(gb, j, ga, i, "covers"):
             _append_empty(b, int(ga.types[i]))
             return
-        raise NotImplementedError(
-            "partial difference not implemented (supported: disjoint/contained)"
-        )
+        if ga.types[i] in (POLYGON, MULTIPOLYGON) and gb.types[j] in (POLYGON, MULTIPOLYGON):
+            from rayspatial.geom.overlay import polygon_overlay
+
+            sub = polygon_overlay(_slice_rows(ga, [i]), _slice_rows(gb, [j]), "difference")
+            _copy_geom(sub, 0, b, g)
+            return
+        raise NotImplementedError("difference: unsupported operand types")
 
     return _pairwise(ga, gb, one)
 
@@ -241,12 +258,15 @@ def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
         if not P._pair_intersects(ga, i, gb, j):
             _collect_two(ga, i, gb, j, b, g)
             return
-        from rayspatial.geom.strtree import _pair_predicate
+        if ga.types[i] in (POLYGON, MULTIPOLYGON) and gb.types[j] in (POLYGON, MULTIPOLYGON):
+            from rayspatial.geom.overlay import polygon_overlay
 
-        if _pair_predicate(ga, i, gb, j, "equals"):
-            _append_empty(b, int(ga.types[i]))
+            sub = polygon_overlay(
+                _slice_rows(ga, [i]), _slice_rows(gb, [j]), "symmetric_difference"
+            )
+            _copy_geom(sub, 0, b, g)
             return
-        raise NotImplementedError("partial symmetric_difference not implemented")
+        raise NotImplementedError("symmetric_difference: unsupported operand types")
 
     return _pairwise(ga, gb, one)
 
@@ -280,6 +300,7 @@ def union_all(ga: GeomArray) -> GeomArray:
         return b.finish()
     if ((ga.types[live] == POLYGON) | (ga.types[live] == MULTIPOLYGON)).all():
         bb = ga.bounds()
+        overlapping = False
         for x, i in enumerate(live):
             for j in live[x + 1 :]:
                 if (
@@ -287,11 +308,16 @@ def union_all(ga: GeomArray) -> GeomArray:
                     and bb[i, 1] <= bb[j, 3] and bb[j, 1] <= bb[i, 3]
                     and P._pair_intersects(ga, int(i), ga, int(j))
                 ):
-                    raise NotImplementedError(
-                        "union_all of overlapping polygons not implemented"
-                    )
-        return coverage_union_all(ga)
-    raise NotImplementedError("union_all supports points / disjoint polygons")
+                    overlapping = True
+                    break
+            if overlapping:
+                break
+        if not overlapping:
+            return coverage_union_all(ga)
+        from rayspatial.geom.overlay import nary_union
+
+        return nary_union(ga)
+    raise NotImplementedError("union_all supports points / polygons")
 
 
 def coverage_union_all(ga: GeomArray) -> GeomArray:

@@ -168,8 +168,8 @@ def test_setops_supported_cases():
     assert area(S.difference(box(1, 1, 2, 2), b1))[0] == 0.0  # contained
     pts_u = S.union_all(points([[0, 0], [1, 1], [0, 0]]))
     assert gio.to_wkt(pts_u) == ["MULTIPOINT (0 0, 1 1)"]
-    with pytest.raises(NotImplementedError):
-        S.union(b1, b2)  # overlapping: out of scope, loud
+    # overlapping union via the general overlay (round-1 upgrade)
+    assert area(S.union(b1, b2)).sum() == 28.0
     # intersection of point & polygon
     assert gio.to_wkt(S.intersection(points([[1, 1]]), b1)) == ["POINT (1 1)"]
     assert gio.to_wkt(S.intersection(points([[99, 99]]), b1)) == ["POINT EMPTY"]

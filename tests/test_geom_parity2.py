@@ -124,9 +124,10 @@ def test_convex_clip_intersection():
     # notch width at height y is (4/3)(y-1) -> integral over [2,4] = 16/3
     clip2 = g.box(0, 2, 4, 4)
     assert np.isclose(g.area(g.intersection(concave, clip2))[0], 8 - 16 / 3)
-    # two concave polygons: out of scope, loud
-    with pytest.raises(NotImplementedError):
-        g.intersection(concave, concave)
+    # concave-vs-concave now routes through the general overlay
+    assert np.isclose(
+        g.area(g.intersection(concave, concave))[0], g.area(concave)[0]
+    )
 
 
 def test_polygonize():
