@@ -151,9 +151,49 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8) -> GeomArray:
             _append_empty(b, POLYGON)
             continue
         if t not in (POINT, MULTIPOINT):
-            raise NotImplementedError(
-                "buffer: only point/multipoint sources implemented in this phase"
-            )
+            # lineal/areal buffer: union of per-segment capsules
+            # (rectangle + vertex disks) + the polygon body itself —
+            # exact up to the same arc discretization as point buffers
+            if radius[i] <= 0:
+                if t in (POLYGON, 6):
+                    raise NotImplementedError(
+                        "negative polygon buffer (erosion) not implemented"
+                    )
+                _append_empty(b, POLYGON)
+                continue
+            from rayspatial.geom.overlay import nary_union
+            from rayspatial.geom.creation import polygons as mk_polys
+
+            rings = []
+            for p in parts:
+                xy = ga.part_coords(p)
+                if len(xy) == 1:
+                    rings.append(_circle_ring(xy[0, 0], xy[0, 1], radius[i], quadsegs))
+                    continue
+                for k in range(len(xy) - 1):
+                    a2, b2 = xy[k], xy[k + 1]
+                    e = b2 - a2
+                    ln = np.hypot(e[0], e[1])
+                    if ln > 0:
+                        nrm = np.array([-e[1], e[0]]) / ln * radius[i]
+                        rings.append(
+                            np.vstack(
+                                [a2 + nrm, b2 + nrm, b2 - nrm, a2 - nrm, a2 + nrm]
+                            )
+                        )
+                for k in range(len(xy)):
+                    rings.append(
+                        _circle_ring(xy[k, 0], xy[k, 1], radius[i], quadsegs)
+                    )
+                if int(ga.part_kind[p]) == PK_SHELL:
+                    rings.append(
+                        xy if (xy[0] == xy[-1]).all() else np.vstack([xy, xy[:1]])
+                    )
+            sub = nary_union(mk_polys([r[:-1] for r in rings]))
+            from rayspatial.geom.setops import _copy_geom
+
+            _copy_geom(sub, 0, b, i)
+            continue
         if radius[i] <= 0:
             _append_empty(b, POLYGON)
             continue

@@ -150,3 +150,43 @@ def test_polygonize():
     assert g.length(cuts)[0] == 0.0
     ring = gio.from_wkt(np.array(["LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"], dtype=object))
     assert g.area(polygonize(ring))[0] == 16.0
+
+
+def test_buffer_lineal_and_areal():
+    line = gio.from_wkt(np.array(["LINESTRING (0 0, 10 0)"], dtype=object))
+    a = g.area(g.buffer(line, 1.0, quadsegs=8))[0]
+    # capsule area with a 32-gon arc approximation (slightly < exact)
+    assert 10 * 2 + np.pi * 0.98 < a <= 10 * 2 + np.pi
+    pb = g.area(g.buffer(g.box(0, 0, 4, 4), 1.0, quadsegs=8))[0]
+    assert 16 + 16 + np.pi * 0.98 < pb <= 16 + 16 + np.pi
+    with pytest.raises(NotImplementedError):
+        g.buffer(g.box(0, 0, 4, 4), -0.5)
+
+
+def test_union_all_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial.ops.agg import (
+        count_coordinates_distributed,
+        total_bounds_distributed,
+        union_all_distributed,
+    )
+
+    boxes = g.box(
+        np.arange(10, dtype=np.float64),  # overlapping chain 0..11 x 0..1
+        np.zeros(10),
+        np.arange(10, dtype=np.float64) + 2.0,
+        np.ones(10),
+    )
+    tab = pa.table({"wkb": pa.array(g.to_wkb(boxes), type=pa.binary())})
+    ds = rd.from_arrow(tab).repartition(4)
+    out = union_all_distributed(ds)
+    import pyarrow as pa2
+
+    res = out.take_all()
+    ga = g.from_wkb([res[0]["wkb"]])
+    assert np.isclose(g.area(ga)[0], 11.0)  # strip 0..11 x 0..1
+    tb = total_bounds_distributed(ds).to_pylist()[0]
+    assert (tb["xmin"], tb["ymin"], tb["xmax"], tb["ymax"]) == (0.0, 0.0, 11.0, 1.0)
+    assert count_coordinates_distributed(ds) == 50  # 10 boxes x 5 ring pts
