@@ -87,6 +87,8 @@ from rayspatial.geom.linear import (  # noqa: E402,F401
     line_interpolate_point,
     line_locate_point,
     line_merge,
+    offset_curve,
+    shared_paths,
     shortest_line,
 )
 from rayspatial.geom.measures import (  # noqa: E402,F401

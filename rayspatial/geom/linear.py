@@ -23,6 +23,8 @@ __all__ = [
     "line_interpolate_point",
     "line_locate_point",
     "line_merge",
+    "offset_curve",
+    "shared_paths",
     "shortest_line",
 ]
 
@@ -185,3 +187,154 @@ def shortest_line(ga: GeomArray, gb: GeomArray) -> GeomArray:
             b.num_children.append(1)
         row += 1
     return b.finish()
+
+
+def offset_curve(ga: GeomArray, distance, quadsegs: int = 8,
+                 join_style: str = "round") -> GeomArray:
+    """Parallel offset of each linestring (reference
+    constructive.py:188-247): positive distance offsets to the LEFT of
+    the line direction, negative to the right.
+
+    Joins: 'round' inserts arc points at convex corners, 'mitre' joins
+    the offset segment intersections directly.  Self-intersecting
+    offsets (distance larger than the local feature size) are NOT
+    pruned — the documented limitation vs GEOS (which runs its buffer
+    curve-builder); inputs well-behaved at the chosen distance match.
+    """
+    dist = np.broadcast_to(np.asarray(distance, dtype=np.float64), len(ga))
+    b = _Builder()
+    for g in range(len(ga)):
+        t = int(ga.types[g])
+        if t == MISSING:
+            b.types.append(MISSING)
+            b.has_z.append(False)
+            b.num_children.append(0)
+            continue
+        parts = _line_parts(ga, g)
+        if t not in _LINE_TYPES or not parts:
+            b.types.append(LINESTRING)
+            b.has_z.append(False)
+            b.num_children.append(0)
+            continue
+        d = float(dist[g])
+        side = 1.0 if d >= 0 else -1.0
+        r = abs(d)
+        chains_out = []
+        for xy in parts:
+            if r == 0:
+                chains_out.append(xy.copy())
+                continue
+            seg = np.diff(xy, axis=0)
+            ln = np.hypot(seg[:, 0], seg[:, 1])
+            ok = ln > 0
+            seg, lnv = seg[ok], ln[ok]
+            pts_a = xy[:-1][ok]
+            nrm = np.column_stack([-seg[:, 1], seg[:, 0]]) / lnv[:, None] * side * r
+            out = [pts_a[0] + nrm[0]]
+            for k in range(len(seg)):
+                a_off = pts_a[k] + nrm[k]
+                b_off = pts_a[k] + seg[k] + nrm[k]
+                if k > 0:
+                    # join at vertex pts_a[k]
+                    v = pts_a[k]
+                    n0, n1 = nrm[k - 1], nrm[k]
+                    cross = n0[0] * n1[1] - n0[1] * n1[0]
+                    if join_style == "round" and cross * side < 0:
+                        a0 = np.arctan2(n0[1], n0[0])
+                        a1 = np.arctan2(n1[1], n1[0])
+                        sweep = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
+                        steps = max(int(abs(sweep) / (np.pi / 2) * quadsegs), 1)
+                        for s in range(1, steps):
+                            ang = a0 + sweep * s / steps
+                            out.append(v + r * np.array([np.cos(ang), np.sin(ang)]))
+                    out.append(a_off)
+                out.append(b_off)
+            chains_out.append(np.asarray(out))
+        if len(chains_out) == 1:
+            b.types.append(LINESTRING)
+            b.add_part(g, PK_LINE, b.sub_counter, chains_out[0])
+            b.sub_counter += 1
+            b.num_children.append(1)
+        else:
+            b.types.append(MULTILINESTRING)
+            for c in chains_out:
+                b.add_part(g, PK_LINE, b.sub_counter, c)
+                b.sub_counter += 1
+            b.num_children.append(len(chains_out))
+        b.has_z.append(False)
+    return b.finish()
+
+
+def shared_paths(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """Shared linework of two lineal geometries (linear.py:115-143):
+    GEOMETRYCOLLECTION of two MULTILINESTRINGs — segments shared in
+    the SAME direction, then segments shared OPPOSITE.  Exact for
+    noded inputs (segments compared after splitting at each other's
+    vertices)."""
+    from rayspatial.geom.array import GEOMETRYCOLLECTION
+
+    b = _Builder()
+    n = max(len(ga), len(gb))
+    for g in range(n):
+        i, j = min(g, len(ga) - 1), min(g, len(gb) - 1)
+        if ga.types[i] == MISSING or gb.types[j] == MISSING:
+            b.types.append(MISSING)
+            b.has_z.append(False)
+            b.num_children.append(0)
+            continue
+        segs_a = _directed_segments(ga, i)
+        segs_b = _directed_segments(gb, j)
+        # split every segment at the other side's vertices (collinear)
+        verts = sorted({p for s in segs_a + segs_b for p in s})
+        segs_a = _split_at_points(segs_a, verts)
+        segs_b = _split_at_points(segs_b, verts)
+        set_b = set(segs_b)
+        same = sorted(s for s in segs_a if s in set_b)
+        oppo = sorted(s for s in segs_a if (s[1], s[0]) in set_b)
+        b.types.append(GEOMETRYCOLLECTION)
+        nch = 0
+        for group in (same, oppo):
+            for a, c in group:
+                b.add_part(g, PK_LINE, b.sub_counter,
+                           np.asarray([a, c], dtype=np.float64))
+                b.sub_counter += 1
+                nch += 1
+        b.has_z.append(False)
+        b.num_children.append(nch)
+    return b.finish()
+
+
+def _directed_segments(ga: GeomArray, i: int):
+    out = []
+    for xy in _line_parts(ga, i):
+        for k in range(len(xy) - 1):
+            a = (float(xy[k, 0]), float(xy[k, 1]))
+            c = (float(xy[k + 1, 0]), float(xy[k + 1, 1]))
+            if a != c:
+                out.append((a, c))
+    return out
+
+
+def _split_at_points(segs, points):
+    out = []
+    for a, c in segs:
+        av = np.asarray(a)
+        cv = np.asarray(c)
+        d = cv - av
+        ll = float(d @ d)
+        cuts = [0.0, 1.0]
+        for p in points:
+            pv = np.asarray(p)
+            t = float(((pv - av) @ d) / ll) if ll else 0.0
+            if 1e-12 < t < 1 - 1e-12:
+                # on the segment line?
+                perp = pv - (av + t * d)
+                if float(perp @ perp) < 1e-18 * max(ll, 1.0):
+                    cuts.append(t)
+        cuts = sorted(set(cuts))
+        for k in range(len(cuts) - 1):
+            p = tuple(av + cuts[k] * d)
+            q = tuple(av + cuts[k + 1] * d)
+            if p != q:
+                out.append((p, q))
+    return out

@@ -190,3 +190,21 @@ def test_union_all_distributed(ray_session):
     tb = total_bounds_distributed(ds).to_pylist()[0]
     assert (tb["xmin"], tb["ymin"], tb["xmax"], tb["ymax"]) == (0.0, 0.0, 11.0, 1.0)
     assert count_coordinates_distributed(ds) == 50  # 10 boxes x 5 ring pts
+
+
+def test_offset_curve_and_shared_paths():
+    line = gio.from_wkt(np.array(["LINESTRING (0 0, 10 0)"], dtype=object))
+    assert gio.to_wkt(g.offset_curve(line, 2.0)) == ["LINESTRING (0 2, 10 2)"]
+    assert gio.to_wkt(g.offset_curve(line, -2.0)) == ["LINESTRING (0 -2, 10 -2)"]
+    # L-shaped line, outside corner gets a round join (longer than 10)
+    bent = gio.from_wkt(np.array(["LINESTRING (0 0, 5 0, 5 5)"], dtype=object))
+    ll = g.length(g.offset_curve(bent, 1.0))[0]
+    assert 10.0 < ll < 12.0
+    a = gio.from_wkt(np.array(["LINESTRING (0 0, 5 0, 5 5)"], dtype=object))
+    bq = gio.from_wkt(np.array(["LINESTRING (2 0, 8 0)"], dtype=object))
+    sp = g.shared_paths(a, bq)
+    assert g.get_type_id(sp)[0] == 7  # GEOMETRYCOLLECTION
+    assert g.length(sp)[0] == 3.0  # overlap [2,5] x 0
+    # opposite-direction overlap also found
+    br = gio.from_wkt(np.array(["LINESTRING (8 0, 2 0)"], dtype=object))
+    assert g.length(g.shared_paths(a, br))[0] == 3.0
