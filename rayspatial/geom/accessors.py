@@ -379,8 +379,14 @@ def set_precision(ga: GeomArray, grid_size: float, mode: str = "pointwise") -> G
     geometry.py:699-791).  Only ``mode='pointwise'`` is implemented
     (coordinates snapped independently; no topology repair) — the
     valid_output/keep_collapsed modes need full overlay support."""
+    if mode == "valid_output":
+        from rayspatial.geom.constructive import make_valid
+
+        return make_valid(set_precision(ga, grid_size, mode="pointwise"))
     if mode != "pointwise":
-        raise NotImplementedError("set_precision: only pointwise mode")
+        raise NotImplementedError(
+            "set_precision: pointwise and valid_output modes only"
+        )
     if grid_size <= 0:
         raise ValueError("grid_size must be positive")
     from dataclasses import replace

@@ -155,10 +155,15 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8) -> GeomArray:
             # (rectangle + vertex disks) + the polygon body itself —
             # exact up to the same arc discretization as point buffers
             if radius[i] <= 0:
-                if t in (POLYGON, 6):
-                    raise NotImplementedError(
-                        "negative polygon buffer (erosion) not implemented"
-                    )
+                if t in (POLYGON, 6) and radius[i] < 0:
+                    # erosion = polygon minus a capsule band around its
+                    # boundary (exact up to the arc discretization)
+                    from rayspatial.geom.setops import _copy_geom, difference
+
+                    band = buffer(boundary(_slice_one(ga, i)), -radius[i], quadsegs)
+                    sub = difference(_slice_one(ga, i), band)
+                    _copy_geom(sub, 0, b, i)
+                    continue
                 _append_empty(b, POLYGON)
                 continue
             from rayspatial.geom.overlay import nary_union
@@ -214,6 +219,12 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8) -> GeomArray:
                 b.add_part(i, PK_SHELL, b.poly_counter, ring)
                 b.poly_counter += 1
     return b.finish()
+
+
+def _slice_one(ga: GeomArray, i: int) -> GeomArray:
+    from rayspatial.geom.setops import _slice_rows
+
+    return _slice_rows(ga, [i])
 
 
 def boundary(ga: GeomArray) -> GeomArray:

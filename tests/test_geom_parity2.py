@@ -159,8 +159,8 @@ def test_buffer_lineal_and_areal():
     assert 10 * 2 + np.pi * 0.98 < a <= 10 * 2 + np.pi
     pb = g.area(g.buffer(g.box(0, 0, 4, 4), 1.0, quadsegs=8))[0]
     assert 16 + 16 + np.pi * 0.98 < pb <= 16 + 16 + np.pi
-    with pytest.raises(NotImplementedError):
-        g.buffer(g.box(0, 0, 4, 4), -0.5)
+    # negative buffer = erosion (implemented via boundary-band difference)
+    assert np.isclose(g.area(g.buffer(g.box(0, 0, 4, 4), -0.5))[0], 9.0)
 
 
 def test_union_all_distributed(ray_session):

@@ -106,3 +106,11 @@ def test_make_valid_and_build_area():
     ba = g.build_area(ml)
     assert g.area(ba)[0] == 32.0
     assert g.get_num_interior_rings(ba)[0] == 1
+
+
+def test_negative_buffer_erosion():
+    er = g.buffer(g.box(0, 0, 10, 10), -2.0)
+    assert np.isclose(g.area(er)[0], 36.0)  # 6x6 core, exact (convex)
+    # eroding away the whole polygon -> empty
+    gone = g.buffer(g.box(0, 0, 1, 1), -2.0)
+    assert g.area(gone)[0] == 0.0
