@@ -347,6 +347,15 @@ def _q_binary_features(sf_dir: str):
     return out.select_columns(["doc_id", "payload_bytes"])
 
 
+def _q_curated_docs(sf_dir: str):
+    """End-to-end curation: quality filter + exact dedup (the per-epoch
+    training-data chain), one streaming pass + one hash shuffle."""
+    from rayspatial.textops.curation import curate
+
+    return curate(_docs(sf_dir), min_tokens=20, max_tokens=400,
+                  min_uniq_tokens=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -375,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,
+        "curated_docs": _q_curated_docs,
     }
 
 
@@ -480,6 +490,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT i.a, i.b, i.inter FROM inter i "
             "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
             "WHERE 100 * i.inter >= 50 * (sa.nsh + sb.nsh - i.inter)"
+        ),
+        "curated_docs": (
+            r"SELECT MIN(doc_id) AS doc_id FROM documents "
+            r"WHERE (CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 20 AND 400 "
+            r"AND (CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END) >= 10 "
+            "GROUP BY text"
         ),
         "emb_dup_pairs": (
             "SELECT a.vec_id AS a, b.vec_id AS b "
