@@ -202,7 +202,11 @@ def _result_boundary_segs(segs, inside_fn):
             continue
         nrm = np.array([-e[1], e[0]]) / ln
         mid = (a + b) / 2.0
-        eps = max(ln, 1.0) * 1e-7
+        # probe just above the snap grid so slivers down to ~1e-8 are
+        # classified correctly (anything thinner was collapsed by the
+        # 1e-9 snap anyway); scale with coordinate magnitude so the
+        # offset stays representable in float64
+        eps = 4e-9 * max(1.0, abs(mid[0]), abs(mid[1]))
         left = inside_fn(mid + nrm * eps)
         right = inside_fn(mid - nrm * eps)
         if left != right:

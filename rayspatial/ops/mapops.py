@@ -1,0 +1,97 @@
+"""Generic Dataset adapters for geometry kernels over WKB columns —
+the bridge that lets a reference (pygeos) user run their existing
+vectorized call sites distributed: any ``GeomArray -> ndarray`` or
+``GeomArray -> GeomArray`` kernel becomes a zero-copy ``map_batches``
+stage.
+
+    from rayspatial import geom
+    ds = geom_map(ds, geom.area, "wkb", out="area")          # scalar out
+    ds = geom_map(ds, lambda g: geom.buffer(g, 1.0), "wkb")  # geometry out
+    ds = geom_map2(ds, geom.distance, "wkb_a", "wkb_b", out="d")
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_arrow(result, out_col: str):
+    from rayspatial.geom.array import GeomArray
+    from rayspatial.geom.wkb import to_wkb
+
+    if isinstance(result, GeomArray):
+        return out_col, pa.array(to_wkb(result), type=pa.binary())
+    arr = np.asarray(result)
+    if arr.dtype == object:
+        return out_col, pa.array(arr.tolist())
+    return out_col, pa.array(arr)
+
+
+def geom_map(ds, kernel, wkb_col: str = "wkb", out: str | None = None,
+             keep_input: bool = True):
+    """Unary kernel over a WKB column.  Geometry-valued kernels write
+    WKB back (default out = wkb_col); scalar kernels append ``out``."""
+    from rayspatial.geom.wkb import parse_wkb
+
+    out_col = out or (wkb_col if out is None else out)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        name, arr = _to_arrow(kernel(ga), out_col)
+        if name in batch.column_names:
+            return batch.set_column(batch.column_names.index(name), name, arr)
+        if not keep_input:
+            batch = batch.drop_columns([wkb_col])
+        return batch.append_column(name, arr)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def geom_map2(ds, kernel, wkb_col_a: str, wkb_col_b: str, out: str):
+    """Binary kernel over two WKB columns of the same Dataset."""
+    from rayspatial.geom.wkb import parse_wkb
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ga = parse_wkb(batch.column(wkb_col_a).to_pylist())
+        gb = parse_wkb(batch.column(wkb_col_b).to_pylist())
+        name, arr = _to_arrow(kernel(ga, gb), out)
+        if name in batch.column_names:
+            return batch.set_column(batch.column_names.index(name), name, arr)
+        return batch.append_column(name, arr)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def geom_map_broadcast(ds, kernel, other, wkb_col: str = "wkb", out: str = "result"):
+    """Binary kernel vs ONE broadcast geometry array (``ray.put`` once,
+    parsed once per worker) — the pygeos column-vs-scalar broadcasting
+    form (README.rst:73-86) at Dataset scale."""
+    import ray
+
+    from rayspatial.geom.wkb import parse_wkb, to_wkb
+
+    ref = ray.put(to_wkb(other))
+    cache: dict = {}
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        key = ref.hex()
+        gb = cache.get(key)
+        if gb is None:
+            cache.clear()
+            gb = parse_wkb(ray.get(ref))
+            cache[key] = gb
+        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        # broadcast: tile the single-row other to the batch length
+        from rayspatial.geom.setops import _slice_rows
+
+        if len(gb) == 1 and len(ga) != 1:
+            gbx = _slice_rows(gb, [0] * len(ga))
+        else:
+            gbx = gb
+        name, arr = _to_arrow(kernel(ga, gbx), out)
+        if name in batch.column_names:
+            return batch.set_column(batch.column_names.index(name), name, arr)
+        return batch.append_column(name, arr)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
