@@ -14,11 +14,16 @@ YY_Y GEOS overlay ops (set_operations.py:22-332), built face-first:
    (a kept face containing an unkept face that contains nothing kept
    simply isn't traced — the even-odd classification handles nesting).
 
-Robustness notes: coordinates are snapped to a 1e-9 grid after noding
-(collapses near-duplicate intersection points); inputs whose rings
-self-intersect should pass through ``make_valid`` first.  Exactness is
-float-limited (like any float overlay) — verified against
-inclusion-exclusion identities and the exact box/convex paths in tests.
+Robustness notes: all coordinates snap to a 1e-9 grid BEFORE noding
+(sub-grid noise collapses first, or near-collinear edges would become
+exactly-collinear overlaps after split decisions were made); split
+points are shared float-identical between the segments they cut; all
+classification probes offset a QUARTER grid step and test even-odd
+against the noded tagged segment graph itself — never the original
+rings, which can sit up to a full step away from the snapped segments.
+Features thinner than the snap grid are collapsed by design.  Verified
+against inclusion-exclusion identities, the exact box/convex paths and
+hypothesis-generated float32-noise inputs.
 """
 
 from __future__ import annotations
@@ -77,8 +82,16 @@ def _node_all(seg_list: list[tuple[np.ndarray, np.ndarray]]):
     n = len(seg_list)
     if n == 0:
         return []
-    A = np.stack([s[0] for s in seg_list])
-    B = np.stack([s[1] for s in seg_list])
+    # snap BEFORE intersecting: sub-grid coordinate noise must collapse
+    # first, or nearly-collinear edges become exactly-collinear overlaps
+    # AFTER the split decisions were made (untraceable graph)
+    A = _snap(np.stack([s[0] for s in seg_list]))
+    B = _snap(np.stack([s[1] for s in seg_list]))
+    keep = (A != B).any(axis=1)
+    A, B = A[keep], B[keep]
+    n = len(A)
+    if n == 0:
+        return []
     lo = np.minimum(A, B)
     hi = np.maximum(A, B)
     cuts: list[list[np.ndarray]] = [[] for _ in range(n)]
@@ -96,9 +109,14 @@ def _node_all(seg_list: list[tuple[np.ndarray, np.ndarray]]):
         ll = d @ d
         if ll == 0:
             continue
-        pts = [a, b] + cuts[i]
-        ts = sorted({float(np.clip(((p - a) @ d) / ll, 0.0, 1.0)) for p in pts})
-        chain = [_snap(a + t * d) for t in ts]
+        # order cut POINTS along the segment and snap the points
+        # themselves — recomputing from parameters would give each of
+        # the two segments sharing an intersection a slightly different
+        # float, tearing the graph at that node
+        pts = [a] + cuts[i] + [b]
+        ts = [float(np.clip(((p - a) @ d) / ll, 0.0, 1.0)) for p in pts]
+        order = np.argsort(ts, kind="stable")
+        chain = [_snap(np.asarray(pts[k], dtype=float)) for k in order]
         for k in range(len(chain) - 1):
             p, q = chain[k], chain[k + 1]
             if (p != q).any():
@@ -106,6 +124,61 @@ def _node_all(seg_list: list[tuple[np.ndarray, np.ndarray]]):
     # dedupe undirected
     ded = {tuple(sorted(e)) for e in out}
     return sorted(ded)
+
+
+def _node_all_multi(seg_lists: list[list]):
+    """Node the union of several inputs' segment lists and return
+    (segs, members): ``members[k]`` is the set of input indices whose
+    boundary contains ``segs[k]`` (shared edges carry several).
+
+    All downstream classification runs even-odd against THESE segments
+    (filtered by membership) — never against the original rings: split
+    points snap off the original lines by up to one grid step, so only
+    the noded graph itself is a consistent reference frame for the
+    quarter-step probes."""
+    tagged = []
+    for src, lst in enumerate(seg_lists):
+        for a, b in lst:
+            tagged.append((np.asarray(a, float), np.asarray(b, float), src))
+    if not tagged:
+        return [], []
+    A = _snap(np.stack([t[0] for t in tagged]))
+    B = _snap(np.stack([t[1] for t in tagged]))
+    srcs = [t[2] for t in tagged]
+    keep = (A != B).any(axis=1)
+    A, B = A[keep], B[keep]
+    srcs = [srcs[i] for i in np.flatnonzero(keep)]
+    n = len(A)
+    if n == 0:
+        return [], []
+    lo = np.minimum(A, B)
+    hi = np.maximum(A, B)
+    cuts: list[list[np.ndarray]] = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (lo[i] > hi[j] + 1e-12).any() or (lo[j] > hi[i] + 1e-12).any():
+                continue
+            for pt in _seg_intersections(A[i], B[i], A[j], B[j]):
+                cuts[i].append(pt)
+                cuts[j].append(pt)
+    merged: dict[tuple, set] = {}
+    for i in range(n):
+        a, b = A[i], B[i]
+        d = b - a
+        ll = d @ d
+        if ll == 0:
+            continue
+        pts = [a] + cuts[i] + [b]
+        ts = [float(np.clip(((pt - a) @ d) / ll, 0.0, 1.0)) for pt in pts]
+        order = np.argsort(ts, kind="stable")
+        chain = [_snap(np.asarray(pts[k], dtype=float)) for k in order]
+        for k in range(len(chain) - 1):
+            pq, qq = chain[k], chain[k + 1]
+            if (pq != qq).any():
+                key = tuple(sorted((tuple(pq), tuple(qq))))
+                merged.setdefault(key, set()).add(srcs[i])
+    segs = sorted(merged)
+    return segs, [merged[k] for k in segs]
 
 
 def _rings_to_segs(rings: list[np.ndarray]):
@@ -202,11 +275,11 @@ def _result_boundary_segs(segs, inside_fn):
             continue
         nrm = np.array([-e[1], e[0]]) / ln
         mid = (a + b) / 2.0
-        # probe just above the snap grid so slivers down to ~1e-8 are
-        # classified correctly (anything thinner was collapsed by the
-        # 1e-9 snap anyway); scale with coordinate magnitude so the
-        # offset stays representable in float64
-        eps = 4e-9 * max(1.0, abs(mid[0]), abs(mid[1]))
+        # probe strictly INSIDE one snap-grid step: post-snap features
+        # are >= 1 grid step (1e-9) apart, so a quarter-step offset
+        # classifies every surviving sliver correctly (float64 resolves
+        # 2.5e-10 for the geographic coordinate range this engine uses)
+        eps = _SNAP / 4.0
         left = inside_fn(mid + nrm * eps)
         right = inside_fn(mid - nrm * eps)
         if left != right:
@@ -302,16 +375,23 @@ def overlay_rings(rings_a: list[np.ndarray], rings_b: list[np.ndarray],
     ancestor otherwise."""
     from rayspatial.geom.polygonize import _trace_faces
 
-    segs = _node_all(_rings_to_segs(rings_a) + _rings_to_segs(rings_b))
+    segs, members = _node_all_multi(
+        [_rings_to_segs(rings_a), _rings_to_segs(rings_b)]
+    )
     keep_fn = {
         "union": lambda a, b: a or b,
         "intersection": lambda a, b: a and b,
         "difference": lambda a, b: a and not b,
         "symmetric_difference": lambda a, b: a != b,
     }[op]
+    segs_np = [(np.asarray(a), np.asarray(b)) for a, b in segs]
+    segs_a = [segs_np[k] for k in range(len(segs)) if 0 in members[k]]
+    segs_b = [segs_np[k] for k in range(len(segs)) if 1 in members[k]]
 
     def inside_result(p):
-        return keep_fn(_even_odd_inside(p, rings_a), _even_odd_inside(p, rings_b))
+        return keep_fn(
+            _even_odd_segments(p, segs_a), _even_odd_segments(p, segs_b)
+        )
 
     # drop interior/exterior segments FIRST: adjacent kept faces merge
     # (dissolved output, not coverage form)
@@ -360,13 +440,18 @@ def make_valid_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
     'structure' method semantics for bow-ties)."""
     from rayspatial.geom.polygonize import _trace_faces
 
-    segs = _node_all(_rings_to_segs(rings))
-    segs = _result_boundary_segs(segs, lambda p: _even_odd_inside(p, rings))
-    ccw, _, _ = _trace_faces(segs)
+    segs, _ = _node_all_multi([_rings_to_segs(rings)])
+    segs_np = [(np.asarray(a), np.asarray(b)) for a, b in segs]
+
+    def inside(p):
+        return _even_odd_segments(p, segs_np)
+
+    bsegs = _result_boundary_segs(segs, inside)
+    ccw, _, _ = _trace_faces(bsegs)
     out = []
     for face in ccw:
-        pt = _face_interior_point(face)
-        if _even_odd_inside(pt, rings):
+        pt = _edge_offset_point(face, [])
+        if inside(pt):
             out.append(face)
     return out
 
@@ -384,13 +469,15 @@ def nary_union(ga: GeomArray) -> GeomArray:
         if ga.types[i] in (POLYGON, MULTIPOLYGON)
     ]
     per_geom = [r for r in per_geom if r]
-    all_segs = []
-    for rings in per_geom:
-        all_segs.extend(_rings_to_segs(rings))
-    segs = _node_all(all_segs)
+    segs, members = _node_all_multi([_rings_to_segs(r) for r in per_geom])
+    segs_np = [(np.asarray(a), np.asarray(b)) for a, b in segs]
+    per_src = [
+        [segs_np[k] for k in range(len(segs)) if src in members[k]]
+        for src in range(len(per_geom))
+    ]
 
     def inside_result(p):
-        return any(_even_odd_inside(p, rings) for rings in per_geom)
+        return any(_even_odd_segments(p, sl) for sl in per_src)
 
     segs = _result_boundary_segs(segs, inside_result)
     ccw, _, _ = _trace_faces(segs)

@@ -140,8 +140,11 @@ class KnnJoiner:
                         best_d = np.concatenate([best_d, d2], axis=1)
                         best_i = np.concatenate([best_i, ids], axis=1)
                     # keep only top-(k) columns per row to bound memory
+                    # — TIE-AWARE: order by (distance, poly_id) like the
+                    # final ranking, or a tie at the kth distance can
+                    # evict the id that deterministically wins
                     if best_d.shape[1] > 4 * self.k:
-                        part = np.argpartition(best_d, self.k - 1, axis=1)[:, : self.k]
+                        part = np.lexsort((best_i, best_d), axis=1)[:, : self.k]
                         rows = np.arange(m)[:, None]
                         best_d = best_d[rows, part]
                         best_i = best_i[rows, part]
