@@ -347,6 +347,28 @@ def _q_binary_features(sf_dir: str):
     return out.select_columns(["doc_id", "payload_bytes"])
 
 
+def _q_poly_union_area(sf_dir: str):
+    """Distributed n-ary polygon union (general overlay) of the 240
+    overlapping boxes: per-block partial unions -> final union; output
+    the exact union area (oracle: coordinate-compression in SQL)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial import geom as g
+    from rayspatial.ops.agg import union_all_distributed
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    ga = polygon_geoms()
+    tab = pa.table({"wkb": pa.array(g.to_wkb(ga), type=pa.binary())})
+    out = union_all_distributed(rd.from_arrow(tab).repartition(8))
+
+    def to_area(batch: pa.Table) -> pa.Table:
+        u = g.from_wkb(batch.column("wkb").to_pylist())
+        return pa.table({"union_area": pa.array(g.area(u))})
+
+    return out.map_batches(to_area, batch_format="pyarrow")
+
+
 def _q_curated_docs(sf_dir: str):
     """End-to-end curation: quality filter + exact dedup (the per-epoch
     training-data chain), one streaming pass + one hash shuffle."""
@@ -385,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,
         "curated_docs": _q_curated_docs,
+        "poly_union_area": _q_poly_union_area,
     }
 
 
@@ -490,6 +513,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT i.a, i.b, i.inter FROM inter i "
             "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
             "WHERE 100 * i.inter >= 50 * (sa.nsh + sb.nsh - i.inter)"
+        ),
+        "poly_union_area": (
+            f"WITH {_POLYS_CTE}, "
+            "xs AS (SELECT DISTINCT x FROM (SELECT xmin AS x FROM polys UNION SELECT xmax FROM polys)), "
+            "ys AS (SELECT DISTINCT y FROM (SELECT ymin AS y FROM polys UNION SELECT ymax FROM polys)), "
+            "xi AS (SELECT x, LEAD(x) OVER (ORDER BY x) AS x2 FROM xs), "
+            "yi AS (SELECT y, LEAD(y) OVER (ORDER BY y) AS y2 FROM ys), "
+            "cells AS (SELECT x, x2, y, y2 FROM xi, yi WHERE x2 IS NOT NULL AND y2 IS NOT NULL), "
+            "covered AS (SELECT c.x, c.x2, c.y, c.y2 FROM cells c WHERE EXISTS "
+            "(SELECT 1 FROM polys p WHERE p.xmin <= c.x AND p.xmax >= c.x2 "
+            "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
+            "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
         ),
         "curated_docs": (
             r"SELECT MIN(doc_id) AS doc_id FROM documents "
