@@ -304,3 +304,46 @@ def test_binary_features_stub(ray_session):
         BinaryFeatureExtractor(decoder="pil")
     with pytest.raises(ValueError):
         BinaryFeatureExtractor(decoder="nope")
+
+
+def test_connected_components_distributed(ray_session):
+    import ray.data as rd
+
+    from rayspatial.textops.components import connected_components_distributed
+    from rayspatial.textops.dedup import connected_duplicate_groups
+
+    # chain 1-2-3-4, star 10-(11,12,13), pair 20-21
+    pairs = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 10, 10, 10, 20],
+            "b": [2, 3, 4, 11, 12, 13, 21],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    got = (
+        connected_components_distributed(ds)
+        .to_pandas()
+        .set_index("doc_id")["rep"]
+        .sort_index()
+    )
+    ref = connected_duplicate_groups(pairs)
+    for node, rep in ref.items():
+        assert got[node] == rep
+    # components separate
+    assert got[4] == 1 and got[13] == 10 and got[21] == 20
+
+    # random graph vs driver-side union-find
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 200, 300)
+    b = rng.randint(0, 200, 300)
+    keep = a != b
+    rp = pd.DataFrame({"a": np.minimum(a, b)[keep], "b": np.maximum(a, b)[keep]})
+    ds2 = rd.from_arrow(pa.Table.from_pandas(rp, preserve_index=False))
+    got2 = (
+        connected_components_distributed(ds2)
+        .to_pandas()
+        .set_index("doc_id")["rep"]
+    )
+    ref2 = connected_duplicate_groups(rp)
+    for node, rep in ref2.items():
+        assert got2[node] == rep
