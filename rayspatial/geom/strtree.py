@@ -94,6 +94,8 @@ class STRtree:
             self._leaf_bounds[li, 3] = ob[s:e, 3].max()
         # cached prepared decompositions for predicate refinement
         self._decomps: dict[int, P._Decomp] = {}
+        self._geom_bounds = b  # by geometry index (NaN for missing)
+        self._all_boxes_cache: bool | None = None
 
     def __len__(self) -> int:
         return len(self._idx)
@@ -149,6 +151,31 @@ class STRtree:
         key = np.lexsort((tree_items, probe_rows))
         return probe_rows[key], tree_items[key]
 
+    def _all_boxes(self) -> bool:
+        """True when every tree geometry is an axis-aligned rectangle
+        (single 5-point shell whose vertices hit only 2 distinct x and
+        2 distinct y values) — unlocks the pure-numpy refine path.
+        Computed once, vectorized."""
+        if self._all_boxes_cache is None:
+            ga = self.geometries
+            ok = False
+            if len(self._idx) and (ga.types[self._idx] == 3).all():
+                counts = np.bincount(ga.part_geom, minlength=len(ga))
+                sizes = np.diff(ga.part_off)
+                if (counts[self._idx] == 1).all() and (
+                    sizes == 5
+                ).all() and (ga.part_kind == 2).all():
+                    # each ring: x/y values equal the bounds corners
+                    xs = ga.coords[:, 0].reshape(-1, 5)
+                    ys = ga.coords[:, 1].reshape(-1, 5)
+                    bb = self._geom_bounds[ga.part_geom]
+                    ok = bool(
+                        np.logical_or(xs == bb[:, [0]], xs == bb[:, [2]]).all()
+                        and np.logical_or(ys == bb[:, [1]], ys == bb[:, [3]]).all()
+                    )
+            self._all_boxes_cache = ok
+        return self._all_boxes_cache
+
     def _decomp(self, tree_i: int) -> "P._Decomp":
         d = self._decomps.get(tree_i)
         if d is None:
@@ -189,6 +216,28 @@ class STRtree:
         # interior/boundary predicates
         probe_is_point = _single_point_mask(probes)
         fast = {"intersects", "within", "covered_by", "contains_properly", "touches", "covers", "contains", "crosses", "overlaps"}
+        # fastest path: ALL probes points + ALL tree geoms axis-aligned
+        # boxes -> one pure-numpy location pass over the pair arrays
+        # (no per-tree-item grouping at all)
+        if (
+            predicate in fast
+            and probe_is_point[probe_rows].all()
+            and self._all_boxes()
+        ):
+            px, py = _point_coords(probes)
+            bb = self._geom_bounds[tree_items]
+            x = px[probe_rows]
+            y = py[probe_rows]
+            strict = (
+                (x > bb[:, 0]) & (x < bb[:, 2]) & (y > bb[:, 1]) & (y < bb[:, 3])
+            )
+            on = (
+                (x >= bb[:, 0]) & (x <= bb[:, 2]) & (y >= bb[:, 1]) & (y <= bb[:, 3])
+            ) & ~strict
+            loc = np.full(len(probe_rows), P.EXT, dtype=np.int8)
+            loc[strict] = P.INT
+            loc[on] = P.BND
+            return _point_loc_predicate(loc, predicate)
         if predicate in fast:
             # group pairs by tree item; point probes evaluated in bulk
             px, py = _point_coords(probes)
