@@ -228,6 +228,33 @@ def _q_events_windowed(sf_dir: str):
                            width_s=3600, keys=["event_type"])
 
 
+def _q_top_users(sf_dir: str):
+    """Top-10 users by total event value (integer cents; partial-agg ->
+    bounded combine -> head)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.window import top_k_by_group
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        return batch.set_column(batch.column_names.index("value"), "value", cents)
+
+    out = top_k_by_group(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["user_id"], "value", k=10,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "total_cents"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     from rayspatial.ops.window import sessionize
@@ -390,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_area_perimeter": _q_poly_area_perimeter,
         "tile_vectorize": _q_tile_vectorize,
         "events_windowed": _q_events_windowed,
+        "top_users": _q_top_users,
         "sessions": _q_sessions,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
@@ -444,6 +472,11 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start, event_type, COUNT(*) AS n_events, "
             "SUM(CAST(round(value * 100.0) AS BIGINT)) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "top_users": (
+            "SELECT user_id, SUM(CAST(round(value * 100.0) AS BIGINT)) AS total_cents "
+            "FROM events GROUP BY user_id "
+            "ORDER BY total_cents DESC, user_id LIMIT 10"
         ),
         "sessions": (
             "WITH l AS (SELECT user_id, ts, event_id, "

@@ -108,3 +108,76 @@ def sessionize(events_ds, gap_s: int, user_col: str = "user_id",
         return out
 
     return hash_partitioned_agg(events_ds, [user_col], per_partition)
+
+
+def sliding_window(events_ds, width_s: int, slide_s: int,
+                   ts_col: str = "ts", keys: list[str] | None = None,
+                   value_col: str = "value"):
+    """Sliding windows: each event belongs to ``width_s // slide_s``
+    overlapping windows; the map side REPLICATES the partial rows per
+    window start (vectorized), then the same bounded combine as
+    tumbling.  width must be a multiple of slide."""
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    keys = keys or []
+    k = width_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        slide_us = slide_s * 1_000_000
+        last = (ts // slide_us) * slide_us  # last window start covering ts
+        offs = np.arange(k, dtype=np.int64) * slide_us
+        w = (last[:, None] - offs[None, :]).ravel()
+        rep = np.repeat(np.arange(len(ts)), k)
+        cols = {"window_start": w}
+        for c in keys:
+            cols[c] = batch.column(c).to_numpy()[rep]
+        cols["value"] = batch.column(value_col).to_numpy()[rep]
+        df = pd.DataFrame(cols)
+        out = (
+            df.groupby(["window_start"] + keys, sort=False)["value"]
+            .agg([("n_partial", "size"), ("sum_partial", "sum")])
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    part = events_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.groupby(["window_start"] + keys, sort=False)
+            .agg(n_events=("n_partial", "sum"), sum_value=("sum_partial", "sum"))
+            .reset_index()
+        )
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return part.repartition(1).map_batches(merge, batch_size=None,
+                                           batch_format="pyarrow")
+
+
+def top_k_by_group(ds, group_cols: list[str], value_col: str, k: int,
+                   agg: str = "sum"):
+    """Global top-k groups by aggregated value: per-batch partials ->
+    bounded combine -> sort head (the result is k rows; everything
+    before the final head is streaming partial aggregation)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c).to_numpy() for c in group_cols}
+        cols["v"] = batch.column(value_col).to_numpy()
+        df = pd.DataFrame(cols)
+        out = df.groupby(group_cols, sort=False)["v"].agg(agg).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        red = "sum" if agg in ("sum", "size", "count") else agg
+        out = df.groupby(group_cols, sort=False)["v"].agg(red).reset_index()
+        out = out.sort_values(["v"] + group_cols, ascending=[False] + [True] * len(group_cols))
+        return pa.Table.from_pandas(out.head(k), preserve_index=False)
+
+    return part.repartition(1).map_batches(merge, batch_size=None,
+                                           batch_format="pyarrow")

@@ -76,3 +76,37 @@ def test_sessionize(ray_session, events_df):
         (got["session_end"] - got["session_start"]).dt.total_seconds()
         >= 0
     ).all()
+
+
+def test_sliding_window(ray_session, events_df):
+    from rayspatial.ops.window import sliding_window
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/events.parquet", columns=["ts", "value"])
+    got = (
+        sliding_window(ds, width_s=3600, slide_s=1800)
+        .to_pandas()
+        .set_index("window_start")
+        .sort_index()
+    )
+    # brute force: every event counted in width/slide = 2 windows
+    assert got["n_events"].sum() == 2 * len(events_df)
+    ts = events_df["ts"].astype("int64")
+    for ws, row in got.head(5).iterrows():
+        w0 = ws.value // 1000  # ns -> us
+        n = ((ts >= w0) & (ts < w0 + 3600 * 1_000_000)).sum()
+        assert row["n_events"] == n
+
+
+def test_top_k_by_group(ray_session, events_df):
+    from rayspatial.ops.window import top_k_by_group
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/events.parquet", columns=["user_id", "value"])
+    got = top_k_by_group(ds, ["user_id"], "value", k=5).to_pandas()
+    ref = (
+        events_df.groupby("user_id")["value"].sum()
+        .sort_values(ascending=False).head(5)
+    )
+    assert list(got["user_id"]) == list(ref.index)
+    assert np.allclose(got["v"], ref.to_numpy())
