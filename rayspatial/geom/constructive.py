@@ -954,11 +954,7 @@ def build_area(ga: GeomArray) -> GeomArray:
     constructive.py:441-462): polygonize the edges and keep faces by
     the even-odd rule, nested odd faces becoming holes — equivalent to
     make_valid over the closed linework."""
-    from rayspatial.geom.overlay import (
-        _even_odd_inside,
-        _node_all,
-        _rings_to_segs,
-    )
+    from rayspatial.geom.overlay import _node_all, _rings_to_segs
     from rayspatial.geom.polygonize import _trace_faces
 
     b = _Builder()

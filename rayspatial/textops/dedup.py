@@ -150,7 +150,6 @@ def pairs_from_buckets(ds, key_cols: list[str], id_col: str,
         return batch.append_column("_part", pa.array((h % np.uint64(P)).astype(np.int64)))
 
     def emit_partition(g: pd.DataFrame) -> pa.Table:
-        cols_a, cols_b = [], []
         key_mat = np.column_stack([g[c].to_numpy() for c in key_cols])
         order = np.lexsort([g[id_col].to_numpy()] + [key_mat[:, i] for i in range(key_mat.shape[1] - 1, -1, -1)])
         km = key_mat[order]
