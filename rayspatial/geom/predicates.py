@@ -252,9 +252,12 @@ def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
         if ga.types[i] == MISSING or gb.types[j] == MISSING:
             out[i] = None
             continue
+        if ga.types[i] in (1, 2, 5):  # lineal lhs
+            out[i] = _relate_line(ga, i, gb, j)
+            continue
         if ga.types[i] != POINT:
             raise NotImplementedError(
-                "relate: only POINT left-hand geometries are supported"
+                "relate: POINT and lineal left-hand geometries are supported"
             )
         loc = _locate_point_in(ga, i, gb, j)
         bdim = _boundary_dim(gb, j)
@@ -266,6 +269,152 @@ def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
         else:
             out[i] = "FF0FFF" + ("FF2" if edim == "0" else (f"1{bdim}2" if edim == "1" else "212"))
     return out
+
+
+def _relate_line(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
+    """DE-9IM for a lineal A vs point/lineal/polygonal B, computed on
+    the noded arrangement: A's segments are split at every intersection
+    with B's boundary and each sub-segment midpoint located in B
+    (interior/boundary/exterior); A's boundary endpoints located
+    likewise.  Uses the overlay noding tools, so T-junctions and
+    collinear overlaps are handled."""
+    from rayspatial.geom import measures as M
+    from rayspatial.geom.overlay import _node_all_multi
+
+    t_b = int(gb.types[j])
+    # collect A segments (lineal parts)
+    a_chains = [
+        ga.part_coords(p)
+        for p in np.flatnonzero(ga.part_geom == i)
+        if ga.part_kind[p] == 1
+    ]
+    a_segs = []
+    for xy in a_chains:
+        for k in range(len(xy) - 1):
+            if (xy[k] != xy[k + 1]).any():
+                a_segs.append((xy[k], xy[k + 1]))
+    # A boundary = endpoints appearing an odd number of times (mod-2)
+    from collections import Counter
+
+    endc = Counter()
+    for xy in a_chains:
+        endc[tuple(xy[0])] += 1
+        endc[tuple(xy[-1])] += 1
+    a_bnd = [np.asarray(pt) for pt, c in endc.items() if c % 2 == 1]
+    # B segments (boundary for polygons, the line itself for lineal)
+    b_parts = np.flatnonzero(gb.part_geom == j)
+    b_chains = [gb.part_coords(p) for p in b_parts if gb.part_kind[p] != 0]
+    b_segs = []
+    for xy in b_chains:
+        for k in range(len(xy) - 1):
+            if (xy[k] != xy[k + 1]).any():
+                b_segs.append((xy[k], xy[k + 1]))
+    segs, members = _node_all_multi([a_segs, b_segs])
+
+    def loc_in_b(pt: np.ndarray) -> str:
+        return _locate_point_str(pt, gb, j)
+
+    ii = ib = ie = "F"
+    for k, (a2, b2) in enumerate(segs):
+        if 0 not in members[k]:
+            continue
+        mid = (np.asarray(a2) + np.asarray(b2)) / 2.0
+        if 1 in members[k]:  # collinear shared with B's linework
+            ib_dim = "1" if t_b in (3, 6) else None
+            if t_b in (3, 6):
+                ib = "1"
+            else:
+                ii = "1"  # shared line interiors
+            continue
+        where = loc_in_b(mid)
+        if where == "interior":
+            ii = "1"
+        elif where == "boundary":
+            ib = max(ib, "1") if ib != "F" else "1"
+        else:
+            ie = "1"
+    # crossing POINTS: nodes where A passes through B's linework
+    # transversally contribute dim 0 to II (polygon: boundary) — detect
+    # via endpoints of A sub-segments that lie on B linework but whose
+    # segment is not collinear-shared
+    for k, (a2, b2) in enumerate(segs):
+        if 0 not in members[k] or 1 in members[k]:
+            continue
+        for pt in (np.asarray(a2), np.asarray(b2)):
+            where = loc_in_b(pt)
+            if t_b in (3, 6):
+                if where == "boundary" and ib == "F":
+                    ib = "0"
+            else:
+                # lineal/point B: a transversal crossing node lies in
+                # B's INTERIOR -> II gains dim 0
+                if where == "interior" and ii == "F":
+                    ii = "0"
+    bi = bb_ = be = "F"
+    for pt in a_bnd:
+        where = loc_in_b(pt)
+        if where == "interior":
+            bi = "0"
+        elif where == "boundary":
+            bb_ = "0"
+        else:
+            be = "0"
+    # exterior row: B's extent not covered by a line
+    if t_b in (3, 6):
+        ei, eb, ee = "2", "1", "2"
+        # eb: check if every B boundary sub-segment lies on A
+        all_on_a = all(
+            0 in members[k] for k in range(len(segs)) if 1 in members[k]
+        )
+        if all_on_a and any(1 in m for m in members):
+            eb = "F"
+    elif t_b in (1, 2, 5):
+        ei = "1" if any(1 in m and 0 not in m for m in members) else "F"
+        # B's boundary = its endpoints: locate each in A
+        b_endc = Counter()
+        for xy in b_chains:
+            b_endc[tuple(xy[0])] += 1
+            b_endc[tuple(xy[-1])] += 1
+        eb = "F"
+        for pt, c in b_endc.items():
+            if c % 2 == 0:
+                continue
+            where_a = _locate_point_in(
+                _point_geom(np.asarray(pt)), 0, ga, i
+            )
+            if where_a == "interior" and ib == "F":
+                ib = "0"
+            elif where_a == "boundary" and bb_ == "F":
+                bb_ = "0"
+            elif where_a == "exterior":
+                eb = "0"
+        ee = "2"
+    else:  # points
+        ei, eb, ee = "0", "F", "2"
+    return ii + ib + ie + bi + bb_ + be + ei + eb + ee
+
+
+def _point_geom(pt: np.ndarray) -> GeomArray:
+    return GeomArray(
+        types=np.array([0], dtype=np.int8),
+        part_geom=np.array([0], dtype=np.int64),
+        part_kind=np.array([0], dtype=np.int8),
+        part_sub=np.array([0], dtype=np.int64),
+        part_off=np.array([0, 1], dtype=np.int64),
+        coords=np.asarray(pt, dtype=np.float64).reshape(1, 2),
+    )
+
+
+def _locate_point_str(pt: np.ndarray, gb: GeomArray, j: int) -> str:
+    tmp = GeomArray(
+        types=np.array([0], dtype=np.int8),
+        part_geom=np.array([0], dtype=np.int64),
+        part_kind=np.array([0], dtype=np.int8),
+        part_sub=np.array([0], dtype=np.int64),
+        part_off=np.array([0, 1], dtype=np.int64),
+        coords=np.asarray(pt, dtype=np.float64).reshape(1, 2),
+    )
+    return _locate_point_in(tmp, 0, gb, j)
 
 
 def _boundary_dim(gb: GeomArray, j: int) -> str:

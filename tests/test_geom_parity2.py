@@ -208,3 +208,29 @@ def test_offset_curve_and_shared_paths():
     # opposite-direction overlap also found
     br = gio.from_wkt(np.array(["LINESTRING (8 0, 2 0)"], dtype=object))
     assert g.length(g.shared_paths(a, br))[0] == 3.0
+
+
+def test_relate_lineal_cases():
+    """DE-9IM matrices for lineal left-hand sides, checked against
+    GEOS-truth matrices for the canonical configurations."""
+    poly = _wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    cases = [
+        (_wkt("LINESTRING (-1 2, 5 2)"), poly, "101FF0212"),   # crosses
+        (_wkt("LINESTRING (1 1, 3 3)"), poly, "1FF0FF212"),    # within
+        (_wkt("LINESTRING (10 10, 12 12)"), poly, "FF1FF0212"),  # disjoint
+        (_wkt("LINESTRING (0 0, 4 0)"), poly, "F1FF0F212"),    # on boundary
+        (_wkt("LINESTRING (0 0, 2 2)"), _wkt("LINESTRING (0 2, 2 0)"),
+         "0F1FF0102"),                                          # lines cross
+        (_wkt("LINESTRING (0 0, 3 0)"), _wkt("LINESTRING (1 0, 5 0)"),
+         "1010F0102"),                                          # overlap
+        (_wkt("LINESTRING (0 0, 1 0)"), _wkt("LINESTRING (5 5, 6 6)"),
+         "FF1FF0102"),                                          # disjoint
+        (_wkt("LINESTRING (0 0, 1 1)"), _wkt("LINESTRING (1 1, 2 0)"),
+         "FF1F00102"),                                          # end-touch
+    ]
+    for a, b, want in cases:
+        assert g.relate(a, b)[0] == want
+    # relate_pattern consistency: crosses(line, poly) == T pattern
+    assert g.relate_pattern(
+        _wkt("LINESTRING (-1 2, 5 2)"), poly, "T*T******"
+    )[0]
