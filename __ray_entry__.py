@@ -219,7 +219,11 @@ def _q_events_windowed(sf_dir: str):
     )
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0),
+                     round_mode="half_towards_infinity"),  # DuckDB round()
+            pa.int64(),
+        )
         return batch.set_column(
             batch.column_names.index("value"), "value", cents
         )
@@ -242,7 +246,11 @@ def _q_top_users(sf_dir: str):
     )
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0),
+                     round_mode="half_towards_infinity"),  # DuckDB round()
+            pa.int64(),
+        )
         return batch.set_column(batch.column_names.index("value"), "value", cents)
 
     out = top_k_by_group(
@@ -470,11 +478,11 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
             "AS window_start, event_type, COUNT(*) AS n_events, "
-            "SUM(CAST(round(value * 100.0) AS BIGINT)) AS sum_value "
+            "CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
         "top_users": (
-            "SELECT user_id, SUM(CAST(round(value * 100.0) AS BIGINT)) AS total_cents "
+            "SELECT user_id, CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY user_id "
             "ORDER BY total_cents DESC, user_id LIMIT 10"
         ),

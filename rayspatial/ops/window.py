@@ -51,8 +51,15 @@ def tumbling_window(events_ds, width_s: int, ts_col: str = "ts",
             .agg(n_events=("n_partial", "sum"), sum_value=("sum_partial", "sum"))
             .reset_index()
         )
+        # deterministic row order + exact timestamp[us] schema so the
+        # output representation (not just the values) is canonical
+        out = out.sort_values(["window_start"] + keys, kind="stable")
         out["window_start"] = out["window_start"].astype("datetime64[us]")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        tab = pa.Table.from_pandas(out, preserve_index=False)
+        i = tab.column_names.index("window_start")
+        return tab.set_column(
+            i, "window_start", tab.column(i).cast(pa.timestamp("us"))
+        )
 
     # result cardinality = #windows x #key-values (bounded) -> gather
     return part.repartition(1).map_batches(merge, batch_size=None,
@@ -157,27 +164,64 @@ def sliding_window(events_ds, width_s: int, slide_s: int,
                                            batch_format="pyarrow")
 
 
+#: aggregations whose per-batch partials combine exactly (partial op ->
+#: reduce op).  'mean' is deliberately excluded: a mean of per-batch
+#: means is wrong whenever a group's rows split unevenly across blocks.
+_DECOMPOSABLE = {"sum": "sum", "size": "sum", "count": "sum",
+                 "min": "min", "max": "max"}
+
+
 def top_k_by_group(ds, group_cols: list[str], value_col: str, k: int,
                    agg: str = "sum"):
-    """Global top-k groups by aggregated value: per-batch partials ->
-    bounded combine -> sort head (the result is k rows; everything
-    before the final head is streaming partial aggregation)."""
+    """Global top-k groups by aggregated value, with a BOUNDED combine
+    at every stage (unlike a naive partial->repartition(1) plan whose
+    single merge task would materialize every distinct key):
+
+    1. per-batch partials (vectorized groupby; rows out = distinct keys
+       in the block),
+    2. hash-partition the partials by key — each key lands in exactly
+       one partition, so per-partition reduction gives EXACT totals,
+    3. per-partition top-k (<= k rows per partition survive),
+    4. gather only k x P rows for the final head.
+
+    ``agg`` must be decomposable (sum/size/count/min/max); for 'mean',
+    carry (sum, count) partials yourself and divide in a map stage.
+    """
+    if agg not in _DECOMPOSABLE:
+        raise ValueError(
+            f"top_k_by_group: agg must be one of {sorted(_DECOMPOSABLE)} "
+            "(decomposable); 'mean' of per-batch partials would be wrong"
+        )
+    red = _DECOMPOSABLE[agg]
+    asc = [False] + [True] * len(group_cols)
+
+    from rayspatial.util import hash_partitioned_agg
 
     def partial(batch: pa.Table) -> pa.Table:
-        cols = {c: batch.column(c).to_numpy() for c in group_cols}
-        cols["v"] = batch.column(value_col).to_numpy()
+        cols = {c: batch.column(c).to_numpy(zero_copy_only=False)
+                for c in group_cols}
+        cols["v"] = batch.column(value_col).to_numpy(zero_copy_only=False)
         df = pd.DataFrame(cols)
         out = df.groupby(group_cols, sort=False)["v"].agg(agg).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        red = "sum" if agg in ("sum", "size", "count") else agg
+    def per_partition_topk(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(group_cols, sort=False)["v"].agg(red).reset_index()
-        out = out.sort_values(["v"] + group_cols, ascending=[False] + [True] * len(group_cols))
-        return pa.Table.from_pandas(out.head(k), preserve_index=False)
+        out = out.sort_values(["v"] + group_cols, ascending=asc,
+                              kind="stable")
+        return out.head(k)
 
-    return part.repartition(1).map_batches(merge, batch_size=None,
-                                           batch_format="pyarrow")
+    survivors = hash_partitioned_agg(part, group_cols, per_partition_topk)
+
+    def final_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # keys are disjoint across partitions -> no re-reduction needed
+        df = df.sort_values(["v"] + group_cols, ascending=asc,
+                            kind="stable")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return survivors.repartition(1).map_batches(
+        final_head, batch_size=None, batch_format="pyarrow"
+    )

@@ -110,3 +110,61 @@ def test_top_k_by_group(ray_session, events_df):
     )
     assert list(got["user_id"]) == list(ref.index)
     assert np.allclose(got["v"], ref.to_numpy())
+
+
+def test_top_k_many_distinct_keys(ray_session):
+    """10^6 rows, ~10^5 distinct keys: the combine input stays bounded
+    (per-partition top-k means the final gather sees <= k*P rows) and
+    totals are exact even when a key's rows span many blocks."""
+    import ray.data as rd
+
+    from rayspatial.ops.window import top_k_by_group
+
+    rng = np.random.default_rng(7)
+    n = 1_000_000
+    keys = rng.integers(0, 100_000, n)
+    vals = rng.integers(0, 1000, n)
+    df = pd.DataFrame({"user_id": keys, "value": vals})
+    ds = rd.from_pandas(df).repartition(16)
+    got = top_k_by_group(ds, ["user_id"], "value", k=10).to_pandas()
+    ref = (
+        df.groupby("user_id")["value"].sum()
+        .reset_index(name="v")
+        .sort_values(["v", "user_id"], ascending=[False, True])
+        .head(10)
+    )
+    assert list(got["user_id"]) == list(ref["user_id"])
+    assert list(got["v"]) == list(ref["v"])
+
+
+def test_top_k_rejects_nondecomposable_agg(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.window import top_k_by_group
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="decomposable"):
+        top_k_by_group(ds, ["k"], "v", k=1, agg="mean")
+
+
+def test_to_cents_rounding_matches_duckdb():
+    """pc.round(half_towards_infinity) must equal DuckDB round() on
+    exact .5-cent boundaries (half-to-even would give 0 for 0.005)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = [0.005, 0.015, 0.025, -0.005, -0.015, 1.115, 2.675]
+    mine = pc.cast(
+        pc.round(pc.multiply(pa.array(vals), 100.0),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_pylist()
+    ref = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(round(x * 100.0) AS BIGINT) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert mine == ref
