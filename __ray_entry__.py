@@ -204,6 +204,35 @@ def _q_tile_vectorize(sf_dir: str):
     return vec.select_columns(["cell_x", "cell_y", "res"])
 
 
+def _q_line_clip(sf_dir: str):
+    """Clip slope-1/2 integer-coordinate segments (one per extracted
+    point) against the broadcast polygon layer via the exact lineal
+    intersection kernel; emit the integer squared-length metric
+    (ops/lineclip.py doc: half-integer clip coords make len2 exact)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.lineclip import clip_lines_to_polygons
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    def to_segs(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        x1 = np.floor(lon)
+        y1 = np.floor(lat)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "x1": pa.array(x1),
+            "y1": pa.array(y1),
+            "x2": pa.array(x1 + 2.0),
+            "y2": pa.array(y1 + 1.0),
+        })
+
+    segs = points_dataset(sf_dir).map_batches(to_segs, batch_format="pyarrow")
+    return clip_lines_to_polygons(segs, polygon_geoms())
+
+
 def _q_events_windowed(sf_dir: str):
     """Tumbling 1-hour windows per event_type (custom windowed-agg
     operator; value summed in integer cents so the oracle compare is
@@ -424,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_poly": _q_nearest_poly,
         "poly_area_perimeter": _q_poly_area_perimeter,
         "tile_vectorize": _q_tile_vectorize,
+        "line_clip": _q_line_clip,
         "events_windowed": _q_events_windowed,
         "top_users": _q_top_users,
         "sessions": _q_sessions,
@@ -475,6 +505,18 @@ def oracle_sql() -> dict[str, str]:
             "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pts"
         ),
         "pages_by_lang": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY lang",
+        "line_clip": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
+            "seg AS (SELECT doc_id, FLOOR(lon) AS x1, FLOOR(lat) AS y1 FROM pts), "
+            "c AS (SELECT s.doc_id, p.poly_id, "
+            "GREATEST((p.xmin - s.x1) / 2.0, p.ymin - s.y1, 0.0) AS tin, "
+            "LEAST((p.xmax - s.x1) / 2.0, p.ymax - s.y1, 1.0) AS tout "
+            "FROM seg s JOIN polys p ON s.x1 + 2 >= p.xmin AND s.x1 <= p.xmax "
+            "AND s.y1 + 1 >= p.ymin AND s.y1 <= p.ymax) "
+            "SELECT doc_id, poly_id, "
+            "CAST(round(20 * (tout - tin) * (tout - tin)) AS BIGINT) AS len2 "
+            "FROM c WHERE tout > tin"
+        ),
         "events_windowed": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
             "AS window_start, event_type, COUNT(*) AS n_events, "

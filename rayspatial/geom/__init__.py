@@ -134,6 +134,7 @@ from rayspatial.geom.predicates import (  # noqa: E402,F401
     within,
 )
 from rayspatial.geom.setops import (  # noqa: E402,F401
+    coverage_union,
     coverage_union_all,
     difference,
     intersection,

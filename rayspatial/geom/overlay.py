@@ -64,7 +64,9 @@ def _seg_intersections(a1, a2, b1, b2) -> list[np.ndarray]:
     # parallel: collinear?
     if abs(r[0] * d1[1] - r[1] * d1[0]) > 1e-12 * max(1.0, np.abs(d1).max()):
         return []
-    # project b endpoints on a's parameter
+    # collinear overlap: BOTH segments must split at the other's
+    # interior endpoints, or the shared run gets different keys per
+    # source and loses its multi-source membership tag
     ll = d1 @ d1
     if ll == 0:
         return []
@@ -73,6 +75,12 @@ def _seg_intersections(a1, a2, b1, b2) -> list[np.ndarray]:
         t = ((p - a1) @ d1) / ll
         if -1e-12 <= t <= 1 + 1e-12:
             out.append(a1 + np.clip(t, 0.0, 1.0) * d1)
+    ll2 = d2 @ d2
+    if ll2 > 0:
+        for p in (a1, a2):
+            u = ((p - b1) @ d2) / ll2
+            if -1e-12 <= u <= 1 + 1e-12:
+                out.append(b1 + np.clip(u, 0.0, 1.0) * d2)
     return out
 
 

@@ -1,10 +1,11 @@
 """Set operations (reference pygeos/set_operations.py).
 
-Scope (SURVEY.md §7.4 item 4: general polygon overlay is the LAST
-phase and not needed for the flagship metric): supported pairs are the
-ones the web-scale pipeline uses — point-vs-anything, box-vs-box,
-containment and disjoint cases — everything else raises
-``NotImplementedError`` loudly rather than silently approximating.
+Full type matrix: fast paths handle the pairs the web-scale pipeline
+hits constantly (point-vs-anything, box-vs-box, convex clip,
+containment and disjoint cases), the general polygon overlay
+(geom/overlay.py) handles polygon-vs-polygon, and every remaining pair
+— lineal operands, multipoints, mixed collections — routes to the
+dimension-decomposed engine in geom/lineal_ops.py.
 
 Reductions (``union_all`` / ``intersection_all``) are REORDERABLE in
 the reference's ufunc registry (src/ufuncs.c:3328-3334), which is the
@@ -18,6 +19,9 @@ import numpy as np
 
 from rayspatial.geom.array import (
     GEOMETRYCOLLECTION,
+    LINEARRING,
+    LINESTRING,
+    MULTILINESTRING,
     MULTIPOINT,
     MULTIPOLYGON,
     PK_HOLE,
@@ -38,6 +42,7 @@ __all__ = [
     "symmetric_difference",
     "symmetric_difference_all",
     "union_all",
+    "coverage_union",
     "coverage_union_all",
     "grid_to_boxes",
 ]
@@ -67,8 +72,9 @@ def _pairwise(ga: GeomArray, gb: GeomArray, fn) -> GeomArray:
 
 
 def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
-    """Pairwise intersection (set_operations.py:79-132).  Supported:
-    missing, point-vs-any, box-vs-box; else NotImplementedError."""
+    """Pairwise intersection (set_operations.py:79-132), all type
+    pairs: point/box/convex fast paths, polygon overlay, lineal/mixed
+    via geom/lineal_ops."""
     from rayspatial.geom import predicates as P
 
     bnds_a, bnds_b = ga.bounds(), gb.bounds()
@@ -120,6 +126,28 @@ def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
                 b.has_z.append(False)
                 b.num_children.append(1)
                 return
+        # LINESTRING x convex polygon: exact parametric (Cyrus-Beck)
+        # clip — no arrangement snapping, so integer/rational inputs
+        # stay bit-exact (the line_clip pipeline's oracle relies on it)
+        for (src, si_, other, oj, flip) in ((ga, i, gb, j, False),
+                                            (gb, j, ga, i, True)):
+            if src.types[si_] not in _LINEAL_TYPES:
+                continue
+            rb = _poly_single_ring(other, oj)
+            if rb is None or not _is_convex_ring(rb):
+                break
+            paths = [
+                src.part_coords(p)
+                for p in np.flatnonzero(src.part_geom == si_)
+                if src.part_kind[p] == 1  # PK_LINE
+            ]
+            chains, pts = _clip_lines_convex(paths, rb)
+            from rayspatial.geom.lineal_ops import _emit
+
+            from rayspatial.geom.array import LINESTRING as _LS
+
+            _emit(b, g, [], chains, pts, _LS)
+            return
         # general polygon overlay (noded-face classification)
         if ga.types[i] in (POLYGON, MULTIPOLYGON) and gb.types[j] in (POLYGON, MULTIPOLYGON):
             from rayspatial.geom.overlay import polygon_overlay
@@ -129,10 +157,10 @@ def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
             )
             _copy_geom(sub, 0, b, g)
             return
-        raise NotImplementedError(
-            "intersection: unsupported operand types "
-            f"({int(ga.types[i])}, {int(gb.types[j])})"
-        )
+        from rayspatial.geom.lineal_ops import general_pair_setop
+
+        sub = general_pair_setop(ga, i, gb, j, "intersection")
+        _copy_geom(sub, 0, b, g)
 
     return _pairwise(ga, gb, one)
 
@@ -160,8 +188,7 @@ def _copy_geom(src: GeomArray, i: int, b: _Builder, out_row: int) -> None:
 
 
 def union(ga: GeomArray, gb: GeomArray) -> GeomArray:
-    """Pairwise union (set_operations.py:258-313).  Supported: missing,
-    equal, containment, disjoint (collected); else NotImplementedError."""
+    """Pairwise union (set_operations.py:258-313), all type pairs."""
     from rayspatial.geom import predicates as P
 
     def one(b: _Builder, g: int, i: int, j: int):
@@ -185,7 +212,10 @@ def union(ga: GeomArray, gb: GeomArray) -> GeomArray:
             sub = polygon_overlay(_slice_rows(ga, [i]), _slice_rows(gb, [j]), "union")
             _copy_geom(sub, 0, b, g)
             return
-        raise NotImplementedError("union: unsupported operand types")
+        from rayspatial.geom.lineal_ops import general_pair_setop
+
+        sub = general_pair_setop(ga, i, gb, j, "union")
+        _copy_geom(sub, 0, b, g)
 
     return _pairwise(ga, gb, one)
 
@@ -218,9 +248,7 @@ def _collect_two(ga: GeomArray, i: int, gb: GeomArray, j: int, b: _Builder,
 
 
 def difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
-    """Pairwise difference (set_operations.py:22-78).  Supported:
-    missing, disjoint (-> a), b covers a (-> empty); else
-    NotImplementedError."""
+    """Pairwise difference (set_operations.py:22-78), all type pairs."""
     from rayspatial.geom import predicates as P
 
     def one(b: _Builder, g: int, i: int, j: int):
@@ -241,14 +269,17 @@ def difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
             sub = polygon_overlay(_slice_rows(ga, [i]), _slice_rows(gb, [j]), "difference")
             _copy_geom(sub, 0, b, g)
             return
-        raise NotImplementedError("difference: unsupported operand types")
+        from rayspatial.geom.lineal_ops import general_pair_setop
+
+        sub = general_pair_setop(ga, i, gb, j, "difference")
+        _copy_geom(sub, 0, b, g)
 
     return _pairwise(ga, gb, one)
 
 
 def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
-    """(set_operations.py:168-222): missing, disjoint (collect), equal
-    (-> empty); else NotImplementedError."""
+    """Pairwise symmetric difference (set_operations.py:168-222), all
+    type pairs."""
     from rayspatial.geom import predicates as P
 
     def one(b: _Builder, g: int, i: int, j: int):
@@ -266,7 +297,10 @@ def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
             )
             _copy_geom(sub, 0, b, g)
             return
-        raise NotImplementedError("symmetric_difference: unsupported operand types")
+        from rayspatial.geom.lineal_ops import general_pair_setop
+
+        sub = general_pair_setop(ga, i, gb, j, "symmetric_difference")
+        _copy_geom(sub, 0, b, g)
 
     return _pairwise(ga, gb, one)
 
@@ -274,9 +308,10 @@ def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
 def union_all(ga: GeomArray) -> GeomArray:
     """Reduce to one geometry (set_operations.py:314-396): all-missing
     -> missing (reference lines 389-396); all points -> MULTIPOINT of
-    DISTINCT points; pairwise-disjoint polygons -> MULTIPOLYGON; else
-    NotImplementedError.  Reorderable, so ops-level partial+final
-    combines are exact."""
+    DISTINCT points; pairwise-disjoint polygons -> MULTIPOLYGON;
+    overlapping polygons -> n-ary overlay; lineal / mixed inputs ->
+    geom/lineal_ops.union_all_general.  Reorderable, so ops-level
+    partial+final combines are exact."""
     from rayspatial.geom import predicates as P
 
     live = np.flatnonzero(~(ga.is_missing() | ga.is_empty()))
@@ -317,7 +352,40 @@ def union_all(ga: GeomArray) -> GeomArray:
         from rayspatial.geom.overlay import nary_union
 
         return nary_union(ga)
-    raise NotImplementedError("union_all supports points / polygons")
+    from rayspatial.geom.lineal_ops import union_all_general
+
+    return union_all_general(ga)
+
+
+def coverage_union(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    """Pairwise coverage union (reference set_operations.py:397-433):
+    merge two non-overlapping polygonal inputs per row without noding.
+    Same engine semantics as :func:`coverage_union_all` (shared
+    boundaries are NOT dissolved)."""
+
+    def one(b: _Builder, g: int, i: int, j: int):
+        if ga.types[i] == -1 or gb.types[j] == -1:
+            _append_missing(b)
+            return
+        sub = coverage_union_all(
+            _concat_rows(_slice_rows(ga, [i]), _slice_rows(gb, [j]))
+        )
+        _copy_geom(sub, 0, b, g)
+
+    return _pairwise(ga, gb, one)
+
+
+def _concat_rows(ga: GeomArray, gb: GeomArray) -> GeomArray:
+    b = _Builder()
+    row = 0
+    for src in (ga, gb):
+        for i in range(len(src)):
+            if src.types[i] == -1:
+                _append_missing(b)
+            else:
+                _copy_geom(src, i, b, row)
+            row += 1
+    return b.finish()
 
 
 def coverage_union_all(ga: GeomArray) -> GeomArray:
@@ -502,3 +570,74 @@ def convex_clip(subject: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
         if not len(out):
             break
     return out
+
+
+_LINEAL_TYPES = (LINESTRING, LINEARRING, MULTILINESTRING)
+
+
+def _clip_lines_convex(paths: list[np.ndarray], ring_ccw: np.ndarray):
+    """Exact Cyrus-Beck clip of open polyline paths against an open CCW
+    CONVEX ring -> (line pieces, tangent touch points).  Pure
+    parametric arithmetic — rational inputs give bit-exact rational
+    outputs (no arrangement snapping), which the line_clip pipeline's
+    integer-length oracle depends on."""
+    a = ring_ccw
+    nxt = np.roll(ring_ccw, -1, axis=0)
+    edge = nxt - a
+    nrm = np.stack([-edge[:, 1], edge[:, 0]], axis=1)  # inward for CCW
+    chains: list[np.ndarray] = []
+    touch: list[np.ndarray] = []
+    for path in paths:
+        P, Q = path[:-1].astype(float), path[1:].astype(float)
+        if not len(P):
+            continue
+        d = Q - P
+        t0 = np.zeros(len(P))
+        t1 = np.ones(len(P))
+        ok = np.ones(len(P), dtype=bool)
+        for k in range(len(a)):
+            si = (P - a[k]) @ nrm[k]
+            di = d @ nrm[k]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tc = -si / np.where(di == 0, 1.0, di)
+            ok &= ~((di == 0) & (si < 0))
+            t0 = np.where(di > 0, np.maximum(t0, tc), t0)
+            t1 = np.where(di < 0, np.minimum(t1, tc), t1)
+        cur: np.ndarray | None = None
+        for s in range(len(P)):
+            if not ok[s] or t0[s] > t1[s]:
+                if cur is not None:
+                    chains.append(cur)
+                    cur = None
+                continue
+            p0 = P[s] + t0[s] * d[s]
+            p1 = P[s] + t1[s] * d[s]
+            if t0[s] == t1[s]:
+                touch.append(p0)
+                if cur is not None:
+                    chains.append(cur)
+                    cur = None
+                continue
+            if cur is not None and t0[s] == 0 and np.array_equal(cur[-1], p0):
+                cur = np.vstack([cur, p1[None, :]])
+            else:
+                if cur is not None:
+                    chains.append(cur)
+                cur = np.vstack([p0[None, :], p1[None, :]])
+            if t1[s] < 1:
+                chains.append(cur)
+                cur = None
+        if cur is not None:
+            chains.append(cur)
+    from rayspatial.geom.lineal_ops import (
+        _dedupe_points,
+        _lines_to_segs,
+        _on_segs,
+        _segs_np,
+    )
+
+    A, B = _segs_np(_lines_to_segs(chains))
+    pts_arr = _dedupe_points(
+        [q for q in touch if not _on_segs(np.asarray(q, float), A, B)]
+    )
+    return chains, pts_arr
