@@ -15,41 +15,39 @@ early; a 100 KB html blob must never enter an all-to-all exchange).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayspatial.pipeline.pages import nums_to_lonlat
 
-_GEO_RE = re.compile(rb'<meta name="geo" content="(-?\d+),(-?\d+)">')
-_TEXT_RE = re.compile(rb"<p>(.*?)</p>", re.S)
+# RE2 patterns for pc.extract_regex — ONE vectorized kernel call per
+# batch over the binary column (no Python row loop; this is stage 1 of
+# the flagship at every row of the corpus)
+_GEO_PAT = r'<meta name="geo" content="(?P<lat>-?\d+),(?P<lon>-?\d+)">'
+_TEXT_PAT = r"(?s)<p>(?P<t>.*?)</p>"
+
+
+def _geo_fields(html: pa.ChunkedArray | pa.Array):
+    ex = pc.extract_regex(html, pattern=_GEO_PAT)
+    ok = pc.is_valid(ex)
+    lat = pc.cast(pc.cast(pc.struct_field(ex, "lat"), pa.string()), pa.int64())
+    lon = pc.cast(pc.cast(pc.struct_field(ex, "lon"), pa.string()), pa.int64())
+    return ok, lat, lon
 
 
 class ExtractPoints:
-    """map_batches actor: pages batch -> (url, doc_id, lon, lat)."""
+    """map_batches stage: pages batch -> (url, doc_id, lon, lat).
+    Fully vectorized (pyarrow.compute extract_regex + casts)."""
 
     def __init__(self, keep_text: bool = False):
-        self.geo_re = _GEO_RE
-        self.text_re = _TEXT_RE
         self.keep_text = keep_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html = batch.column("html").to_pylist()
-        n = len(html)
-        lat_num = np.zeros(n, dtype=np.int64)
-        lon_num = np.zeros(n, dtype=np.int64)
-        ok = np.zeros(n, dtype=bool)
-        texts: list[bytes | None] = [None] * n
-        for i, h in enumerate(html):
-            m = self.geo_re.search(h)
-            if m:
-                lat_num[i] = int(m.group(1))
-                lon_num[i] = int(m.group(2))
-                ok[i] = True
-            if self.keep_text:
-                tm = self.text_re.search(h)
-                texts[i] = tm.group(1) if tm else b""
+        html = batch.column("html")
+        ok, lat_a, lon_a = _geo_fields(html)
+        lat_num = pc.fill_null(lat_a, 0).to_numpy().astype(np.int64)
+        lon_num = pc.fill_null(lon_a, 0).to_numpy().astype(np.int64)
         lon, lat = nums_to_lonlat(lat_num, lon_num)
         cols = {
             "url": batch.column("url"),
@@ -58,24 +56,22 @@ class ExtractPoints:
             "lat": pa.array(lat),
         }
         if self.keep_text:
-            cols["text"] = pa.array(
-                [t.decode("utf-8") if t is not None else None for t in texts]
+            tex = pc.extract_regex(html, pattern=_TEXT_PAT)
+            cols["text"] = pc.cast(
+                pc.fill_null(pc.struct_field(tex, "t"), b""), pa.string()
             )
         out = pa.table(cols)
-        if not ok.all():
-            out = out.filter(pa.array(ok))
+        if not pc.all(ok).as_py():
+            out = out.filter(ok)
         return out
 
 
 def extract_text(batch: pa.Table) -> pa.Table:
     """html -> text re-extraction only (url, text); used by the
     byte-identity check."""
-    html = batch.column("html").to_pylist()
-    texts = []
-    for h in html:
-        m = _TEXT_RE.search(h)
-        texts.append(m.group(1).decode("utf-8") if m else None)
-    return pa.table({"url": batch.column("url"), "text": pa.array(texts, type=pa.string())})
+    tex = pc.extract_regex(batch.column("html"), pattern=_TEXT_PAT)
+    texts = pc.cast(pc.struct_field(tex, "t"), pa.string())
+    return pa.table({"url": batch.column("url"), "text": texts})
 
 
 def extract_points(pages_ds, concurrency: int | None = None, batch_size: int | None = None):

@@ -59,27 +59,25 @@ def make_pages_batch(batch: pa.Table) -> pa.Table:
     lang = batch.column("lang")
     lat_num, lon_num = geo_nums(doc_id)
     url = pc.binary_join_element_wise(
-        pa.array([URL_PREFIX] * len(doc_id)),
+        pa.scalar(URL_PREFIX),
         pc.cast(pa.array(doc_id % 97), pa.string()),
-        pa.array([".example.com/page/"] * len(doc_id)),
+        pa.scalar(".example.com/page/"),
         pc.cast(pa.array(doc_id), pa.string()),
         "",
     )
     ts = EPOCH + ((doc_id * 37) % 31_536_000).astype("timedelta64[s]")
-    # fully vectorized html assembly (binary_join_element_wise is ~6x a
-    # per-row Python bytes-format loop)
-    n = len(doc_id)
+    # fully vectorized html assembly; constant pieces are SCALARS (the
+    # kernel broadcasts them — materializing n-length constant arrays
+    # per batch doubled the synth cost)
     html = pc.binary_join_element_wise(
-        pa.array(
-            [b'<html><head><meta charset="utf-8"><meta name="geo" content="'] * n,
-            type=pa.binary(),
-        ),
+        pa.scalar(b'<html><head><meta charset="utf-8"><meta name="geo" content="',
+                  type=pa.binary()),
         pc.cast(pc.cast(pa.array(lat_num), pa.string()), pa.binary()),
-        pa.array([b","] * n, type=pa.binary()),
+        pa.scalar(b",", type=pa.binary()),
         pc.cast(pc.cast(pa.array(lon_num), pa.string()), pa.binary()),
-        pa.array([b'"></head><body><p>'] * n, type=pa.binary()),
+        pa.scalar(b'"></head><body><p>', type=pa.binary()),
         pc.cast(batch.column("text"), pa.binary()),
-        pa.array([b"</p></body></html>"] * n, type=pa.binary()),
+        pa.scalar(b"</p></body></html>", type=pa.binary()),
         b"",
     )
     return pa.table(

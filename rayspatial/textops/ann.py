@@ -74,7 +74,16 @@ def ann_topk(ds, query_ids: np.ndarray, k: int = 5,
             kk = min(k, len(cand_idx))
             if kk == 0:
                 continue
-            sel = cand_idx[np.argpartition(-s[cand_idx], kk - 1)[:kk]]
+            # TIE-AWARE selection (mirrors ops/knn.py): a tie at the
+            # k-th similarity must keep the smallest neighbor_id, or
+            # the survivor would depend on block partitioning
+            if len(cand_idx) > 4 * kk:
+                # cheap pre-prune keeping ties: everything >= k-th value
+                kth = np.partition(-s[cand_idx], kk - 1)[kk - 1]
+                cand_idx = cand_idx[-s[cand_idx] <= kth]
+            sel = cand_idx[
+                np.lexsort((ids[cand_idx], -s[cand_idx]))[:kk]
+            ]
             out_q.append(np.full(kk, qi[c]))
             out_n.append(ids[sel])
             out_s.append(s[sel])
@@ -116,33 +125,78 @@ def embedding_dup_pairs(ds, threshold: float = 0.95,
                         id_col: str = "vec_id", col: str = "embedding"):
     """-> (a, b): unordered pairs with cosine similarity >= threshold.
 
-    Exact: the (normalized) corpus matrix is broadcast once; each batch
-    multiplies against it and keeps above-threshold pairs with a < b.
-    O(n^2/blocks) work per batch — exactness baseline; use
-    ``srp_bucket_candidates`` + in-bucket verify at corpus scale.
+    EXACT, block-pair decomposition: the corpus is normalized into B
+    Arrow blocks that live in the OBJECT STORE (never on the driver —
+    the store spills under pressure); every unordered block pair
+    (i <= j) becomes one map task doing a (|bi| x |bj|) matmul and
+    emitting above-threshold (min, max) id pairs.  Per-task memory is
+    two blocks regardless of corpus size; compute is O(n^2), which is
+    inherent to the exact op — at corpus scale use
+    ``srp_bucket_candidates`` + in-bucket verify (approximate, tunable
+    recall) instead.
     """
     import ray
+    import ray.data as rd
 
-    whole = ds.take_all()
-    wt = pa.Table.from_pylist(whole)
-    ids_all = wt.column(id_col).to_numpy()
-    order = np.argsort(ids_all)
-    mat_all = _normalize(_emb_matrix(wt, col))[order]
-    ids_all = ids_all[order]
-    ref = ray.put((ids_all, mat_all))
-
-    def per_batch(batch: pa.Table) -> pa.Table:
-        ia, ma = ray.get(ref)
+    def norm_block(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, col))
-        ids = batch.column(id_col).to_numpy()
-        sims = m @ ma.T
-        rows, cols = np.nonzero(sims >= threshold)
-        a = ids[rows]
-        b = ia[cols]
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        n, d = m.shape
+        return pa.table({
+            id_col: batch.column(id_col),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), type=pa.float64()), d
+            ),
+        })
 
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+    refs = (
+        ds.map_batches(norm_block, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    B = len(refs)
+    pair_idx = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]
+    pair_ds = rd.from_items(pair_idx).repartition(max(1, min(len(pair_idx), 64)))
+
+    def _unpack(tab: pa.Table):
+        ids = tab.column(id_col).to_numpy()
+        emb = tab.column("emb")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(ids), -1)
+
+    def do_pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ia, ma = _unpack(ray.get(refs[int(i)]))
+            if i == j:
+                ib, mb = ia, ma
+            else:
+                ib, mb = _unpack(ray.get(refs[int(j)]))
+            if not len(ia) or not len(ib):
+                continue
+            sims = ma @ mb.T
+            rows, cols = np.nonzero(sims >= threshold)
+            a, bq = ia[rows], ib[cols]
+            if i == j:
+                # each unordered pair appears twice -> upper triangle
+                keep = a < bq
+            else:
+                # each cross-block pair appears exactly once -> keep
+                # all non-self pairs, canonicalize to (min, max)
+                keep = a != bq
+            out_a.append(np.minimum(a[keep], bq[keep]))
+            out_b.append(np.maximum(a[keep], bq[keep]))
+        if not out_a:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+        })
+
+    return pair_ds.map_batches(do_pairs, batch_format="pyarrow")
 
 
 def srp_bucket_candidates(ds, num_bits: int = 16, num_tables: int = 4,
