@@ -334,6 +334,9 @@ def union_all(ga: GeomArray) -> GeomArray:
         b.num_children.append(len(uniq))
         return b.finish()
     if ((ga.types[live] == POLYGON) | (ga.types[live] == MULTIPOLYGON)).all():
+        boxes = _collect_boxes(ga, live)
+        if boxes is not None and len(boxes) > 1:
+            return _rectilinear_union(boxes)
         bb = ga.bounds()
         overlapping = False
         for x, i in enumerate(live):
@@ -641,3 +644,96 @@ def _clip_lines_convex(paths: list[np.ndarray], ring_ccw: np.ndarray):
         [q for q in touch if not _on_segs(np.asarray(q, float), A, B)]
     )
     return chains, pts_arr
+
+
+def _collect_boxes(ga: GeomArray, live: np.ndarray) -> np.ndarray | None:
+    """(n, 4) [xmin, ymin, xmax, ymax] when EVERY polygon part of the
+    live rows is an axis-aligned rectangle (5-pt shell, no holes), else
+    None.  Unlocks the rectilinear n-ary union fast path."""
+    out = []
+    live_set = set(int(i) for i in live)
+    sub_seen: dict[int, int] = {}
+    for p in range(ga.n_parts):
+        g = int(ga.part_geom[p])
+        if g not in live_set:
+            continue
+        if ga.part_kind[p] == PK_HOLE:
+            return None
+        if ga.part_kind[p] != PK_SHELL:
+            return None
+        xy = ga.part_coords(p)
+        if len(xy) != 5 or not np.array_equal(xy[0], xy[-1]):
+            return None
+        xs, ys = np.unique(xy[:, 0]), np.unique(xy[:, 1])
+        if len(xs) != 2 or len(ys) != 2:
+            return None
+        out.append((xs[0], ys[0], xs[1], ys[1]))
+        sub_seen[g] = sub_seen.get(g, 0) + 1
+    if not out:
+        return None
+    return np.asarray(out, dtype=np.float64)
+
+
+def _rectilinear_union(boxes: np.ndarray) -> GeomArray:
+    """Exact n-ary union of axis-aligned rectangles via coordinate
+    compression (the same decomposition the SQL oracle uses): unique
+    xs/ys -> coverage grid marked with a 2-D difference array -> maximal
+    merged boxes (grid_to_boxes run-merge in index space).  O(n log n +
+    cells) instead of the general O(segs^2) noded overlay — the 10x
+    fast path for union_all over box layers.  Output is coverage-form
+    MULTIPOLYGON (disjoint boxes tiling the union region; dissolve is
+    representation-level, area/predicates exact — same convention as
+    polygon_overlay)."""
+    xs = np.unique(np.r_[boxes[:, 0], boxes[:, 2]])
+    ys = np.unique(np.r_[boxes[:, 1], boxes[:, 3]])
+    ix0 = np.searchsorted(xs, boxes[:, 0])
+    ix1 = np.searchsorted(xs, boxes[:, 2])
+    iy0 = np.searchsorted(ys, boxes[:, 1])
+    iy1 = np.searchsorted(ys, boxes[:, 3])
+    nx, ny = len(xs), len(ys)
+    diff = np.zeros((ny, nx), dtype=np.int32)
+    np.add.at(diff, (iy0, ix0), 1)
+    np.add.at(diff, (iy0, ix1), -1)
+    np.add.at(diff, (iy1, ix0), -1)
+    np.add.at(diff, (iy1, ix1), 1)
+    cover = diff.cumsum(axis=0).cumsum(axis=1)
+    mask = cover[: ny - 1, : nx - 1] > 0
+    # run-merge in INDEX space, then map back through the coordinate
+    # arrays (grid_to_boxes assumes a uniform grid, so inline the same
+    # bottom-up run-merge here over compressed cells)
+    open_runs: dict[tuple[int, int], int] = {}
+    rects = []
+    for iy in range(mask.shape[0] + 1):
+        row_runs = []
+        if iy < mask.shape[0]:
+            row = mask[iy]
+            in_run = False
+            start = 0
+            for ix in range(mask.shape[1] + 1):
+                v = row[ix] if ix < mask.shape[1] else False
+                if v and not in_run:
+                    start, in_run = ix, True
+                elif not v and in_run:
+                    row_runs.append((start, ix))
+                    in_run = False
+        next_open = {}
+        for r in row_runs:
+            if r in open_runs:
+                next_open[r] = open_runs.pop(r)
+            else:
+                next_open[r] = iy
+        for (cx0, cx1), row0 in open_runs.items():
+            rects.append((xs[cx0], ys[row0], xs[cx1], ys[iy]))
+        open_runs = next_open
+    b = _Builder()
+    b.types.append(POLYGON if len(rects) == 1 else MULTIPOLYGON)
+    for (x0, y0, x1, y1) in rects:
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype=np.float64,
+        )
+        b.add_part(0, PK_SHELL, b.poly_counter, ring)
+        b.poly_counter += 1
+    b.has_z.append(False)
+    b.num_children.append(len(rects))
+    return b.finish()
