@@ -236,26 +236,37 @@ def join_points_polygons_shuffled(
     def join_group(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        payload = _ray.get(payload_ref)
-        from rayspatial.geom.wkb import parse_wkb
-
         empty = batch.drop_columns(["_pcell", "_salt"]).slice(0, 0).append_column(
             "poly_id", pa.array([], type=pa.int64())
         )
         if batch.num_rows == 0:
             return empty
         c = int(batch.column("_pcell")[0].as_py())
-        plist = payload["cells"].get(c, [])
-        if not plist:
+        # per-worker joiner cache keyed by (payload ref, cell): Ray
+        # reuses worker processes across groups, so each worker parses
+        # WKB + builds the tree ONCE per cell it sees instead of once
+        # per group invocation (salted groups of one hot cell share it)
+        ckey = (payload_ref.hex() if hasattr(payload_ref, "hex")
+                else id(payload_ref), c, predicate)
+        joiner = _JOINER_CACHE.get(ckey)
+        if joiner is None:
+            payload = _ray.get(payload_ref)
+            plist = payload["cells"].get(c, [])
+            if not plist:
+                _JOINER_CACHE[ckey] = False  # negative cache
+                return empty
+            if len(_JOINER_CACHE) > 256:
+                _JOINER_CACHE.clear()
+            joiner = PointInPolygonJoiner(
+                {"wkb": [payload["wkb"][k] for k in plist],
+                 "ids": payload["ids"][plist]},
+                predicate,
+                lon_col,
+                lat_col,
+            )
+            _JOINER_CACHE[ckey] = joiner
+        elif joiner is False:
             return empty
-        ga = parse_wkb([payload["wkb"][k] for k in plist])
-        ids = payload["ids"][plist]
-        joiner = PointInPolygonJoiner(
-            {"wkb": [payload["wkb"][k] for k in plist], "ids": ids},
-            predicate,
-            lon_col,
-            lat_col,
-        )
         return joiner(batch.drop_columns(["_pcell", "_salt"]))
 
     ds = points_ds.map_batches(add_cell, batch_format="pyarrow")

@@ -109,11 +109,66 @@ class KnnJoiner:
         self.boxes = ga.bounds()
         self.poly_ids = np.asarray(payload["ids"], dtype=np.int64)
         self.index = CellPolyIndex(self.boxes, self.poly_ids, res)
+        # envelope distance is EXACT only for axis-aligned boxes; for
+        # any other geometry the bbox distance is kept as the ring
+        # pruning LOWER BOUND and candidates are refined with the true
+        # point-to-geometry distance (per-geometry segment tables +
+        # point-in-polygon decompositions, built once per worker)
+        from rayspatial.geom.setops import _is_box
+
+        self.ga = ga
+        self.is_box = np.fromiter(
+            (_is_box(ga, i) for i in range(len(ga))), dtype=bool,
+            count=len(ga),
+        )
+        self.all_boxes = bool(self.is_box.all())
+        self._seg_cache: dict[int, tuple] = {}
+        self._decomp_cache: dict[int, object] = {}
         self.k = k
         self.max_distance = max_distance
         self.max_ring = max_ring if max_ring is not None else (1 << res)
         self.lon_col = lon_col
         self.lat_col = lat_col
+
+    def _exact_pt_dist2(self, gi: int, lon: np.ndarray,
+                        lat: np.ndarray) -> np.ndarray:
+        """True squared point-to-geometry distance (vectorized over the
+        point bucket): min over the geometry's segments/points, and 0
+        for points covered by a polygonal geometry."""
+        from rayspatial.geom import predicates as P
+        from rayspatial.geom.array import MULTIPOLYGON, POLYGON
+        from rayspatial.geom.measures import _geom_segments, _pt_seg_dist2
+
+        seg = self._seg_cache.get(gi)
+        if seg is None:
+            seg = _geom_segments(self.ga, gi)
+            self._seg_cache[gi] = seg
+        pts, s1, s2 = seg
+        out = np.full(len(lon), np.inf)
+        if len(s1):
+            out = np.minimum(
+                out,
+                _pt_seg_dist2(
+                    lon[:, None], lat[:, None],
+                    s1[None, :, 0], s1[None, :, 1],
+                    s2[None, :, 0], s2[None, :, 1],
+                ).min(axis=1),
+            )
+        if len(pts):
+            dd = (lon[:, None] - pts[None, :, 0]) ** 2 + (
+                lat[:, None] - pts[None, :, 1]
+            ) ** 2
+            out = np.minimum(out, dd.min(axis=1))
+        if self.ga.types[gi] in (POLYGON, MULTIPOLYGON):
+            dec = self._decomp_cache.get(gi)
+            if dec is None:
+                dec = P._Decomp(self.ga, gi)
+                self._decomp_cache[gi] = dec
+            from rayspatial.geom.strtree import _locate_in_polyset
+
+            loc = _locate_in_polyset(dec, lon, lat)
+            out[loc != P.EXT] = 0.0
+        return out
 
     def _bucket_knn(self, lon: np.ndarray, lat: np.ndarray, cx: int, cy: int):
         """k-NN for all points of one cell bucket.  Returns
@@ -131,6 +186,12 @@ class KnnJoiner:
                 new = np.setdiff1d(ring, cand, assume_unique=False)
                 if len(new):
                     d2 = _bbox_dist2(lon, lat, self.boxes[new])
+                    if not self.all_boxes:
+                        for col, gi in enumerate(new):
+                            if not self.is_box[gi]:
+                                d2[:, col] = self._exact_pt_dist2(
+                                    int(gi), lon, lat
+                                )
                     ids = np.broadcast_to(self.poly_ids[new], d2.shape)
                     if best_d is None:
                         best_d, best_i = d2, np.broadcast_to(

@@ -45,10 +45,24 @@ class CheckpointManifest:
     def data_path(self, pid: int) -> str:
         return os.path.join(self.root, f"{self.stage}-part-{pid}.parquet")
 
-    def is_complete(self, pid: int) -> bool:
-        return os.path.exists(self.entry_path(pid)) and os.path.exists(
-            self.data_path(pid)
-        )
+    def is_complete(self, pid: int,
+                    input_fingerprint: int | None = None) -> bool:
+        """Complete = manifest entry + data file exist AND (when the
+        caller supplies the incoming partition's ``input_fingerprint``)
+        the recorded fingerprint matches — a rerun after the upstream
+        input changed must NOT silently mix stale partitions with
+        fresh ones."""
+        if not (os.path.exists(self.entry_path(pid))
+                and os.path.exists(self.data_path(pid))):
+            return False
+        if input_fingerprint is None:
+            return True
+        try:
+            with open(self.entry_path(pid)) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return meta.get("input_fingerprint") == input_fingerprint
 
     def completed(self) -> set[int]:
         out = set()
@@ -130,7 +144,10 @@ def checkpointed_write(
         batch = pa.Table.from_pandas(
             g.drop(columns=["_pid"]), preserve_index=False
         )
-        if manifest.is_complete(pid):
+        fp = _content_hash(batch, [key_col])
+        # skip only when the recorded entry was produced from the SAME
+        # input (fingerprint match) — a changed upstream rewrites
+        if manifest.is_complete(pid, input_fingerprint=fp):
             return pa.table(
                 {"pid": [pid], "rows": [len(batch)], "skipped": [True]}
             )
@@ -146,7 +163,7 @@ def checkpointed_write(
                 "rows": len(batch),
                 "bytes": os.path.getsize(data_path),
                 "key_col": key_col,
-                "input_fingerprint": _content_hash(batch, [key_col]),
+                "input_fingerprint": fp,
                 "content_hash": _content_hash(batch),
                 "wall_s": round(time.perf_counter() - t0, 4),
                 "ts": time.time(),

@@ -105,3 +105,35 @@ def test_knn_vs_strtree_nearest(ray_session):
     out = j(batch).to_pandas().sort_values("rid")
     assert np.array_equal(out["rid"].to_numpy(), pair[0])
     assert np.array_equal(out["poly_id"].to_numpy(), pair[1])
+
+
+def test_knn_nonbox_true_distance(ray_session):
+    """For non-rectangular polygons the join must rank by TRUE geometry
+    distance, not envelope distance (envelope stays the ring bound)."""
+    import ray.data as rd
+
+    from rayspatial import geom as g
+    from rayspatial.ops.knn import knn_join
+
+    # a thin right triangle and a square: a probe point near the
+    # triangle's empty corner is envelope-close to the triangle but
+    # geometry-close to the square
+    polys = g.from_wkt([
+        "POLYGON ((0 0, 10 0, 10 1, 0 0))",     # thin triangle, id 0
+        "POLYGON ((1.5 2.2, 2.5 2.2, 2.5 3.2, 1.5 3.2, 1.5 2.2))",  # id 1
+    ])
+    pts = pd.DataFrame({"doc_id": [0], "lon": [2.0], "lat": [2.0]})
+    out = (
+        knn_join(rd.from_pandas(pts), polys, k=2, res=3)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    # true distances: square is 0.2 away; triangle boundary (hypotenuse
+    # y = x/10) is ~1.79 away even though its ENVELOPE contains the pt
+    assert list(out["poly_id"]) == [1, 0]
+
+    # brute-force check of every pair distance ordering
+    d_tri = float(
+        g.distance(g.from_wkt(["POINT (2 2)", "POINT (2 2)"]), polys)[0]
+    )
+    assert d_tri > 0.2

@@ -150,3 +150,31 @@ def test_checkpointed_flagship_pairs(ray_session, tmp_path):
         points_dataset(SF), polygon_geoms(), predicate="covers"
     ).to_pandas()[["doc_id", "poly_id"]]
     assert set(map(tuple, back.to_numpy())) == set(map(tuple, direct.to_numpy()))
+
+
+def test_checkpoint_stale_input_rewrites(ray_session, tmp_path):
+    """A rerun whose upstream input CHANGED must rewrite the partition
+    (input_fingerprint mismatch), not skip it as complete."""
+    import ray.data as rd
+
+    from rayspatial.state.checkpoint import checkpointed_write, read_checkpointed
+
+    out = str(tmp_path / "ckpt")
+    df1 = pd.DataFrame({"k": np.arange(40), "v": np.arange(40) * 2})
+    ds1 = rd.from_pandas(df1)
+    _, rep1 = checkpointed_write(ds1, out, key_col="k", num_partitions=4)
+    assert not rep1["skipped"].any()
+
+    # identical rerun: every partition skips
+    _, rep2 = checkpointed_write(rd.from_pandas(df1), out, key_col="k",
+                                 num_partitions=4)
+    assert rep2["skipped"].all()
+
+    # changed input (one extra key): affected partition rewrites
+    df3 = pd.DataFrame({"k": np.arange(41), "v": np.arange(41) * 2})
+    _, rep3 = checkpointed_write(rd.from_pandas(df3), out, key_col="k",
+                                 num_partitions=4)
+    assert (~rep3["skipped"]).sum() >= 1
+    got = read_checkpointed(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got) == 41
+    assert (got["v"].to_numpy() == got["k"].to_numpy() * 2).all()

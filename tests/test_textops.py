@@ -347,3 +347,27 @@ def test_connected_components_distributed(ray_session):
     ref2 = connected_duplicate_groups(rp)
     for node, rep in ref2.items():
         assert got2[node] == rep
+
+
+def test_connected_components_bucket_mode(ray_session):
+    """Bucket (no-broadcast) propagation matches the broadcast mode and
+    the driver union-find on a random graph."""
+    import ray.data as rd
+
+    from rayspatial.textops.components import connected_components_distributed
+    from rayspatial.textops.dedup import connected_duplicate_groups
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 150, 250)
+    b = rng.randint(0, 150, 250)
+    keep = a != b
+    rp = pd.DataFrame({"a": np.minimum(a, b)[keep], "b": np.maximum(a, b)[keep]})
+    ds = rd.from_arrow(pa.Table.from_pandas(rp, preserve_index=False)).repartition(4)
+    got = (
+        connected_components_distributed(ds, mode="bucket")
+        .to_pandas()
+        .set_index("doc_id")["rep"]
+    )
+    ref = connected_duplicate_groups(rp)
+    for node, rep in ref.items():
+        assert got[node] == rep
