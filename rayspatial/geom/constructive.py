@@ -133,13 +133,141 @@ def _circle_ring(cx: float, cy: float, r: float, quadsegs: int) -> np.ndarray:
     return ring
 
 
-def buffer(ga: GeomArray, radius, quadsegs: int = 8) -> GeomArray:
-    """Buffer (reference constructive.py:82-184).  Implemented: point and
-    multipoint sources (round).  Line/polygon buffering raises
-    NotImplementedError (tracked for a later phase; the flagship join +
-    tiling pipeline only buffers points, like the reference benchmarks
-    at benchmarks/benchmarks.py:177-187)."""
+def _left_normal(u: np.ndarray) -> np.ndarray:
+    return np.array([-u[1], u[0]])
+
+
+def _arc_wedge(v: np.ndarray, n1: np.ndarray, n2: np.ndarray,
+               quadsegs: int) -> np.ndarray:
+    """Closed pie-wedge ring from v+n1 to v+n2 sweeping the SHORT way
+    (the outer gap of a join); used where a full disk would spill onto
+    the un-buffered side (single-sided buffers)."""
+    a1 = np.arctan2(n1[1], n1[0])
+    a2 = np.arctan2(n2[1], n2[0])
+    sweep = (a2 - a1 + np.pi) % (2 * np.pi) - np.pi  # short way
+    r = np.hypot(n1[0], n1[1])
+    steps = max(int(np.ceil(abs(sweep) / (np.pi / 2) * quadsegs)), 1)
+    ang = a1 + sweep * np.arange(steps + 1) / steps
+    pts = np.column_stack([v[0] + r * np.cos(ang), v[1] + r * np.sin(ang)])
+    return np.vstack([v[None, :], pts, v[None, :]])
+
+
+def _join_patch(v, u1, u2, r, join_style, mitre_limit, quadsegs,
+                single_side: int = 0):
+    """Ring filling the outer wedge of a turn at vertex ``v`` between
+    unit directions ``u1`` (incoming) and ``u2`` (outgoing), or None.
+    ``single_side``: 0 = both-side buffer (patch whichever side gaps),
+    +1/-1 = only patch gaps on the left/right of travel."""
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    if abs(cross) < 1e-12:
+        return None
+    outer = -1 if cross > 0 else 1  # gap side: right of a left turn
+    if single_side and outer != single_side:
+        return None
+    sgn = 1.0 if outer > 0 else -1.0
+    n1 = sgn * _left_normal(u1) * r
+    n2 = sgn * _left_normal(u2) * r
+    if join_style == "round":
+        if single_side:
+            return _arc_wedge(v, n1, n2, quadsegs)
+        return _circle_ring(v[0], v[1], r, quadsegs)
+    if join_style == "bevel":
+        return np.vstack([v, v + n1, v + n2, v])
+    if join_style == "mitre":
+        m = n1 + n2
+        mlen = np.hypot(m[0], m[1])
+        if mlen < 1e-12:
+            return _circle_ring(v[0], v[1], r, quadsegs)  # 180° turn
+        mh = m / mlen
+        proj = float(n1 @ mh)  # r * cos(half-angle)
+        d = r * r / proj  # mitre-point distance from v
+        L = mitre_limit * r
+        if d <= L:
+            return np.vstack([v, v + n1, v + d * mh, v + n2, v])
+        # crop the spike at bisector-distance L (GEOS mitre_limit)
+        tip = d * mh
+        t1 = (L - proj) / (d - proj)
+        q1 = (v + n1) + t1 * (v + tip - (v + n1))
+        q2 = (v + n2) + t1 * (v + tip - (v + n2))
+        return np.vstack([v, v + n1, q1, q2, v + n2, v])
+    raise ValueError(f"buffer: invalid join_style {join_style!r}")
+
+
+def _path_buffer_rings(xy: np.ndarray, r: float, closed: bool,
+                       cap_style: str, join_style: str,
+                       mitre_limit: float, quadsegs: int,
+                       single_side: int = 0) -> list[np.ndarray]:
+    """Closed rings whose union is the styled buffer of one path."""
+    if cap_style not in ("round", "square", "flat"):
+        raise ValueError(f"buffer: invalid cap_style {cap_style!r}")
+    pts = xy
+    if closed and len(pts) > 1 and not (pts[0] == pts[-1]).all():
+        pts = np.vstack([pts, pts[:1]])
+    # drop consecutive duplicates
+    if len(pts) > 1:
+        keep = np.r_[True, (np.abs(np.diff(pts, axis=0)) > 0).any(axis=1)]
+        pts = pts[keep]
+    rings: list[np.ndarray] = []
+    if len(pts) == 1:
+        if not single_side:
+            rings.append(_circle_ring(pts[0, 0], pts[0, 1], r, quadsegs))
+        return rings
+    d = np.diff(pts, axis=0)
+    ln = np.hypot(d[:, 0], d[:, 1])
+    u = d / ln[:, None]
+    # per-segment offset rectangles
+    for k in range(len(pts) - 1):
+        a, bb = pts[k], pts[k + 1]
+        n = _left_normal(u[k]) * r
+        if single_side > 0:
+            rings.append(np.vstack([a, bb, bb + n, a + n, a]))
+        elif single_side < 0:
+            rings.append(np.vstack([a + n * 0, bb, bb - n, a - n, a]))
+        else:
+            rings.append(np.vstack([a + n, bb + n, bb - n, a - n, a + n]))
+    # joins at interior vertices (all vertices when closed)
+    nseg = len(pts) - 1
+    vidx = range(0, nseg) if closed else range(1, nseg)
+    for k in vidx:
+        v = pts[k]
+        u1 = u[k - 1] if k > 0 else u[nseg - 1]
+        u2 = u[k]
+        patch = _join_patch(v, u1, u2, r, join_style, mitre_limit,
+                            quadsegs, single_side)
+        if patch is not None:
+            rings.append(patch)
+    # caps at open endpoints (never for single-sided: GEOS uses flat)
+    if not closed and not single_side:
+        for v, uo in ((pts[0], -u[0]), (pts[-1], u[-1])):
+            if cap_style == "round":
+                rings.append(_circle_ring(v[0], v[1], r, quadsegs))
+            elif cap_style == "square":
+                n = _left_normal(uo) * r
+                rings.append(
+                    np.vstack([v + n, v + n + r * uo, v - n + r * uo,
+                               v - n, v + n])
+                )
+    return rings
+
+
+def buffer(ga: GeomArray, radius, quadsegs: int = 8,
+           cap_style: str = "round", join_style: str = "round",
+           mitre_limit: float = 5.0,
+           single_sided: bool = False) -> GeomArray:
+    """Styled buffer (reference constructive.py:82-184): Minkowski
+    sum/difference approximated as a union of per-segment offset
+    rectangles, per-vertex join patches (round disk / bevel triangle /
+    mitre quad cropped at ``mitre_limit``) and endpoint caps
+    (round / square / flat), dissolved by the n-ary overlay.
+    ``single_sided`` buffers lines on the left (positive radius) or
+    right (negative) side only, with flat ends (GEOS semantics).
+    Negative radius erodes polygons (difference with the styled
+    boundary band) and empties points/lines."""
     radius = np.broadcast_to(np.asarray(radius, dtype=np.float64), len(ga))
+    if cap_style not in ("round", "square", "flat"):
+        raise ValueError(f"buffer: invalid cap_style {cap_style!r}")
+    if join_style not in ("round", "bevel", "mitre"):
+        raise ValueError(f"buffer: invalid join_style {join_style!r}")
     b = _Builder()
     for i in range(len(ga)):
         t = int(ga.types[i])
@@ -150,54 +278,48 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8) -> GeomArray:
         if len(parts) == 0:  # empty
             _append_empty(b, POLYGON)
             continue
+        if single_sided and t in (LINESTRING, LINEARRING, MULTILINESTRING) \
+                and radius[i] != 0:
+            side = 1 if radius[i] > 0 else -1
+            rr = abs(radius[i])
+            rings = []
+            for p in parts:
+                rings.extend(_path_buffer_rings(
+                    ga.part_coords(p), rr, False, "flat", join_style,
+                    mitre_limit, quadsegs, single_side=side,
+                ))
+            _emit_ring_union(b, i, rings)
+            continue
         if t not in (POINT, MULTIPOINT):
-            # lineal/areal buffer: union of per-segment capsules
-            # (rectangle + vertex disks) + the polygon body itself —
-            # exact up to the same arc discretization as point buffers
             if radius[i] <= 0:
                 if t in (POLYGON, 6) and radius[i] < 0:
-                    # erosion = polygon minus a capsule band around its
-                    # boundary (exact up to the arc discretization)
+                    # erosion = polygon minus the styled boundary band
                     from rayspatial.geom.setops import _copy_geom, difference
 
-                    band = buffer(boundary(_slice_one(ga, i)), -radius[i], quadsegs)
+                    band = buffer(boundary(_slice_one(ga, i)), -radius[i],
+                                  quadsegs, cap_style, join_style,
+                                  mitre_limit)
                     sub = difference(_slice_one(ga, i), band)
                     _copy_geom(sub, 0, b, i)
                     continue
                 _append_empty(b, POLYGON)
                 continue
-            from rayspatial.geom.overlay import nary_union
-            from rayspatial.geom.creation import polygons as mk_polys
-
             rings = []
             for p in parts:
                 xy = ga.part_coords(p)
-                if len(xy) == 1:
-                    rings.append(_circle_ring(xy[0, 0], xy[0, 1], radius[i], quadsegs))
-                    continue
-                for k in range(len(xy) - 1):
-                    a2, b2 = xy[k], xy[k + 1]
-                    e = b2 - a2
-                    ln = np.hypot(e[0], e[1])
-                    if ln > 0:
-                        nrm = np.array([-e[1], e[0]]) / ln * radius[i]
-                        rings.append(
-                            np.vstack(
-                                [a2 + nrm, b2 + nrm, b2 - nrm, a2 - nrm, a2 + nrm]
-                            )
-                        )
-                for k in range(len(xy)):
-                    rings.append(
-                        _circle_ring(xy[k, 0], xy[k, 1], radius[i], quadsegs)
-                    )
-                if int(ga.part_kind[p]) == PK_SHELL:
+                kind = int(ga.part_kind[p])
+                closed = kind in (PK_SHELL, PK_HOLE) or (
+                    len(xy) > 1 and (xy[0] == xy[-1]).all()
+                )
+                rings.extend(_path_buffer_rings(
+                    xy, radius[i], closed, cap_style, join_style,
+                    mitre_limit, quadsegs,
+                ))
+                if kind == PK_SHELL:
                     rings.append(
                         xy if (xy[0] == xy[-1]).all() else np.vstack([xy, xy[:1]])
                     )
-            sub = nary_union(mk_polys([r[:-1] for r in rings]))
-            from rayspatial.geom.setops import _copy_geom
-
-            _copy_geom(sub, 0, b, i)
+            _emit_ring_union(b, i, rings)
             continue
         if radius[i] <= 0:
             _append_empty(b, POLYGON)
@@ -208,17 +330,38 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8) -> GeomArray:
         ]
         if len(rings) == 1:
             _append_ring_polygon(b, i, rings[0])
-        else:
-            # multipoint buffer = union of disks; emit MULTIPOLYGON of the
-            # disks (exact when disjoint; overlapping disks would need
-            # polygon union — later phase)
+        elif _disks_disjoint(ga, parts, radius[i]):
+            # multipoint buffer: disjoint disks -> plain MULTIPOLYGON
             b.types.append(MULTIPOLYGON)
             b.has_z.append(False)
             b.num_children.append(len(rings))
             for ring in rings:
                 b.add_part(i, PK_SHELL, b.poly_counter, ring)
                 b.poly_counter += 1
+        else:
+            # overlapping disks must DISSOLVE (an un-unioned
+            # MULTIPOLYGON with overlapping members is invalid)
+            _emit_ring_union(b, i, rings)
     return b.finish()
+
+
+def _disks_disjoint(ga: GeomArray, parts: np.ndarray, r: float) -> bool:
+    centers = np.vstack([ga.part_coords(p)[0] for p in parts])
+    d2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    return bool((d2 > (2 * r) ** 2).all())
+
+
+def _emit_ring_union(b: _Builder, i: int, rings: list[np.ndarray]) -> None:
+    from rayspatial.geom.creation import polygons as mk_polys
+    from rayspatial.geom.overlay import nary_union
+    from rayspatial.geom.setops import _copy_geom
+
+    if not rings:
+        _append_empty(b, POLYGON)
+        return
+    sub = nary_union(mk_polys([r[:-1] for r in rings]))
+    _copy_geom(sub, 0, b, i)
 
 
 def _slice_one(ga: GeomArray, i: int) -> GeomArray:

@@ -242,9 +242,13 @@ def is_prepared(ga: GeomArray) -> np.ndarray:
 def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     """DE-9IM matrix string per pair (predicates.py:953-974).
 
-    Implemented for POINT left-hand sides vs point/line/polygon (the
-    join-predicate cases this engine uses); other combinations raise
-    NotImplementedError.  Missing on either side -> None."""
+    POINT and lineal left-hand sides are computed directly (noded
+    arrangement for lines); polygonal lhs vs point/lineal uses DE-9IM
+    pair symmetry (relate(A,B) = transpose of relate(B,A)); polygonal
+    lhs vs polygonal is classified on the noded boundary arrangement +
+    interior probes (_relate_polygon).  GEOMETRYCOLLECTION operands
+    raise (GEOS raises for GC relate too).  Missing on either side ->
+    None."""
     n = len(ga)
     out = np.empty(n, dtype=object)
     for i in range(n):
@@ -252,12 +256,41 @@ def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
         if ga.types[i] == MISSING or gb.types[j] == MISSING:
             out[i] = None
             continue
+        if ga.types[i] == 7 or gb.types[j] == 7:
+            raise NotImplementedError(
+                "relate: GEOMETRYCOLLECTION operands are unsupported "
+                "(GEOS raises here as well)"
+            )
         if ga.types[i] in (1, 2, 5):  # lineal lhs
-            out[i] = _relate_line(ga, i, gb, j)
+            if gb.types[j] == POINT:
+                # puntal rhs via pair symmetry (the point-lhs branch is
+                # the GEOS-truth-tested one; _relate_line's midpoint
+                # classification can only see a point rhs by accident)
+                from rayspatial.geom.setops import _slice_rows
+
+                m = relate(_slice_rows(gb, [j]), _slice_rows(ga, [i]))[0]
+                out[i] = _transpose_de9im(m)
+            elif gb.types[j] == 4:
+                raise NotImplementedError(
+                    "relate: MULTIPOINT right-hand side unsupported"
+                )
+            else:
+                out[i] = _relate_line(ga, i, gb, j)
+            continue
+        if ga.types[i] in (3, 6):  # polygonal lhs
+            if gb.types[j] in (3, 6):
+                out[i] = _relate_polygon(ga, i, gb, j)
+            else:
+                # pair symmetry: transpose of the (point/line, polygon)
+                # matrix computed by the direct branches
+                from rayspatial.geom.setops import _slice_rows
+
+                m = relate(_slice_rows(gb, [j]), _slice_rows(ga, [i]))[0]
+                out[i] = _transpose_de9im(m)
             continue
         if ga.types[i] != POINT:
             raise NotImplementedError(
-                "relate: POINT and lineal left-hand geometries are supported"
+                "relate: unsupported left-hand geometry type"
             )
         loc = _locate_point_in(ga, i, gb, j)
         bdim = _boundary_dim(gb, j)
@@ -392,6 +425,98 @@ def _relate_line(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
     else:  # points
         ei, eb, ee = "0", "F", "2"
     return ii + ib + ie + bi + bb_ + be + ei + eb + ee
+
+
+def _transpose_de9im(m: str) -> str:
+    """relate(A,B) = transpose of relate(B,A) (swap I/B/E rows & cols)."""
+    return "".join(m[k] for k in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+
+def _relate_polygon(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
+    """DE-9IM for polygonal A vs polygonal B on the noded boundary
+    arrangement (SURVEY 8.4.1): each noded boundary sub-segment's
+    midpoint is located in the OTHER polygon (valid-polygon dimension
+    facts: boundary-in-open-set intersections are 1-dimensional,
+    interior-interior intersections 2-dimensional), with
+    point_on_surface interior probes covering the equal/containment
+    cases that produce no boundary-in-interior segment."""
+    from rayspatial.geom.overlay import _node_all_multi
+
+    def rings_of(g_, idx):
+        return [
+            g_.part_coords(p)
+            for p in np.flatnonzero(g_.part_geom == idx)
+            if g_.part_kind[p] in (2, 3)
+        ]
+
+    def segs_of(rings):
+        segs = []
+        for xy in rings:
+            r = xy if (xy[0] == xy[-1]).all() else np.vstack([xy, xy[:1]])
+            for k in range(len(r) - 1):
+                if (r[k] != r[k + 1]).any():
+                    segs.append((r[k], r[k + 1]))
+        return segs
+
+    a_rings, b_rings = rings_of(ga, i), rings_of(gb, j)
+    if not a_rings or not b_rings:  # empty operand(s)
+        ia = "F" if not a_rings else "2"
+        ib_ = "F" if not b_rings else "2"
+        return (
+            "FFFFFF" + ("21" if ib_ == "2" else "FF") + "2"
+            if ia == "F"
+            else "FF2FF1FF2"
+        )
+    segs, members = _node_all_multi([segs_of(a_rings), segs_of(b_rings)])
+    II = IB = IE = BI = BB = BE = EI = EB = "F"
+    for k, (a2, b2) in enumerate(segs):
+        mid = (np.asarray(a2) + np.asarray(b2)) / 2.0
+        on_a = 0 in members[k]
+        on_b = 1 in members[k]
+        if on_a and on_b:
+            BB = "1"
+            continue
+        if on_a:
+            where = _locate_point_str(mid, gb, j)
+            if where == "interior":
+                BI = "1"
+                II = "2"  # a neighborhood of mid inside A is inside B
+            elif where == "exterior":
+                BE = "1"
+                IE = "2"
+        else:
+            where = _locate_point_str(mid, ga, i)
+            if where == "interior":
+                IB = "1"
+                II = "2"
+            elif where == "exterior":
+                EB = "1"
+                EI = "2"
+    if BB == "F":
+        # touching nodes: graph vertices incident to both boundaries
+        node_src: dict[tuple, set] = {}
+        for k, (a2, b2) in enumerate(segs):
+            for endp in (a2, b2):
+                node_src.setdefault(endp, set()).update(members[k])
+        if any(src >= {0, 1} for src in node_src.values()):
+            BB = "0"
+    # interior probes for the no-crossing cases (equal / containment
+    # with fully shared boundaries)
+    from rayspatial.geom.constructive import point_on_surface
+    from rayspatial.geom.setops import _slice_rows
+
+    if II == "F" or IE == "F" or EI == "F":
+        pa_ = point_on_surface(_slice_rows(ga, [i]))
+        pb_ = point_on_surface(_slice_rows(gb, [j]))
+        wa = _locate_point_in(pa_, 0, gb, j)
+        wb = _locate_point_in(pb_, 0, ga, i)
+        if wa == "interior" or wb == "interior":
+            II = "2"
+        if wa == "exterior":
+            IE = "2"
+        if wb == "exterior":
+            EI = "2"
+    return II + IB + IE + BI + BB + BE + EI + EB + "2"
 
 
 def _point_geom(pt: np.ndarray) -> GeomArray:

@@ -40,8 +40,8 @@ def test_relate_point_cases():
     assert list(g.relate_pattern(pts, poly, "T********")) == [True, False, False, False]
     # within == relate T*F**F***
     assert list(g.relate_pattern(pts, poly, "T*F**F***")) == [True, False, False, False]
-    with pytest.raises(NotImplementedError):
-        g.relate(poly, poly)
+    # polygon lhs is supported since round 2 (tests/test_relate_polygon.py)
+    assert g.relate(poly, poly)[0] == "2FFF1FFF2"
 
 
 def test_is_valid_reason():
