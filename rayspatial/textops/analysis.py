@@ -45,9 +45,9 @@ def text_stats(ds, id_col: str = "doc_id"):
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
         empty = pc.equal(pc.utf8_length(trimmed), 0)
         n_tokens = pc.if_else(empty, pa.scalar(0, type=pa.int64()), n_tokens)
-        uniq = pa.array(
-            [len(set(x)) if x else 0 for x in toks.to_pylist()], type=pa.int64()
-        )
+        from rayspatial.textops.hashing import uniq_token_counts
+
+        uniq = pa.array(uniq_token_counts(text), type=pa.int64())
         n_spaces = pc.cast(
             pc.count_substring(text, " "), pa.int64()
         )
@@ -85,6 +85,46 @@ def _char_ngrams(text: str, n: int = 2) -> list[str]:
     return [t[i : i + n] for i in range(max(len(t) - n + 1, 0))]
 
 
+def _byte_ngram_hashes(texts, n: int = 2):
+    """(flat uint64 n-gram hashes, int64 offsets[n_docs+1]) of the
+    whitespace-normalized (' ' + joined words + ' ') utf-8 BYTE n-grams
+    per doc — one vectorized pass over the concatenated Arrow byte
+    buffer (no per-doc Python loop).  Identical to char n-grams for
+    ASCII; for multi-byte scripts byte n-grams remain a valid language
+    signal (train and score use the same basis)."""
+    from rayspatial.textops.hashing import (
+        _ragged_arange,
+        _string_bytes_offsets,
+        hash_int64,
+    )
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    norm = pc.binary_join_element_wise(
+        " ",
+        pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(texts, "")), r"\s+", " "
+        ),
+        " ",
+        "",
+    )
+    data, offsets = _string_bytes_offsets(norm)
+    lengths = np.diff(offsets)
+    m = np.maximum(lengths - n + 1, 0)
+    out_off = np.zeros(len(m) + 1, dtype=np.int64)
+    np.cumsum(m, out=out_off[1:])
+    if not m.sum():
+        return np.empty(0, dtype=np.uint64), out_off
+    doc_of = np.repeat(np.arange(len(m)), m)
+    starts = offsets[:-1][doc_of] + _ragged_arange(m)
+    acc = np.zeros(len(starts), dtype=np.uint64)
+    for d in range(n):
+        acc |= data[starts + d].astype(np.uint64) << np.uint64(8 * d)
+    return hash_int64(acc), out_off
+
+
 def train_lang_profiles(sample: pd.DataFrame, n: int = 2, top: int = 300):
     """Per-language char-n-gram log-frequency profiles from a labeled
     sample (driver-side; the sample is small by construction).  Returns
@@ -92,17 +132,14 @@ def train_lang_profiles(sample: pd.DataFrame, n: int = 2, top: int = 300):
     vectorized scoring."""
     profiles = {}
     for lang, g in sample.groupby("lang"):
-        counts: dict[str, int] = {}
-        for t in g["text"]:
-            for ng in _char_ngrams(t, n):
-                counts[ng] = counts.get(ng, 0) + 1
-        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
-        total = sum(v for _, v in items)
-        grams = pa.array([k for k, _ in items], type=pa.string())
-        h = hash_strings(grams)
-        order = np.argsort(h)
-        logp = np.log(np.array([v for _, v in items], dtype=np.float64) / total)
-        profiles[lang] = (h[order], logp[order])
+        gh, _ = _byte_ngram_hashes(list(g["text"]), n)
+        uniq, cnt = np.unique(gh, return_counts=True)
+        sel = np.lexsort((uniq, -cnt))[:top]
+        h_sel, c_sel = uniq[sel], cnt[sel]
+        total = c_sel.sum()
+        order = np.argsort(h_sel)
+        logp = np.log(c_sel.astype(np.float64) / total)
+        profiles[lang] = (h_sel[order], logp[order])
     return profiles
 
 
@@ -124,19 +161,12 @@ class LangScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
         # flatten all docs' ngrams, hash once, score per language with
-        # searchsorted lookups + segmented sums
-        grams: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            ng = _char_ngrams(t or "", self.n)
-            counts[i] = len(ng)
-            grams.extend(ng)
-        gh = hash_strings(pa.array(grams, type=pa.string()))
-        off = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=off[1:])
-        scores = np.full((len(texts), len(self.langs)), -np.inf)
+        # searchsorted lookups + segmented sums (fully vectorized)
+        gh, off = _byte_ngram_hashes(batch.column("text"), self.n)
+        counts = np.diff(off)
+        n_docs = len(off) - 1
+        scores = np.full((n_docs, len(self.langs)), -np.inf)
         for li, lang in enumerate(self.langs):
             hs, logp = self.profiles[lang]
             idx = np.searchsorted(hs, gh)

@@ -29,9 +29,9 @@ def curate(ds, min_tokens: int = 20, max_tokens: int = 400,
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
         empty = pc.equal(pc.utf8_length(trimmed), 0)
         n_tokens = pc.if_else(empty, pa.scalar(0, type=pa.int64()), n_tokens)
-        uniq = pa.array(
-            [len(set(x)) if x else 0 for x in toks.to_pylist()], type=pa.int64()
-        )
+        from rayspatial.textops.hashing import uniq_token_counts
+
+        uniq = pa.array(uniq_token_counts(text), type=pa.int64())
         keep = pc.and_(
             pc.and_(
                 pc.greater_equal(n_tokens, min_tokens),

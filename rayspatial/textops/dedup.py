@@ -317,19 +317,12 @@ def minhash_lsh_candidates(
 
 def simhash_batch(texts: pa.Array, id_col_vals: np.ndarray) -> np.ndarray:
     """64-bit simhash per doc over whitespace tokens (count-weighted)."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    py = texts.to_pylist()
-    tokens: list[str] = []
-    counts = np.zeros(len(py), dtype=np.int64)
-    for i, t in enumerate(py):
-        w = t.split() if t else []
-        counts[i] = len(w)
-        tokens.extend(w)
-    th = hash_strings(pa.array(tokens, type=pa.string()))
-    off = np.zeros(len(py) + 1, dtype=np.int64)
-    np.cumsum(counts, out=off[1:])
-    out = np.zeros(len(py), dtype=np.uint64)
+    from rayspatial.textops.hashing import split_words
+
+    flat, off = split_words(texts)
+    counts = np.diff(off)
+    th = hash_strings(flat)
+    out = np.zeros(len(off) - 1, dtype=np.uint64)
     if len(th) == 0:
         return out.view(np.int64)
     # bit matrix (T, 64) in +-1, segment-summed per doc, sign -> bit.

@@ -102,34 +102,93 @@ def rolling_fingerprint(values) -> np.ndarray:
     return out.view(np.int64)
 
 
+def split_words(texts):
+    """Whitespace tokenization with a Python-free inner loop:
+    trim + ``pc.split_pattern_regex`` and read the Arrow list buffers
+    directly.  Returns (flat word StringArray, int64 offsets[n+1]) —
+    doc ``i`` owns ``flat[offsets[i]:offsets[i+1]]``.  Matches
+    ``str.split()`` semantics (runs of whitespace, no empty tokens;
+    null/empty docs own zero tokens)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(texts)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # empty-trimmed docs split to [''] — drop those tokens
+    emptytok = pc.equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if emptytok.any():
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        counts = counts - np.bincount(
+            doc_of[emptytok], minlength=len(counts)
+        ).astype(np.int64)
+        flat = flat.filter(pa.array(~emptytok))
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return flat, offsets
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    if not total:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
 def word_shingle_hashes(texts: pa.Array, k: int = 3):
     """Distinct word-``k``-gram shingle hashes per document.
 
     Returns (flat uint64 hashes, int64 offsets[n+1]): doc ``i`` owns
     ``flat[offsets[i]:offsets[i+1]]`` (sorted, deduplicated).  Shingle
     = k consecutive whitespace-split words joined by a single space —
-    the exact definition the DuckDB oracle reproduces.
-    """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    shingles: list[str] = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    py = texts.to_pylist()
-    for i, t in enumerate(py):
-        words = t.split() if t else []
-        m = max(len(words) - k + 1, 0)
-        counts[i] = m
-        for j in range(m):
-            shingles.append(" ".join(words[j : j + k]))
-    all_h = hash_strings(pa.array(shingles, type=pa.string()))
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    out_flat = np.empty_like(all_h)
-    out_off = np.zeros(len(texts) + 1, dtype=np.int64)
-    pos = 0
-    for i in range(len(texts)):
-        seg = np.unique(all_h[offsets[i] : offsets[i + 1]])
-        out_flat[pos : pos + len(seg)] = seg
-        pos += len(seg)
-        out_off[i + 1] = pos
-    return out_flat[:pos], out_off
+    the exact definition the DuckDB oracle reproduces.  Fully
+    vectorized: Arrow-buffer tokenization (split_words), one
+    ``binary_join_element_wise`` over the k shifted word columns, one
+    lexsort dedupe."""
+    import pyarrow.compute as pc
+
+    flat, offsets = split_words(texts)
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    m = np.maximum(counts - k + 1, 0)  # shingles per doc
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    if m.sum() == 0:
+        return np.empty(0, dtype=np.uint64), out_off
+    doc_of = np.repeat(np.arange(n), m)
+    starts = offsets[:-1][doc_of] + _ragged_arange(m)
+    cols = [flat.take(pa.array(starts + d)) for d in range(k)]
+    shingle = pc.binary_join_element_wise(*cols, " ")
+    all_h = hash_strings(shingle)
+    # per-doc sorted unique
+    order = np.lexsort((all_h, doc_of))
+    d_s, h_s = doc_of[order], all_h[order]
+    first = np.r_[True, (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])]
+    out_flat = h_s[first]
+    np.cumsum(np.bincount(d_s[first], minlength=n), out=out_off[1:])
+    return out_flat, out_off
+
+
+def uniq_token_counts(texts) -> np.ndarray:
+    """Distinct whitespace-token count per document (vectorized:
+    tokenize via Arrow buffers, hash, lexsort-dedupe)."""
+    flat, offsets = split_words(texts)
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    if not counts.sum():
+        return np.zeros(n, dtype=np.int64)
+    th = hash_strings(flat)
+    doc_of = np.repeat(np.arange(n), counts)
+    order = np.lexsort((th, doc_of))
+    d_s, h_s = doc_of[order], th[order]
+    first = np.r_[True, (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])]
+    return np.bincount(d_s[first], minlength=n).astype(np.int64)
