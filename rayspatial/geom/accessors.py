@@ -374,25 +374,148 @@ def set_srid(ga: GeomArray, srid) -> GeomArray:
     return out
 
 
-def set_precision(ga: GeomArray, grid_size: float, mode: str = "pointwise") -> GeomArray:
+def set_precision(ga: GeomArray, grid_size: float,
+                  mode: str = "valid_output") -> GeomArray:
     """Round all coordinates to a precision grid (reference
-    geometry.py:699-791).  Only ``mode='pointwise'`` is implemented
-    (coordinates snapped independently; no topology repair) — the
-    valid_output/keep_collapsed modes need full overlay support."""
-    if mode == "valid_output":
-        from rayspatial.geom.constructive import make_valid
+    geometry.py:699-791), with GEOS mode semantics:
 
-        return make_valid(set_precision(ga, grid_size, mode="pointwise"))
-    if mode != "pointwise":
-        raise NotImplementedError(
-            "set_precision: pointwise and valid_output modes only"
-        )
-    if grid_size <= 0:
-        raise ValueError("grid_size must be positive")
+    - ``'valid_output'`` (default): duplicate vertices removed,
+      collapsed elements (degenerate lines AND polygons) removed,
+      self-intersections introduced by snapping repaired (make_valid
+      linework semantics);
+    - ``'pointwise'``: coordinates snapped independently, nothing else
+      (GEOS NO_TOPO) — output may be invalid;
+    - ``'keep_collapsed'``: like valid_output, but lines that collapse
+      keep a degenerate 2-point representation (polygonal collapses
+      are still removed).
+    """
+    if mode not in ("valid_output", "pointwise", "keep_collapsed"):
+        raise ValueError(f"set_precision: invalid mode {mode!r}")
+    if grid_size < 0:
+        raise ValueError("grid_size must be >= 0")
     from dataclasses import replace
 
+    if grid_size == 0:
+        return ga
     snapped = np.round(ga.coords / grid_size) * grid_size
-    return replace(ga, coords=snapped)
+    pw = replace(ga, coords=snapped)
+    if mode == "pointwise":
+        return pw
+    # valid_output / keep_collapsed: rebuild rows part-by-part
+    from rayspatial.geom.array import (
+        LINEARRING,
+        LINESTRING,
+        MULTILINESTRING,
+        MULTIPOLYGON,
+        PK_HOLE,
+        PK_LINE,
+        PK_POINT,
+        PK_SHELL,
+        POINT,
+        POLYGON,
+        _Builder,
+    )
+    from rayspatial.geom.constructive import _append_empty, _append_missing
+
+    b = _Builder()
+    for i in range(len(pw)):
+        t = int(pw.types[i])
+        if t == MISSING:
+            _append_missing(b)
+            continue
+        parts = np.flatnonzero(pw.part_geom == i)
+        kept_pts: list[np.ndarray] = []
+        kept_lines: list[np.ndarray] = []
+        kept_rings: list[tuple[int, int, np.ndarray]] = []  # (kind, sub, xy)
+        for p in parts:
+            kind = int(pw.part_kind[p])
+            xy = pw.part_coords(p)
+            # drop consecutive duplicate vertices
+            if len(xy) > 1:
+                keep = np.r_[True, (np.abs(np.diff(xy, axis=0)) > 0).any(axis=1)]
+                xy = xy[keep]
+            if kind == PK_POINT:
+                kept_pts.append(xy)
+            elif kind == PK_LINE:
+                if len(xy) >= 2:
+                    kept_lines.append(xy)
+                elif mode == "keep_collapsed" and len(xy) == 1:
+                    kept_lines.append(np.vstack([xy, xy]))  # degenerate
+            else:  # ring: needs >= 3 distinct vertices after dedupe
+                ring = xy if len(xy) < 2 or (xy[0] != xy[-1]).any() else xy[:-1]
+                if len(ring) >= 3:
+                    kept_rings.append(
+                        (kind, int(pw.part_sub[p]), np.vstack([ring, ring[:1]]))
+                    )
+        row = len(b.types)
+        if t in (POLYGON, MULTIPOLYGON):
+            if not kept_rings:
+                _append_empty(b, POLYGON)
+                continue
+            b.types.append(t)
+            sub_map: dict[int, int] = {}
+            nch = 0
+            for kind, sub, xy in kept_rings:
+                if sub not in sub_map:
+                    sub_map[sub] = b.poly_counter
+                    b.poly_counter += 1
+                b.add_part(row, kind, sub_map[sub], xy)
+                if kind == PK_SHELL:
+                    nch += 1
+            b.has_z.append(False)
+            b.num_children.append(max(nch, 1))
+        elif t in (LINESTRING, LINEARRING, MULTILINESTRING):
+            if not kept_lines:
+                _append_empty(b, LINESTRING)
+                continue
+            # a snapped ring may open up; emit as line(s)
+            typ = t if t == MULTILINESTRING or len(kept_lines) == 1 else MULTILINESTRING
+            if typ == LINEARRING and (
+                len(kept_lines[0]) < 4
+                or (kept_lines[0][0] != kept_lines[0][-1]).any()
+            ):
+                typ = LINESTRING
+            b.types.append(typ)
+            for xy in kept_lines:
+                b.add_part(row, PK_LINE, b.sub_counter, xy)
+                b.sub_counter += 1
+            b.has_z.append(False)
+            b.num_children.append(len(kept_lines))
+        elif t in (POINT, 4):
+            if not kept_pts:
+                _append_empty(b, POINT)
+                continue
+            b.types.append(t)
+            for xy in kept_pts:
+                b.add_part(row, PK_POINT, b.sub_counter, xy)
+                b.sub_counter += 1
+            b.has_z.append(False)
+            b.num_children.append(len(kept_pts))
+        else:  # collection: keep surviving parts as-is
+            total = len(kept_pts) + len(kept_lines) + len(kept_rings)
+            if total == 0:
+                _append_empty(b, t)
+                continue
+            b.types.append(t)
+            sub_map = {}
+            for xy in kept_pts:
+                b.add_part(row, PK_POINT, b.sub_counter, xy)
+                b.sub_counter += 1
+            for xy in kept_lines:
+                b.add_part(row, PK_LINE, b.sub_counter, xy)
+                b.sub_counter += 1
+            for kind, sub, xy in kept_rings:
+                if sub not in sub_map:
+                    sub_map[sub] = b.poly_counter
+                    b.poly_counter += 1
+                b.add_part(row, kind, sub_map[sub], xy)
+            b.has_z.append(False)
+            b.num_children.append(total)
+    out = b.finish()
+    # snapping can self-intersect polygons: repair (linework semantics)
+    from rayspatial.geom.constructive import make_valid
+
+    return make_valid(out)
 
 
 def get_precision(ga: GeomArray) -> np.ndarray:

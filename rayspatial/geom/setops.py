@@ -71,7 +71,14 @@ def _pairwise(ga: GeomArray, gb: GeomArray, fn) -> GeomArray:
     return b.finish()
 
 
-def intersection(ga: GeomArray, gb: GeomArray) -> GeomArray:
+def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    if grid_size:
+        from rayspatial.geom.accessors import set_precision
+
+        return set_precision(
+            intersection(set_precision(ga, grid_size), set_precision(gb, grid_size)),
+            grid_size,
+        )
     """Pairwise intersection (set_operations.py:79-132), all type
     pairs: point/box/convex fast paths, polygon overlay, lineal/mixed
     via geom/lineal_ops."""
@@ -187,7 +194,14 @@ def _copy_geom(src: GeomArray, i: int, b: _Builder, out_row: int) -> None:
     b.num_children.append(max(nch, 1) if int(src.types[i]) != -1 else 0)
 
 
-def union(ga: GeomArray, gb: GeomArray) -> GeomArray:
+def union(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    if grid_size:
+        from rayspatial.geom.accessors import set_precision
+
+        return set_precision(
+            union(set_precision(ga, grid_size), set_precision(gb, grid_size)),
+            grid_size,
+        )
     """Pairwise union (set_operations.py:258-313), all type pairs."""
     from rayspatial.geom import predicates as P
 
@@ -247,7 +261,14 @@ def _collect_two(ga: GeomArray, i: int, gb: GeomArray, j: int, b: _Builder,
     b.num_children.append(nch)
 
 
-def difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
+def difference(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    if grid_size:
+        from rayspatial.geom.accessors import set_precision
+
+        return set_precision(
+            difference(set_precision(ga, grid_size), set_precision(gb, grid_size)),
+            grid_size,
+        )
     """Pairwise difference (set_operations.py:22-78), all type pairs."""
     from rayspatial.geom import predicates as P
 
@@ -277,7 +298,14 @@ def difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
     return _pairwise(ga, gb, one)
 
 
-def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
+def symmetric_difference(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    if grid_size:
+        from rayspatial.geom.accessors import set_precision
+
+        return set_precision(
+            symmetric_difference(set_precision(ga, grid_size), set_precision(gb, grid_size)),
+            grid_size,
+        )
     """Pairwise symmetric difference (set_operations.py:168-222), all
     type pairs."""
     from rayspatial.geom import predicates as P
@@ -305,7 +333,11 @@ def symmetric_difference(ga: GeomArray, gb: GeomArray) -> GeomArray:
     return _pairwise(ga, gb, one)
 
 
-def union_all(ga: GeomArray) -> GeomArray:
+def union_all(ga: GeomArray, grid_size: float | None = None) -> GeomArray:
+    if grid_size:
+        from rayspatial.geom.accessors import set_precision
+
+        return set_precision(union_all(set_precision(ga, grid_size)), grid_size)
     """Reduce to one geometry (set_operations.py:314-396): all-missing
     -> missing (reference lines 389-396); all points -> MULTIPOINT of
     DISTINCT points; pairwise-disjoint polygons -> MULTIPOLYGON;

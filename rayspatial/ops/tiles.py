@@ -106,22 +106,36 @@ def rasterize_tiles(points_ds, res: int, tile_res: int,
 
     partial = points_ds.map_batches(per_batch, batch_format="pyarrow")
 
-    def to_grid(g):
+    def grids_for_partition(df):
+        """ALL tiles of one hash partition in one vectorized pass (a
+        per-tile map_groups here would pay one pandas call per tile —
+        the millions-of-tiny-groups overhead pairs_from_buckets
+        documents)."""
         import pandas as pd
 
-        grid = np.zeros(nsub * nsub, dtype=np.int64)
-        agg = g.groupby("pix")["n"].sum()
-        grid[agg.index.to_numpy()] = agg.to_numpy()
+        agg = (
+            df.groupby(["cx", "cy", "pix"], sort=True)["n"].sum().reset_index()
+        )
+        cx = agg["cx"].to_numpy()
+        cy = agg["cy"].to_numpy()
+        key = (cx.astype(np.int64) << 32) | cy.astype(np.int64)
+        new_tile = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_tile)
+        tile_of = np.cumsum(new_tile) - 1
+        grids = np.zeros((len(starts), nsub * nsub), dtype=np.int64)
+        grids[tile_of, agg["pix"].to_numpy()] = agg["n"].to_numpy()
         return pd.DataFrame(
             {
-                "cell_x": [int(g["cx"].iloc[0])],
-                "cell_y": [int(g["cy"].iloc[0])],
-                "res": [res],
-                "grid": [grid.tolist()],
+                "cell_x": cx[starts],
+                "cell_y": cy[starts],
+                "res": np.full(len(starts), res, dtype=np.int64),
+                "grid": list(grids),
             }
         )
 
-    return partial.groupby(["cx", "cy"]).map_groups(to_grid, batch_format="pandas")
+    from rayspatial.util import hash_partitioned_agg
+
+    return hash_partitioned_agg(partial, ["cx", "cy"], grids_for_partition)
 
 
 def vectorize_tiles(raster_ds, res: int, tile_res: int, threshold: int = 1):

@@ -195,3 +195,50 @@ def test_grid_to_boxes_partition():
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     assert areas.sum() == mask.sum()  # exact partition
     assert len(boxes) == 2  # merged into 2 rectangles
+
+
+def test_set_precision_modes():
+    """reference geometry.py:699-791 mode semantics."""
+    from rayspatial import geom as g
+
+    ln = g.from_wkt(["LINESTRING (0 0, 0.1 0.1)"])
+    assert bool(g.is_empty(g.set_precision(ln, 1.0))[0])  # valid_output
+    kc = g.set_precision(ln, 1.0, mode="keep_collapsed")
+    assert g.to_wkt(kc)[0] == "LINESTRING (0 0, 0 0)"
+    pw = g.set_precision(ln, 1.0, mode="pointwise")
+    assert g.to_wkt(pw)[0] == "LINESTRING (0 0, 0 0)"
+    # grid_size=0 is a no-op
+    assert g.to_wkt(g.set_precision(ln, 0.0))[0] == "LINESTRING (0 0, 0.1 0.1)"
+    # polygon collapse removed in every topology-preserving mode
+    poly = g.from_wkt(["POLYGON ((0 0, 0.4 0, 0.4 0.4, 0 0.4, 0 0))"])
+    assert bool(g.is_empty(g.set_precision(poly, 1.0))[0])
+    assert bool(g.is_empty(g.set_precision(poly, 1.0, mode="keep_collapsed"))[0])
+    # duplicate-vertex removal
+    line2 = g.from_wkt(["LINESTRING (0 0, 0.04 0, 5 0)"])
+    assert g.to_wkt(g.set_precision(line2, 1.0))[0] == "LINESTRING (0 0, 5 0)"
+    with pytest.raises(ValueError):
+        g.set_precision(ln, 1.0, mode="nope")
+    with pytest.raises(ValueError):
+        g.set_precision(ln, -1.0)
+
+
+def test_set_operations_grid_size():
+    """reference test_set_operations.py test_set_operation_prec_array
+    contract: func(a, b, grid_size=s) matches func over
+    set_precision-ed inputs."""
+    from rayspatial import geom as g
+
+    a = g.box(0, 0, 2.05, 2.05)
+    b = g.box(1.03, 1.03, 3.0, 3.0)
+    for op in (g.intersection, g.union, g.difference, g.symmetric_difference):
+        got = float(g.area(op(a, b, grid_size=0.1))[0])
+        ref = float(
+            g.area(op(g.set_precision(a, 0.1), g.set_precision(b, 0.1)))[0]
+        )
+        assert got == pytest.approx(ref, abs=1e-9), op.__name__
+    u = g.union_all(
+        g.from_wkt(["POLYGON ((0 0, 1.04 0, 1.04 1.04, 0 1.04, 0 0))",
+                    "POLYGON ((0.96 0, 2 0, 2 1, 0.96 1, 0.96 0))"]),
+        grid_size=0.1,
+    )
+    assert float(g.area(u)[0]) == pytest.approx(2.0)
