@@ -30,6 +30,10 @@ pts AS (
 )
 """.strip()
 
+_NGRAM_PAIRS_CTE = (
+    r"w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents), idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx), sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM ng GROUP BY doc_id), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), pairsq AS (SELECT i.a, i.b FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b WHERE 100 * i.inter >= 50 * (sa.nsh + sb.nsh - i.inter))"
+)
+
 _POLYS_CTE = """
 polys AS (
   SELECT CAST(range AS BIGINT) AS poly_id,
@@ -202,6 +206,93 @@ def _q_tile_vectorize(sf_dir: str):
     raster = rasterize_tiles(points_dataset(sf_dir), res=3, tile_res=6)
     vec = vectorize_tiles(raster, res=3, tile_res=6, threshold=1)
     return vec.select_columns(["cell_x", "cell_y", "res"])
+
+
+def _q_dwithin_join(sf_dir: str):
+    """All (point, polygon) pairs within 3 degrees (broadcast layer,
+    ring expansion bounded by the distance; exact for the box layer)."""
+    from rayspatial.ops.knn import dwithin_join
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    out = dwithin_join(points_dataset(sf_dir), polygon_geoms(), distance=3.0)
+    return out.select_columns(["doc_id", "poly_id"])
+
+
+def _q_dup_groups(sf_dir: str):
+    """Near-duplicate GROUPS: n-gram Jaccard pairs -> distributed
+    min-label connected components -> (doc_id, rep)."""
+    import pyarrow as pa
+
+    from rayspatial.textops.components import connected_components_distributed
+    from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
+
+    pairs = ngram_jaccard_dup_pairs(
+        _docs(sf_dir, rows_per_block=512), k=3, threshold_pct=50
+    ).map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+    )
+    return connected_components_distributed(pairs)
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding 1-hour windows advancing every 30 minutes (value summed
+    in integer cents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.window import sliding_window
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return batch.set_column(
+            batch.column_names.index("value"), "value", cents
+        )
+
+    return sliding_window(ds.map_batches(to_cents, batch_format="pyarrow"),
+                          width_s=3600, slide_s=1800)
+
+
+def _q_buffer_area(sf_dir: str):
+    """Styled buffer over the polygon layer as a distributed map stage:
+    mitre-join radius-2 buffer of each box is the exact rectangle
+    expansion, so buf_area has an exact SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial import geom as g
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    ga = polygon_geoms()
+    tab = pa.table({
+        "poly_id": pa.array(np.arange(len(ga), dtype=np.int64)),
+        "wkb": pa.array(g.to_wkb(ga), type=pa.binary()),
+    })
+
+    def buf_area(batch: pa.Table) -> pa.Table:
+        geoms = g.from_wkb(batch.column("wkb").to_pylist())
+        buf = g.buffer(geoms, 2.0, join_style="mitre")
+        # true areas are integers; x1000+round absorbs the 1e-13-relative
+        # noise the overlay's 1e-9 snap grid leaves on large coordinates
+        a_milli = np.round(g.area(buf) * 1000.0).astype(np.int64)
+        return pa.table({
+            "poly_id": batch.column("poly_id"),
+            "buf_area_milli": pa.array(a_milli),
+        })
+
+    return rd.from_arrow(tab).repartition(8).map_batches(
+        buf_area, batch_format="pyarrow"
+    )
 
 
 def _q_line_clip(sf_dir: str):
@@ -454,6 +545,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_area_perimeter": _q_poly_area_perimeter,
         "tile_vectorize": _q_tile_vectorize,
         "line_clip": _q_line_clip,
+        "dwithin_join": _q_dwithin_join,
+        "dup_groups": _q_dup_groups,
+        "events_sliding": _q_events_sliding,
+        "buffer_area": _q_buffer_area,
         "events_windowed": _q_events_windowed,
         "top_users": _q_top_users,
         "sessions": _q_sessions,
@@ -505,6 +600,35 @@ def oracle_sql() -> dict[str, str]:
             "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pts"
         ),
         "pages_by_lang": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY lang",
+        "dwithin_join": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
+            "d AS (SELECT doc_id, poly_id, "
+            "GREATEST(xmin - lon, lon - xmax, 0) * GREATEST(xmin - lon, lon - xmax, 0) "
+            "+ GREATEST(ymin - lat, lat - ymax, 0) * GREATEST(ymin - lat, lat - ymax, 0) AS d2 "
+            "FROM pts CROSS JOIN polys) "
+            "SELECT doc_id, poly_id FROM d WHERE d2 <= 9.0"
+        ),
+        "dup_groups": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "
+            "edges AS (SELECT a, b FROM pairsq UNION SELECT b, a FROM pairsq), "
+            "reach(node, r) AS ("
+            "SELECT a AS node, a AS r FROM edges "
+            "UNION "
+            "SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.node = e.b) "
+            "SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node"
+        ),
+        "events_sliding": (
+            "SELECT make_timestamp(((epoch_us(ts) // 1800000000) - s.i) * 1800000000) "
+            "AS window_start, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s "
+            "GROUP BY 1"
+        ),
+        "buffer_area": (
+            f"WITH {_POLYS_CTE} "
+            "SELECT poly_id, CAST(round((xmax - xmin + 4.0) * (ymax - ymin + 4.0) * 1000) AS BIGINT) "
+            "AS buf_area_milli FROM polys"
+        ),
         "line_clip": (
             f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
             "seg AS (SELECT doc_id, FLOOR(lon) AS x1, FLOOR(lat) AS y1 FROM pts), "
@@ -586,16 +710,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ngram_dup_pairs": (
-            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws "
-            "FROM documents), "
-            "idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), "
-            "ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM ng GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter "
-            "FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT i.a, i.b, i.inter FROM inter i "
-            "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
-            "WHERE 100 * i.inter >= 50 * (sa.nsh + sb.nsh - i.inter)"
+            "WITH " + _NGRAM_PAIRS_CTE + ", "
+            "withcnt AS (SELECT p.a, p.b, i.inter FROM pairsq p "
+            "JOIN inter i ON i.a = p.a AND i.b = p.b) "
+            "SELECT a, b, inter FROM withcnt"
         ),
         "poly_union_area": (
             f"WITH {_POLYS_CTE}, "

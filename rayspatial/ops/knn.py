@@ -290,3 +290,18 @@ def knn_join(points_ds, polygons, poly_ids=None, k: int = 1, res: int = 5,
         return j(batch)
 
     return points_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def dwithin_join(points_ds, polygons, distance: float, poly_ids=None,
+                 res: int = 5):
+    """All (point, polygon) pairs within ``distance`` (broadcast layer,
+    cell-ring expansion bounded by the distance): the kNN joiner with
+    k = |layer| and max_distance=d — ring expansion stops as soon as
+    the ring lower bound exceeds d, so the effective work is local."""
+    out = knn_join(points_ds, polygons, poly_ids=poly_ids,
+                   k=len(polygons), res=res, max_distance=distance)
+    import pyarrow as pa
+
+    return out.map_batches(
+        lambda b: b.drop_columns(["rank"]), batch_format="pyarrow"
+    )

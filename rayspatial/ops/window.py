@@ -157,8 +157,13 @@ def sliding_window(events_ds, width_s: int, slide_s: int,
             .agg(n_events=("n_partial", "sum"), sum_value=("sum_partial", "sum"))
             .reset_index()
         )
+        out = out.sort_values(["window_start"] + keys, kind="stable")
         out["window_start"] = out["window_start"].astype("datetime64[us]")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        tab = pa.Table.from_pandas(out, preserve_index=False)
+        i = tab.column_names.index("window_start")
+        return tab.set_column(
+            i, "window_start", tab.column(i).cast(pa.timestamp("us"))
+        )
 
     return part.repartition(1).map_batches(merge, batch_size=None,
                                            batch_format="pyarrow")
