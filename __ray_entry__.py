@@ -418,19 +418,21 @@ def _embs(sf_dir: str):
 def _q_exact_dedup(sf_dir: str):
     from rayspatial.textops.dedup import exact_dedup_groups
 
-    return exact_dedup_groups(_docs(sf_dir))
+    # split the content-hash map stage across workers (a single block
+    # would serialize the hashing into one task)
+    return exact_dedup_groups(_docs(sf_dir, rows_per_block=512))
 
 
 def _q_token_counts(sf_dir: str):
     from rayspatial.textops.analysis import token_counts
 
-    return token_counts(_docs(sf_dir))
+    return token_counts(_docs(sf_dir, rows_per_block=512))
 
 
 def _q_text_stats(sf_dir: str):
     from rayspatial.textops.analysis import text_stats
 
-    return text_stats(_docs(sf_dir))
+    return text_stats(_docs(sf_dir, rows_per_block=512))
 
 
 def _q_ngram_dup_pairs(sf_dir: str):
@@ -491,7 +493,7 @@ def _q_lang_id(sf_dir: str):
 def _q_fingerprints(sf_dir: str):
     from rayspatial.textops.analysis import fingerprints
 
-    return fingerprints(_docs(sf_dir))
+    return fingerprints(_docs(sf_dir, rows_per_block=512))
 
 
 def _q_binary_features(sf_dir: str):
@@ -529,8 +531,8 @@ def _q_curated_docs(sf_dir: str):
     training-data chain), one streaming pass + one hash shuffle."""
     from rayspatial.textops.curation import curate
 
-    return curate(_docs(sf_dir), min_tokens=20, max_tokens=400,
-                  min_uniq_tokens=10)
+    return curate(_docs(sf_dir, rows_per_block=512), min_tokens=20,
+                  max_tokens=400, min_uniq_tokens=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

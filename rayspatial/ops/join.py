@@ -78,6 +78,29 @@ class PointInPolygonJoiner:
         if not len(probe_rows):
             empty = batch.slice(0, 0)
             return empty.append_column("poly_id", pa.array([], type=pa.int64()))
+        # all-box layer: a point-envelope hit IS boundary-inclusive
+        # containment, so covers/intersects skip the refine loop
+        # entirely; contains (interior-only) just re-tests with strict
+        # inequalities against the bounds — no per-polygon dispatch
+        if self.tree._all_boxes() and self.predicate in (
+            "covers", "intersects", "covered_by", "contains", "within",
+            "contains_properly",
+        ):
+            if self.predicate in ("covers", "intersects", "covered_by"):
+                keep_all = slice(None)
+            else:
+                bbs = self.tree._geom_bounds[tree_items]
+                px, py = lon[probe_rows], lat[probe_rows]
+                keep_all = (
+                    (px > bbs[:, 0]) & (px < bbs[:, 2])
+                    & (py > bbs[:, 1]) & (py < bbs[:, 3])
+                )
+            probe_rows = probe_rows[keep_all]
+            tree_items = tree_items[keep_all]
+            out = batch.take(pa.array(probe_rows))
+            return out.append_column(
+                "poly_id", pa.array(self.poly_ids[tree_items])
+            )
         keep = np.zeros(len(probe_rows), dtype=bool)
         # vectorized per tree polygon: all probes hitting it in one call
         order = np.argsort(tree_items, kind="stable")
