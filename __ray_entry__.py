@@ -383,6 +383,39 @@ def _q_top_users(sf_dir: str):
     )
 
 
+def _q_events_streaming(sf_dir: str):
+    """Out-of-order event-time tumbling windows with a 10-minute
+    watermark lateness (ops/streaming.py): aggregates only events that
+    were not late at their arrival (arrival order = event_id per
+    user_id%8 partition), so the result is deterministic and
+    SQL-reproducible via a running-max window function."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.streaming import streaming_tumbling_window
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return batch.set_column(
+            batch.column_names.index("value"), "value", cents
+        )
+
+    return streaming_tumbling_window(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        width_s=3600, lateness_s=600, num_partitions=8,
+    )
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     from rayspatial.ops.window import sessionize
@@ -553,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_area": _q_buffer_area,
         "events_windowed": _q_events_windowed,
         "top_users": _q_top_users,
+        "events_streaming": _q_events_streaming,
         "sessions": _q_sessions,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
@@ -653,6 +687,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY user_id "
             "ORDER BY total_cents DESC, user_id LIMIT 10"
+        ),
+        "events_streaming": (
+            "WITH o AS (SELECT user_id % 8 AS part, event_id, epoch_us(ts) AS tus, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events), "
+            "w AS (SELECT part, tus, cents, MAX(tus) OVER (PARTITION BY part "
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prior_max FROM o), "
+            "k AS (SELECT part, tus, cents FROM w "
+            "WHERE prior_max IS NULL OR tus >= prior_max - 600000000) "
+            "SELECT part, make_timestamp((tus // 3600000000) * 3600000000) "
+            "AS window_start, COUNT(*) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value "
+            "FROM k GROUP BY 1, 2"
         ),
         "sessions": (
             "WITH l AS (SELECT user_id, ts, event_id, "

@@ -271,9 +271,8 @@ def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
                 m = relate(_slice_rows(gb, [j]), _slice_rows(ga, [i]))[0]
                 out[i] = _transpose_de9im(m)
             elif gb.types[j] == 4:
-                raise NotImplementedError(
-                    "relate: MULTIPOINT right-hand side unsupported"
-                )
+                m = _relate_multipoint(gb, j, ga, i)
+                out[i] = _transpose_de9im(m)
             else:
                 out[i] = _relate_line(ga, i, gb, j)
             continue
@@ -287,6 +286,9 @@ def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
 
                 m = relate(_slice_rows(gb, [j]), _slice_rows(ga, [i]))[0]
                 out[i] = _transpose_de9im(m)
+            continue
+        if ga.types[i] == 4:  # MULTIPOINT lhs
+            out[i] = _relate_multipoint(ga, i, gb, j)
             continue
         if ga.types[i] != POINT:
             raise NotImplementedError(
@@ -425,6 +427,59 @@ def _relate_line(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
     else:  # points
         ei, eb, ee = "0", "F", "2"
     return ii + ib + ie + bi + bb_ + be + ei + eb + ee
+
+
+def _relate_multipoint(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
+    """DE-9IM for puntal A (POINT/MULTIPOINT): A's interior is the
+    point set, its boundary is EMPTY; every entry reduces to point
+    membership tests against B plus dimension bookkeeping for the
+    exterior row."""
+    pts = [
+        ga.part_coords(p)[0]
+        for p in np.flatnonzero(ga.part_geom == i)
+    ]
+    locs = [_locate_point_str(np.asarray(pt), gb, j) for pt in pts]
+    II = "0" if any(lo == "interior" for lo in locs) else "F"
+    IB = "0" if any(lo == "boundary" for lo in locs) else "F"
+    IE = "0" if any(lo == "exterior" for lo in locs) else "F"
+    t_b = int(gb.types[j])
+    if t_b in (3, 6):
+        EI, EB = "2", "1"
+    elif t_b in (1, 2, 5):
+        EI = "1"
+        # E(A) covers B's boundary endpoints unless each is an A point
+        from rayspatial.geom.measures import _geom_segments  # noqa: F401
+        from collections import Counter
+
+        endc = Counter()
+        for p in np.flatnonzero(gb.part_geom == j):
+            if gb.part_kind[p] != 1:
+                continue
+            xy = gb.part_coords(p)
+            endc[tuple(xy[0])] += 1
+            endc[tuple(xy[-1])] += 1
+        bpts = [np.asarray(q) for q, c in endc.items() if c % 2 == 1]
+        apts = np.asarray(pts).reshape(-1, 2) if pts else np.empty((0, 2))
+        def in_a(q):
+            return len(apts) and bool(
+                (np.abs(apts - q[None, :]) <= 1e-12).all(axis=1).any()
+            )
+        EB = "0" if any(not in_a(q) for q in bpts) else "F"
+    elif t_b in (0, 4):
+        apts = np.asarray(pts).reshape(-1, 2) if pts else np.empty((0, 2))
+        bpts = [
+            gb.part_coords(p)[0]
+            for p in np.flatnonzero(gb.part_geom == j)
+        ]
+        def in_a2(q):
+            return len(apts) and bool(
+                (np.abs(apts - np.asarray(q)[None, :]) <= 1e-12).all(axis=1).any()
+            )
+        EI = "0" if any(not in_a2(q) for q in bpts) else "F"
+        EB = "F"
+    else:
+        EI, EB = "F", "F"
+    return II + IB + IE + "FFF" + EI + EB + "2"
 
 
 def _transpose_de9im(m: str) -> str:

@@ -1,0 +1,138 @@
+"""Out-of-order event-time windowing with watermarks — the streaming
+counterpart of ops/window.py's batch formulations (SURVEY 8.5.1).
+
+``WatermarkWindower`` is the per-partition streaming operator: it
+consumes arrival-ordered event batches, maintains per-window partial
+aggregates, advances a watermark = max(seen event time) - allowed
+lateness, EMITS a window's aggregate once the watermark passes the
+window end, and drops (and counts) events that arrive behind the
+watermark.  In a live deployment it runs as a Ray actor pool over a
+key-partitioned stream (one actor owns a partition, state in
+``__init__``, batches through ``__call__``, ``flush()`` at
+end-of-stream).
+
+``streaming_tumbling_window`` expresses the same semantics over a
+bounded Ray Dataset: events are hash-partitioned (every key's events
+co-locate), each partition REPLAYS its events in arrival order
+(``event_id``; the documented stand-in for ingestion order) through a
+WatermarkWindower, and emitted + flushed windows stream out.  The
+final aggregates equal "aggregate over events not late at their
+arrival" — deterministic and SQL-reproducible (running-max watermark
+via a window function), which is how the driver oracle checks it.
+
+Watermark granularity is PER EVENT (running max), the finest and the
+one the oracle reproduces exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class WatermarkWindower:
+    """Streaming tumbling-window aggregator for ONE partition."""
+
+    def __init__(self, width_s: int, lateness_s: int):
+        self.width_us = width_s * 1_000_000
+        self.lateness_us = lateness_s * 1_000_000
+        self.partials: dict[int, tuple[int, int]] = {}  # wstart -> (n, sum)
+        self.watermark = -np.inf
+        self.emitted: set[int] = set()
+        self.late_dropped = 0
+
+    def process(self, ts_us: np.ndarray, values: np.ndarray):
+        """Consume arrival-ordered events; return rows emitted by the
+        watermark advancing across window ends."""
+        out: list[tuple[int, int, int]] = []
+        # per-event watermark = running max of PRIOR event times - lateness
+        prior_max = np.maximum.accumulate(
+            np.concatenate([[np.int64(-(2**62))], ts_us[:-1]])
+        )
+        wm = prior_max - self.lateness_us
+        if self.watermark > -np.inf:
+            wm = np.maximum(wm, int(self.watermark))
+        late = ts_us < wm
+        self.late_dropped += int(late.sum())
+        keep_ts = ts_us[~late]
+        keep_v = values[~late]
+        wstart = (keep_ts // self.width_us) * self.width_us
+        for w, t, v in zip(wstart, keep_ts, keep_v):
+            n, s = self.partials.get(int(w), (0, 0))
+            self.partials[int(w)] = (n + 1, s + int(v))
+        new_wm = max(
+            float(self.watermark),
+            float(ts_us.max() - self.lateness_us) if len(ts_us) else -np.inf,
+        )
+        self.watermark = new_wm
+        # emit every window whose END the watermark has passed
+        for w in sorted(self.partials):
+            if w + self.width_us <= new_wm and w not in self.emitted:
+                n, s = self.partials[w]
+                out.append((w, n, s))
+                self.emitted.add(w)
+        return out
+
+    def flush(self):
+        """End-of-stream: emit remaining open windows."""
+        out = []
+        for w in sorted(self.partials):
+            if w not in self.emitted:
+                n, s = self.partials[w]
+                out.append((w, n, s))
+                self.emitted.add(w)
+        return out
+
+
+def streaming_tumbling_window(events_ds, width_s: int, lateness_s: int,
+                              num_partitions: int = 8,
+                              chunk: int = 256,
+                              part_col: str = "user_id",
+                              ts_col: str = "ts",
+                              value_col: str = "value"):
+    """-> (part, window_start, n_events, sum_value) per partition and
+    window, aggregating only events that were NOT late at their arrival
+    (arrival order = event_id within partition; partition =
+    ``part_col % num_partitions`` so the SQL oracle can reproduce it).
+    """
+    P = num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch.column(part_col).to_numpy() % P
+        return batch.append_column("_spart", pa.array(part.astype(np.int64)))
+
+    def replay(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for part, g in df.groupby("_spart", sort=True):
+            g = g.sort_values("event_id", kind="stable")
+            ts = g[ts_col].astype("int64").to_numpy()
+            vals = g[value_col].to_numpy()
+            wd = WatermarkWindower(width_s, lateness_s)
+            # replay in arrival-order chunks (the batch boundary a live
+            # stream would have); results are chunking-invariant because
+            # the watermark is per-event
+            for s in range(0, len(g), chunk):
+                for w, n, sm in wd.process(ts[s : s + chunk],
+                                           vals[s : s + chunk]):
+                    out_rows.append((part, w, n, sm))
+            for w, n, sm in wd.flush():
+                out_rows.append((part, w, n, sm))
+        out = pd.DataFrame(
+            out_rows, columns=["part", "window_start", "n_events", "sum_value"]
+        ).sort_values(["part", "window_start"], kind="stable")
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    from rayspatial.util import hash_partitioned_agg
+
+    ds = events_ds.map_batches(add_part, batch_format="pyarrow")
+    out = hash_partitioned_agg(ds, ["_spart"], replay)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(canon, batch_format="pyarrow")

@@ -68,3 +68,20 @@ def test_relate_gc_raises():
     gc = g.from_wkt(["GEOMETRYCOLLECTION (POINT (1 1))"])
     with pytest.raises(NotImplementedError):
         g.relate(g.from_wkt([SQ]), gc)
+
+
+MULTIPOINT_CASES = [
+    ("MULTIPOINT (1 1, 5 5)", SQ, "0F0FFF212"),
+    ("MULTIPOINT (0.5 0.5, 1 1)", SQ, "0FFFFF212"),
+    ("MULTIPOINT (1 0, 5 5)", "LINESTRING (0 0, 2 0)", "0F0FFF102"),
+    ("MULTIPOINT (0 0, 1 1)", "MULTIPOINT (0 0, 1 1)", "0FFFFFFF2"),
+    ("MULTIPOINT (0 0, 1 1)", "MULTIPOINT (1 1, 2 2)", "0F0FFF0F2"),
+    ("LINESTRING (0 0, 2 0)", "MULTIPOINT (1 0, 5 5)", "0F1FF00F2"),
+    (SQ, "MULTIPOINT (1 1, 5 5)", "0F2FF10F2"),
+]
+
+
+@pytest.mark.parametrize("a,b,expected", MULTIPOINT_CASES)
+def test_relate_multipoint(a, b, expected):
+    got = g.relate(g.from_wkt([a]), g.from_wkt([b]))[0]
+    assert got == expected
