@@ -477,3 +477,28 @@ def _polys_of_rows(ga: GeomArray) -> list[tuple]:
         _, _, polys, _ = _decompose(ga, i)
         out.extend(polys)
     return out
+
+
+def poly_boundary_contact(ga: GeomArray, i: int, gb: GeomArray, j: int):
+    """Lower-dimensional contact of two polygonal operands whose AREA
+    intersection is empty (GEOS: edge-touching polygons intersect in
+    linework, corner-touching in points): noded shared-boundary chains
+    + touch nodes.  -> (chains, points (k,2))."""
+    _, _, _, Ra = _decompose(ga, i)
+    _, _, _, Rb = _decompose(gb, j)
+    segs, members = _node_all_multi([_rings_to_segs(Ra), _rings_to_segs(Rb)])
+    shared = [
+        (a, b) for k, (a, b) in enumerate(segs) if members[k] >= {0, 1}
+    ]
+    chains = _merge_chains(shared)
+    node_src: dict[tuple, set] = {}
+    for k, (a, b) in enumerate(segs):
+        for endp in (a, b):
+            node_src.setdefault(endp, set()).update(members[k])
+    A, B = _segs_np(shared)
+    pts = [
+        np.asarray(nd, float)
+        for nd, src in node_src.items()
+        if src >= {0, 1} and not _on_segs(np.asarray(nd, float), A, B)
+    ]
+    return chains, _dedupe_points(pts)

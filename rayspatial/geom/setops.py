@@ -72,6 +72,9 @@ def _pairwise(ga: GeomArray, gb: GeomArray, fn) -> GeomArray:
 
 
 def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    """Pairwise intersection (set_operations.py:79-132), all type
+    pairs: point/box/convex fast paths, polygon overlay, lineal/mixed
+    via geom/lineal_ops."""
     if grid_size:
         from rayspatial.geom.accessors import set_precision
 
@@ -79,9 +82,6 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
             intersection(set_precision(ga, grid_size), set_precision(gb, grid_size)),
             grid_size,
         )
-    """Pairwise intersection (set_operations.py:79-132), all type
-    pairs: point/box/convex fast paths, polygon overlay, lineal/mixed
-    via geom/lineal_ops."""
     from rayspatial.geom import predicates as P
 
     bnds_a, bnds_b = ga.bounds(), gb.bounds()
@@ -110,6 +110,27 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
             if x0 > x1 or y0 > y1:
                 _append_empty(b, POLYGON)
                 return
+            # degenerate overlaps are LOWER-DIMENSIONAL results, not
+            # zero-width polygons (GEOS: edge-touching boxes intersect
+            # in a LINESTRING, corner-touching in a POINT)
+            if x0 == x1 and y0 == y1:
+                b.types.append(POINT)
+                b.add_part(g, PK_POINT, b.sub_counter,
+                           np.array([[x0, y0]], dtype=np.float64))
+                b.sub_counter += 1
+                b.has_z.append(False)
+                b.num_children.append(1)
+                return
+            if x0 == x1 or y0 == y1:
+                from rayspatial.geom.array import PK_LINE as _PKL
+
+                b.types.append(LINESTRING)
+                b.add_part(g, _PKL, b.sub_counter,
+                           np.array([[x0, y0], [x1, y1]], dtype=np.float64))
+                b.sub_counter += 1
+                b.has_z.append(False)
+                b.num_children.append(1)
+                return
             sub = box(x0, y0, x1, y1)
             _copy_geom(sub, 0, b, g)
             return
@@ -125,7 +146,18 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
                 res = None
             if res is not None:
                 if len(res) < 3:
-                    _append_empty(b, POLYGON)
+                    # degenerate area: boundary contact still counts
+                    # (GEOS: shared edge -> LINESTRING, corner -> POINT)
+                    from rayspatial.geom.lineal_ops import (
+                        _emit,
+                        poly_boundary_contact,
+                    )
+
+                    chains, pts = poly_boundary_contact(ga, i, gb, j)
+                    if chains or len(pts):
+                        _emit(b, g, [], chains, pts, POLYGON)
+                    else:
+                        _append_empty(b, POLYGON)
                     return
                 b.types.append(POLYGON)
                 b.add_part(g, PK_SHELL, b.poly_counter, np.vstack([res, res[:1]]))
@@ -162,6 +194,19 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
             sub = polygon_overlay(
                 _slice_rows(ga, [i]), _slice_rows(gb, [j]), "intersection"
             )
+            if bool(sub.is_empty()[0]):
+                # no area overlap: boundary contact is still a GEOS
+                # intersection result (shared edges -> lines, corner
+                # touches -> points)
+                from rayspatial.geom.lineal_ops import (
+                    _emit,
+                    poly_boundary_contact,
+                )
+
+                chains, pts = poly_boundary_contact(ga, i, gb, j)
+                if chains or len(pts):
+                    _emit(b, g, [], chains, pts, POLYGON)
+                    return
             _copy_geom(sub, 0, b, g)
             return
         from rayspatial.geom.lineal_ops import general_pair_setop
@@ -195,6 +240,7 @@ def _copy_geom(src: GeomArray, i: int, b: _Builder, out_row: int) -> None:
 
 
 def union(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    """Pairwise union (set_operations.py:258-313), all type pairs."""
     if grid_size:
         from rayspatial.geom.accessors import set_precision
 
@@ -202,7 +248,6 @@ def union(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomA
             union(set_precision(ga, grid_size), set_precision(gb, grid_size)),
             grid_size,
         )
-    """Pairwise union (set_operations.py:258-313), all type pairs."""
     from rayspatial.geom import predicates as P
 
     def one(b: _Builder, g: int, i: int, j: int):
@@ -262,6 +307,7 @@ def _collect_two(ga: GeomArray, i: int, gb: GeomArray, j: int, b: _Builder,
 
 
 def difference(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    """Pairwise difference (set_operations.py:22-78), all type pairs."""
     if grid_size:
         from rayspatial.geom.accessors import set_precision
 
@@ -269,7 +315,6 @@ def difference(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> 
             difference(set_precision(ga, grid_size), set_precision(gb, grid_size)),
             grid_size,
         )
-    """Pairwise difference (set_operations.py:22-78), all type pairs."""
     from rayspatial.geom import predicates as P
 
     def one(b: _Builder, g: int, i: int, j: int):
@@ -299,6 +344,8 @@ def difference(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> 
 
 
 def symmetric_difference(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -> GeomArray:
+    """Pairwise symmetric difference (set_operations.py:168-222), all
+    type pairs."""
     if grid_size:
         from rayspatial.geom.accessors import set_precision
 
@@ -306,8 +353,6 @@ def symmetric_difference(ga: GeomArray, gb: GeomArray, grid_size: float | None =
             symmetric_difference(set_precision(ga, grid_size), set_precision(gb, grid_size)),
             grid_size,
         )
-    """Pairwise symmetric difference (set_operations.py:168-222), all
-    type pairs."""
     from rayspatial.geom import predicates as P
 
     def one(b: _Builder, g: int, i: int, j: int):
@@ -334,16 +379,16 @@ def symmetric_difference(ga: GeomArray, gb: GeomArray, grid_size: float | None =
 
 
 def union_all(ga: GeomArray, grid_size: float | None = None) -> GeomArray:
-    if grid_size:
-        from rayspatial.geom.accessors import set_precision
-
-        return set_precision(union_all(set_precision(ga, grid_size)), grid_size)
     """Reduce to one geometry (set_operations.py:314-396): all-missing
     -> missing (reference lines 389-396); all points -> MULTIPOINT of
     DISTINCT points; pairwise-disjoint polygons -> MULTIPOLYGON;
     overlapping polygons -> n-ary overlay; lineal / mixed inputs ->
     geom/lineal_ops.union_all_general.  Reorderable, so ops-level
     partial+final combines are exact."""
+    if grid_size:
+        from rayspatial.geom.accessors import set_precision
+
+        return set_precision(union_all(set_precision(ga, grid_size)), grid_size)
     from rayspatial.geom import predicates as P
 
     live = np.flatnonzero(~(ga.is_missing() | ga.is_empty()))

@@ -191,3 +191,27 @@ def test_ring_as_lineal_operand():
     out = g.intersection(ring, box)
     assert float(g.length(out)[0]) == pytest.approx(4.0)
     assert float(g.length(g.difference(ring, box))[0]) == 0.0
+
+
+def test_polygon_intersection_lower_dim_contact():
+    """GEOS: polygons with no area overlap still intersect in their
+    boundary contact — shared edges as LINESTRING, corner touches as
+    POINT (both the box fast path and the general/convex paths)."""
+    def inter(a, b):
+        return g.intersection(one(a), one(b))
+
+    # box fast path
+    assert wkt_of(inter("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")) \
+        == "LINESTRING (2 0, 2 2)"
+    assert wkt_of(inter("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")) == "POINT (2 2)"
+    # convex (triangle) path
+    assert wkt_of(inter("POLYGON ((0 0, 2 0, 1 2, 0 0))",
+                        "POLYGON ((0 0, 2 0, 1 -2, 0 0))")) \
+        == "LINESTRING (0 0, 2 0)"
+    assert wkt_of(inter("POLYGON ((0 0, 2 0, 1 2, 0 0))",
+                        "POLYGON ((1 2, 3 2, 2 4, 1 2))")) == "POINT (1 2)"
+    # disjoint stays empty
+    assert bool(g.is_empty(inter("POLYGON ((0 0, 2 0, 1 2, 0 0))",
+                                 "POLYGON ((10 0, 12 0, 11 2, 10 0))"))[0])
