@@ -416,6 +416,30 @@ def _q_events_streaming(sf_dir: str):
     )
 
 
+def _q_asof_prior_click(sf_dir: str):
+    """As-of join: each 'error' event matched to the most recent
+    'click' (ts <= error ts) by the same user — one hash shuffle,
+    per-partition vectorized merge_asof (ops/asof.py)."""
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.asof import asof_join
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    def only(kind):
+        def fn(batch):
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+        return fn
+
+    err = ds.map_batches(only("error"), batch_format="pyarrow")
+    clk = ds.map_batches(only("click"), batch_format="pyarrow")
+    out = asof_join(err, clk, by="user_id", on="ts", id_col="event_id")
+    return out.select_columns(["event_id", "event_id_right"])
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     from rayspatial.ops.window import sessionize
@@ -587,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "top_users": _q_top_users,
         "events_streaming": _q_events_streaming,
+        "asof_prior_click": _q_asof_prior_click,
         "sessions": _q_sessions,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
@@ -687,6 +712,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY user_id "
             "ORDER BY total_cents DESC, user_id LIMIT 10"
+        ),
+        "asof_prior_click": (
+            "WITH err AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "clk AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT e.event_id, c.event_id AS cid, "
+            "ROW_NUMBER() OVER (PARTITION BY e.event_id "
+            "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+            "FROM err e JOIN clk c ON c.user_id = e.user_id AND c.ts <= e.ts) "
+            "SELECT event_id, cid AS event_id_right FROM j WHERE rn = 1"
         ),
         "events_streaming": (
             "WITH o AS (SELECT user_id % 8 AS part, event_id, epoch_us(ts) AS tus, "

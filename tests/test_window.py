@@ -168,3 +168,34 @@ def test_to_cents_rounding_matches_duckdb():
         ).fetchall()
     ]
     assert mine == ref
+
+
+def test_asof_join(ray_session, events_df):
+    """as-of join vs a brute-force pandas reference (greatest ts <=,
+    ties by greatest event_id)."""
+    import ray.data as rd
+
+    from rayspatial.ops.asof import asof_join
+
+    err = events_df[events_df.event_type == "error"]
+    clk = events_df[events_df.event_type == "click"]
+    got = (
+        asof_join(
+            rd.from_pandas(err[["event_id", "ts", "user_id"]]).repartition(4),
+            rd.from_pandas(clk[["event_id", "ts", "user_id"]]).repartition(4),
+            by="user_id", on="ts", id_col="event_id",
+        )
+        .to_pandas()
+        .set_index("event_id")["event_id_right"]
+        .sort_index()
+    )
+    # brute force
+    ref = {}
+    for _, e in err.iterrows():
+        c = clk[(clk.user_id == e.user_id) & (clk.ts <= e.ts)]
+        if len(c):
+            c = c.sort_values(["ts", "event_id"])
+            ref[e.event_id] = int(c.iloc[-1].event_id)
+    assert len(got) == len(ref)
+    for eid, prior in ref.items():
+        assert got[eid] == prior
