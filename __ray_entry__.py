@@ -528,6 +528,21 @@ def _q_ann_topk(sf_dir: str):
     return ann_topk(_embs(sf_dir), qids, k=5)
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (k-means coarse quantizer, nprobe probe
+    lists) — the brief's IVF scale path; rows-only checked (approx),
+    recall + exactness-at-full-probe verified in pytest."""
+    import pyarrow.parquet as pq
+
+    from rayspatial.textops.ann import ivf_topk
+
+    vec_ids = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).column("vec_id").to_numpy()
+    qids = vec_ids[vec_ids % 100 == 0]
+    return ivf_topk(_embs(sf_dir), qids, k=5, nlist=16, nprobe=4)
+
+
 def _q_srp_candidates(sf_dir: str):
     from rayspatial.textops.ann import srp_bucket_candidates
 
@@ -625,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": _q_emb_dup_pairs,
         "ann_topk": _q_ann_topk,
         "srp_candidates": _q_srp_candidates,
+        "ivf_topk": _q_ivf_topk,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,

@@ -249,3 +249,114 @@ def srp_bucket_candidates(ds, num_bits: int = 16, num_tables: int = 4,
         return df[["a", "b"]].drop_duplicates()
 
     return hash_partitioned_agg(pairs, ["a", "b"], distinct_pairs)
+
+
+def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 17):
+    """Deterministic Lloyd k-means (numpy) for the IVF coarse
+    quantizer; trained on a bounded sample."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ centroids.T  # cosine (inputs normalized)
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_topk(ds, query_ids, k: int = 5, nlist: int = 32, nprobe: int = 4,
+             train_limit: int = 4096,
+             id_col: str = "vec_id", col: str = "embedding"):
+    """IVF approximate top-k: a k-means coarse quantizer (trained on a
+    bounded sample) splits the corpus into ``nlist`` lists; each query
+    probes its ``nprobe`` nearest lists and only vectors in probed
+    lists enter the exact cosine scoring.  Streaming one-pass shape:
+    every batch assigns its vectors to lists and scores them against
+    only the queries probing those lists (the per-batch work shrinks by
+    ~nprobe/nlist vs brute force); at corpus scale, materialize
+    list-partitioned Parquet once and skip unprobed partitions at the
+    READ instead (same math, same recall).  nprobe=nlist degenerates to
+    the exact ann_topk result."""
+    import ray
+
+    query_ids = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+    # bounded training sample + query vector gather (small by contract)
+    sample = ds.limit(train_limit).take_all()
+    st = pa.Table.from_pylist(sample)
+    smat = _normalize(_emb_matrix(st, col))
+    centroids = _kmeans(smat, nlist)
+
+    qtab = ds.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b.column(id_col), value_set=pa.array(query_ids))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    qt = pa.Table.from_pylist(qtab)
+    order = np.argsort(qt.column(id_col).to_numpy())
+    qmat = _normalize(_emb_matrix(qt, col))[order]
+    qids = qt.column(id_col).to_numpy()[order]
+    nprobe = min(nprobe, len(centroids))
+    qsims = qmat @ centroids.T
+    # per query: its nprobe nearest lists
+    probed = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    ref = ray.put((qids, qmat, centroids, probed))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, cents, prb = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, col))
+        ids = batch.column(id_col).to_numpy()
+        assign = np.argmax(m @ cents.T, axis=1)
+        sims = m @ qm.T  # (n, Q)
+        out_q, out_n, out_s = [], [], []
+        for c in range(sims.shape[1]):
+            # candidates: vectors whose list this query probes
+            mask = np.isin(assign, prb[c]) & (ids != qi[c])
+            cand = np.flatnonzero(mask)
+            kk = min(k, len(cand))
+            if kk == 0:
+                continue
+            s = sims[:, c]
+            if len(cand) > 4 * kk:
+                kth = np.partition(-s[cand], kk - 1)[kk - 1]
+                cand = cand[-s[cand] <= kth]
+            sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+            out_q.append(np.full(kk, qi[c]))
+            out_n.append(ids[sel])
+            out_s.append(s[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "sim": pa.array([], type=pa.float64())}
+            )
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank"]], preserve_index=False
+        )
+
+    return partial.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow"
+    )

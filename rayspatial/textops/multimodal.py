@@ -86,3 +86,100 @@ def binary_features(ds, binary_col: str = "html", id_col: str = "url",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: binary image -> resized binary + (w, h)
+    metadata.  The resample kernel is a deterministic fake (byte-grid
+    area downsample) because no image library ships in this container;
+    the plumbing — typed metadata columns, per-actor setup, small
+    batches for big payloads — is the real contract."""
+
+    def __init__(self, binary_col: str = "html", id_col: str = "url",
+                 target: int = 64, decoder: str = "fake"):
+        if decoder != "fake":
+            raise NotImplementedError(
+                "real image resample needs an image library not present "
+                "in this container"
+            )
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.target = target
+
+    def _resize(self, payload: bytes) -> tuple[bytes, int, int]:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        side = max(int(np.sqrt(len(b))), 1)
+        b = b[: side * side]
+        if len(b) < side * side:
+            b = np.pad(b, (0, side * side - len(b)))
+        img = b.reshape(side, side)
+        t = min(self.target, side)
+        step = side // t
+        small = img[: t * step, : t * step].reshape(t, step, t, step)
+        out = small.mean(axis=(1, 3)).astype(np.uint8)
+        return out.tobytes(), t, t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.binary_col).to_pylist()
+        outs = [self._resize(p or b"") for p in payloads]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "thumb": pa.array([o[0] for o in outs], type=pa.binary()),
+            "width": pa.array([o[1] for o in outs], type=pa.int64()),
+            "height": pa.array([o[2] for o in outs], type=pa.int64()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: binary 'video' -> one row PER SAMPLED FRAME
+    (row expansion; frame payloads are deterministic byte slices —
+    the ffmpeg-shaped plumbing without ffmpeg)."""
+
+    def __init__(self, binary_col: str = "html", id_col: str = "url",
+                 num_frames: int = 4):
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for rid, payload in zip(batch.column(self.id_col).to_pylist(),
+                                batch.column(self.binary_col).to_pylist()):
+            b = payload or b""
+            n = self.num_frames
+            step = max(len(b) // n, 1)
+            for f in range(n):
+                ids.append(rid)
+                fidx.append(f)
+                frames.append(b[f * step : (f + 1) * step])
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "frame_idx": pa.array(fidx, type=pa.int64()),
+            "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+def binary_embeddings(ds, binary_col: str = "html", id_col: str = "doc_id",
+                      batch_size: int = 256, concurrency=(1, 4)):
+    """Binary payload -> L2-normalized FEATURE_DIM float embedding
+    (deterministic fake features) — the bridge from multimodal decode
+    into the similarity-search operators (ann_topk / ivf_topk /
+    embedding_dup_pairs consume its output schema directly)."""
+
+    def embed(batch: pa.Table) -> pa.Table:
+        payloads = batch.column(binary_col).to_pylist()
+        feats = np.stack([_fake_decode(p or b"") for p in payloads]).astype(
+            np.float64
+        )
+        nrm = np.linalg.norm(feats, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        feats = feats / nrm
+        return pa.table({
+            "vec_id": batch.column(id_col),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float64()), FEATURE_DIM
+            ),
+        })
+
+    return ds.map_batches(embed, batch_format="pyarrow",
+                          batch_size=batch_size)

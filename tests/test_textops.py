@@ -371,3 +371,74 @@ def test_connected_components_bucket_mode(ray_session):
     ref = connected_duplicate_groups(rp)
     for node, rep in ref.items():
         assert got[node] == rep
+
+
+def test_ivf_topk_recall_and_exactness(ray_session):
+    """IVF probe-filtered top-k: exact when nprobe=nlist; high recall
+    vs the exact result at nprobe<<nlist."""
+    from rayspatial.textops.ann import ann_topk, ivf_topk
+    from rayspatial.util import read_parquet_sized
+
+    sf = "/root/testdata/sf0.01"
+    import pyarrow.parquet as pq
+
+    vec_ids = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id"]
+    ).column("vec_id").to_numpy()
+    qids = vec_ids[vec_ids % 50 == 0]
+
+    def ds():
+        return read_parquet_sized(f"{sf}/embeddings.parquet")
+
+    exact = ann_topk(ds(), qids, k=5).to_pandas()
+    full = ivf_topk(ds(), qids, k=5, nlist=8, nprobe=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    approx = ivf_topk(ds(), qids, k=5, nlist=8, nprobe=3).to_pandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    from rayspatial.pipeline.pages import read_pages
+    from rayspatial.textops.multimodal import FrameSampler, ImageResizer
+
+    sf = "/root/testdata/sf0.001"
+    pages = read_pages(sf)
+    thumbs = pages.map_batches(
+        ImageResizer, fn_constructor_kwargs=dict(target=16),
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 2),
+    ).take(5)
+    for t in thumbs:
+        # target is an upper bound: payloads smaller than target^2
+        # bytes resize to their own side length
+        assert t["width"] == t["height"] <= 16
+        assert len(t["thumb"]) == t["width"] * t["height"]
+    n_pages = pages.count()
+    frames = pages.map_batches(
+        FrameSampler, fn_constructor_kwargs=dict(num_frames=3),
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 2),
+    )
+    assert frames.count() == 3 * n_pages
+    with pytest.raises(NotImplementedError):
+        from rayspatial.textops.multimodal import ImageResizer as IR
+
+        IR(decoder="real")
+
+
+def test_binary_embeddings_feed_ann(ray_session):
+    """Multimodal -> similarity-search composition: fake embeddings
+    from binary payloads flow straight into ann_topk."""
+    from rayspatial.pipeline.pages import read_pages
+    from rayspatial.textops.ann import ann_topk
+    from rayspatial.textops.multimodal import binary_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    embs = binary_embeddings(read_pages(sf), id_col="doc_id")
+    out = ann_topk(embs, query_ids=[0, 100], k=3).to_pandas()
+    assert set(out["query_id"]) == {0, 100}
+    assert (out.groupby("query_id").size() == 3).all()
