@@ -313,9 +313,26 @@ def distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     return out
 
 
-def hausdorff_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+def _densify_chain(xy: np.ndarray, densify: float) -> np.ndarray:
+    """Insert ceil(1/densify)-1 evenly spaced points per segment (the
+    GEOS densifyFrac refinement; 0 < densify <= 1)."""
+    k = int(np.ceil(1.0 / densify))
+    if k <= 1 or len(xy) < 2:
+        return xy
+    a, b = xy[:-1], xy[1:]
+    t = np.arange(k) / k  # [0, 1) fractions; endpoint comes from next a
+    pts = a[:, None, :] + t[None, :, None] * (b - a)[:, None, :]
+    return np.vstack([pts.reshape(-1, 2), xy[-1:]])
+
+
+def hausdorff_distance(ga: GeomArray, gb: GeomArray,
+                       densify: float | None = None) -> np.ndarray:
     """Discrete Hausdorff distance (vertex-to-geometry, the JTS/GEOS
-    DiscreteHausdorffDistance algorithm; reference measurement.py:179-216)."""
+    DiscreteHausdorffDistance algorithm; reference measurement.py:179-216).
+    ``densify`` in (0, 1] refines the approximation by splitting each
+    segment into ceil(1/densify) pieces before the vertex sweep."""
+    if densify is not None and not (0.0 < densify <= 1.0):
+        raise ValueError("densify must be in the range (0, 1]")
     n = len(ga)
     out = np.empty(n, dtype=np.float64)
     ma = ga.is_missing() | ga.is_empty()
@@ -324,6 +341,11 @@ def hausdorff_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     def directed(src: GeomArray, i: int, dst: GeomArray, j: int) -> float:
         pa, sa1, sa2 = _geom_segments(src, i)
         verts = np.concatenate([pa, sa1, sa2[-1:] if len(sa2) else np.empty((0, 2))])
+        if densify is not None and len(sa1):
+            k = int(np.ceil(1.0 / densify))
+            t = np.arange(1, k) / k
+            mids = sa1[:, None, :] + t[None, :, None] * (sa2 - sa1)[:, None, :]
+            verts = np.vstack([verts, mids.reshape(-1, 2)])
         pb, sb1, sb2 = _geom_segments(dst, j)
         best = 0.0
         for v in verts:
@@ -348,10 +370,15 @@ def hausdorff_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     return out
 
 
-def frechet_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
+def frechet_distance(ga: GeomArray, gb: GeomArray,
+                     densify: float | None = None) -> np.ndarray:
     """Discrete Frechet distance between vertex chains (reference
     measurement.py:218-258; GEOS >= 3.7 discrete algorithm).  NaN for
-    missing/empty or non-lineal inputs without vertices."""
+    missing/empty or non-lineal inputs without vertices.  ``densify``
+    refines each chain by splitting segments into ceil(1/densify)
+    pieces first."""
+    if densify is not None and not (0.0 < densify <= 1.0):
+        raise ValueError("densify must be in the range (0, 1]")
     n = len(ga)
     out = np.full(n, np.nan)
     ma = ga.is_missing() | ga.is_empty()
@@ -364,6 +391,9 @@ def frechet_distance(ga: GeomArray, gb: GeomArray) -> np.ndarray:
         vb = _geom_vertices(gb, j)
         if not len(va) or not len(vb):
             continue
+        if densify is not None:
+            va = _densify_chain(va, densify)
+            vb = _densify_chain(vb, densify)
         # dynamic program over the coupling (classic discrete Frechet)
         d = np.hypot(va[:, None, 0] - vb[None, :, 0], va[:, None, 1] - vb[None, :, 1])
         ca = np.empty_like(d)

@@ -242,3 +242,24 @@ def test_set_operations_grid_size():
         grid_size=0.1,
     )
     assert float(g.area(u)[0]) == pytest.approx(2.0)
+
+
+def test_hausdorff_frechet_densify():
+    """reference measurement.py:179-258 densify= parameter; the plain
+    and densified values match the reference's own doctests."""
+    from rayspatial import geom as g
+
+    a = g.from_wkt(["LINESTRING (130 0, 0 0, 0 150)"])
+    b = g.from_wkt(["LINESTRING (10 10, 10 150, 130 10)"])
+    assert g.hausdorff_distance(a, b)[0] == pytest.approx(np.sqrt(200.0))
+    assert g.hausdorff_distance(a, b, densify=0.5)[0] == pytest.approx(70.0)
+    f1 = g.from_wkt(["LINESTRING (0 0, 100 0)"])
+    f2 = g.from_wkt(["LINESTRING (0 0, 50 50, 100 0)"])
+    assert g.frechet_distance(f1, f2)[0] == pytest.approx(np.sqrt(2) * 50)
+    assert g.frechet_distance(f1, f2, densify=0.001)[0] == pytest.approx(
+        50.0, abs=0.1
+    )
+    with pytest.raises(ValueError):
+        g.hausdorff_distance(a, b, densify=0.0)
+    with pytest.raises(ValueError):
+        g.frechet_distance(a, b, densify=1.5)
