@@ -311,10 +311,11 @@ def get_geometry(ga: GeomArray, index) -> GeomArray:
     return b.finish()
 
 
-def get_parts(ga: GeomArray) -> tuple[GeomArray, np.ndarray]:
-    """Explode multi*/collections into parts (+ source index) —
-    reference geometry.py:524-566.  Simple geometries pass through as
-    one part; missing/empty contribute nothing."""
+def get_parts(ga: GeomArray, return_index: bool = False):
+    """Explode multi*/collections into parts — reference
+    geometry.py:524-566 (``return_index=True`` adds the source row
+    index, like the reference).  Simple geometries pass through as one
+    part; missing/empty contribute nothing."""
     b = _Builder()
     src: list[int] = []
     row = 0
@@ -327,12 +328,16 @@ def get_parts(ga: GeomArray) -> tuple[GeomArray, np.ndarray]:
             if _extract_child(ga, b, row, g, c):
                 src.append(g)
                 row += 1
-    return b.finish(), np.asarray(src, dtype=np.int64)
+    parts = b.finish()
+    if return_index:
+        return parts, np.asarray(src, dtype=np.int64)
+    return parts
 
 
-def get_rings(ga: GeomArray) -> tuple[GeomArray, np.ndarray]:
+def get_rings(ga: GeomArray, return_index: bool = False):
     """Explode POLYGON rows into their rings (shell first, then holes)
-    as LINEARRINGs (+ source index) — reference geometry.py:569-621."""
+    as LINEARRINGs — reference geometry.py:569-621
+    (``return_index=True`` adds the source row index)."""
     b = _Builder()
     src: list[int] = []
     row = 0
@@ -343,7 +348,10 @@ def get_rings(ga: GeomArray) -> tuple[GeomArray, np.ndarray]:
         _ring_to_linearring(b, row, ga.part_coords(p))
         src.append(g)
         row += 1
-    return b.finish(), np.asarray(src, dtype=np.int64)
+    rings = b.finish()
+    if return_index:
+        return rings, np.asarray(src, dtype=np.int64)
+    return rings
 
 
 _SRID_ATTR = "_srids"

@@ -190,7 +190,8 @@ def shortest_line(ga: GeomArray, gb: GeomArray) -> GeomArray:
 
 
 def offset_curve(ga: GeomArray, distance, quadsegs: int = 8,
-                 join_style: str = "round") -> GeomArray:
+                 join_style: str = "round",
+                 mitre_limit: float = 5.0) -> GeomArray:
     """Parallel offset of each linestring (reference
     constructive.py:188-247): positive distance offsets to the LEFT of
     the line direction, negative to the right.
@@ -247,7 +248,27 @@ def offset_curve(ga: GeomArray, distance, quadsegs: int = 8,
                         for s in range(1, steps):
                             ang = a0 + sweep * s / steps
                             out.append(v + r * np.array([np.cos(ang), np.sin(ang)]))
-                    out.append(a_off)
+                        out.append(a_off)
+                    elif join_style == "mitre" and cross * side < 0:
+                        # extend to the offset-line intersection, cropped
+                        # at mitre_limit * r (GEOS semantics)
+                        m = n0 + n1
+                        mlen = np.hypot(m[0], m[1])
+                        if mlen > 1e-12:
+                            mh = m / mlen
+                            proj = float(n0 @ mh)
+                            dmit = r * r / proj if proj > 0 else np.inf
+                            L = mitre_limit * r
+                            if dmit <= L:
+                                out.append(v + dmit * mh)
+                            else:
+                                tip = dmit * mh
+                                t1 = (L - proj) / (dmit - proj)
+                                out.append((v + n0) + t1 * (v + tip - (v + n0)))
+                                out.append((v + n1) + t1 * (v + tip - (v + n1)))
+                        out.append(a_off)
+                    else:
+                        out.append(a_off)
                 out.append(b_off)
             chains_out.append(np.asarray(out))
         if len(chains_out) == 1:

@@ -123,10 +123,13 @@ def _unique_vertices(ga: GeomArray, i: int) -> np.ndarray:
     return uniq
 
 
-def delaunay_triangles(ga: GeomArray, only_edges: bool = False) -> GeomArray:
+def delaunay_triangles(ga: GeomArray, tolerance: float = 0.0,
+                       only_edges: bool = False) -> GeomArray:
     """GEOMETRYCOLLECTION of triangles (or MULTILINESTRING of edges) of
     the Delaunay triangulation of each geometry's vertices
-    (constructive.py:345-384).  Missing -> missing; < 3 vertices ->
+    (constructive.py:345-384).  ``tolerance`` merges vertices within
+    that distance before triangulating (GEOS snapping tolerance).
+    Missing -> missing; < 3 vertices ->
     empty collection."""
     b = _Builder()
     for i in range(len(ga)):
@@ -134,6 +137,11 @@ def delaunay_triangles(ga: GeomArray, only_edges: bool = False) -> GeomArray:
             _append_missing(b)
             continue
         pts = _unique_vertices(ga, i)
+        if tolerance > 0 and len(pts):
+            # merge vertices within tolerance (greedy grid snap, the
+            # GEOS snapping-tolerance behavior)
+            snapped = np.round(pts / tolerance) * tolerance
+            pts = np.unique(snapped, axis=0)
         tris = triangulate_points(pts)
         if not tris:
             _append_empty(b, GEOMETRYCOLLECTION)
@@ -163,10 +171,15 @@ def delaunay_triangles(ga: GeomArray, only_edges: bool = False) -> GeomArray:
     return b.finish()
 
 
-def voronoi_polygons(ga: GeomArray, extend_to=None, margin_frac: float = 1.0) -> GeomArray:
+def voronoi_polygons(ga: GeomArray, tolerance: float = 0.0, extend_to=None,
+                     only_edges: bool = False,
+                     margin_frac: float = 1.0) -> GeomArray:
     """GEOMETRYCOLLECTION of Voronoi cells of each geometry's vertices
     (constructive.py:781-826), clipped to the input envelope expanded by
     ``margin_frac`` (GEOS default enlarges the envelope similarly).
+    ``tolerance`` merges vertices within that distance first;
+    ``only_edges=True`` returns the cell boundaries as a
+    MULTILINESTRING instead of polygons.
 
     Cells are built by clipping the bounding box with the perpendicular
     half-plane of every other site (exact for the clipped region;
@@ -181,6 +194,8 @@ def voronoi_polygons(ga: GeomArray, extend_to=None, margin_frac: float = 1.0) ->
             _append_missing(b)
             continue
         pts = _unique_vertices(ga, i)
+        if tolerance > 0 and len(pts):
+            pts = np.unique(np.round(pts / tolerance) * tolerance, axis=0)
         if len(pts) == 0:
             _append_empty(b, GEOMETRYCOLLECTION)
             continue
@@ -192,8 +207,7 @@ def voronoi_polygons(ga: GeomArray, extend_to=None, margin_frac: float = 1.0) ->
         if extend_to is not None:
             x0, y0, x1, y1 = extend_to
         base = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
-        b.types.append(GEOMETRYCOLLECTION)
-        ncell = 0
+        cells = []
         for s in range(len(pts)):
             cell = base
             for t in range(len(pts)):
@@ -204,10 +218,29 @@ def voronoi_polygons(ga: GeomArray, extend_to=None, margin_frac: float = 1.0) ->
                 nrm = pts[s] - pts[t]  # points toward s
                 cell = _clip_halfplane(cell, mid, nrm)
             if len(cell) >= 3:
-                ring = np.vstack([cell, cell[:1]])
-                b.add_part(i, PK_SHELL, b.poly_counter, ring)
-                b.poly_counter += 1
-                ncell += 1
+                cells.append(np.vstack([cell, cell[:1]]))
+        if only_edges:
+            # dissolve cell boundaries into unique undirected segments
+            seen = set()
+            segs = []
+            for ring in cells:
+                for k in range(len(ring) - 1):
+                    key = tuple(sorted((tuple(np.round(ring[k], 12)),
+                                        tuple(np.round(ring[k + 1], 12)))))
+                    if key not in seen:
+                        seen.add(key)
+                        segs.append((ring[k], ring[k + 1]))
+            b.types.append(5)  # MULTILINESTRING
+            for a2, c2 in segs:
+                b.add_part(i, PK_LINE, b.sub_counter, np.vstack([a2, c2]))
+                b.sub_counter += 1
+            b.has_z.append(False)
+            b.num_children.append(len(segs))
+            continue
+        b.types.append(GEOMETRYCOLLECTION)
+        for ring in cells:
+            b.add_part(i, PK_SHELL, b.poly_counter, ring)
+            b.poly_counter += 1
         b.has_z.append(False)
-        b.num_children.append(ncell)
+        b.num_children.append(len(cells))
     return b.finish()

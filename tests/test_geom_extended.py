@@ -100,12 +100,12 @@ def test_get_geometry_and_parts(fixture):
     assert g0[5] == "POINT (0 0)"
     gm1 = gio.to_wkt(A.get_geometry(g, -1))
     assert gm1[5] == "POINT (1 2)"
-    parts, idx = A.get_parts(g)
+    parts, idx = A.get_parts(g, return_index=True)
     # 5 simple + 2 + 2 + 2 + 2 parts
     assert len(parts) == 13
     assert list(idx) == [0, 1, 2, 3, 4, 5, 5, 6, 6, 7, 7, 8, 8]
     # non-polygons contribute no rings (geometry.py:569-621)
-    rings, ridx = A.get_rings(g)
+    rings, ridx = A.get_rings(g, return_index=True)
     assert len(rings) == 1 + 2 + 2  # poly, poly+hole, 2 multipoly
     assert list(ridx) == [3, 4, 4, 7, 7]
 
@@ -263,3 +263,41 @@ def test_hausdorff_frechet_densify():
         g.hausdorff_distance(a, b, densify=0.0)
     with pytest.raises(ValueError):
         g.frechet_distance(a, b, densify=1.5)
+
+
+def test_offset_curve_mitre_limit():
+    from rayspatial import geom as g
+
+    ln = g.linestrings([[(0, 0), (10, 0), (10, 10)]])
+    m = g.offset_curve(ln, -1, join_style="mitre")
+    # the offset lines y=-1 and x=11 meet at (11, -1)
+    assert "11 -1" in g.to_wkt(m)[0]
+    mc = g.offset_curve(ln, -1, join_style="mitre", mitre_limit=1.05)
+    assert "11 -1" not in g.to_wkt(mc)[0]  # spike cropped
+    # cropped curve still reaches both endpoints
+    w = g.to_wkt(mc)[0]
+    assert w.startswith("LINESTRING (0 -1") and w.endswith("11 10)")
+
+
+def test_triangulate_params():
+    from rayspatial import geom as g
+
+    pts = g.from_wkt(["MULTIPOINT (0 0, 2 0, 1 2, 1.0000001 2.0000001)"])
+    # tolerance merges the near-duplicate site
+    assert int(g.delaunay_triangles(pts, tolerance=0.001).num_children[0]) == 1
+    assert int(g.voronoi_polygons(pts, tolerance=0.001).num_children[0]) == 3
+    ve = g.voronoi_polygons(pts, only_edges=True)
+    assert int(ve.types[0]) == 5  # MULTILINESTRING
+
+
+def test_get_parts_reference_shape():
+    """reference geometry.py:524-621: parts only by default,
+    (parts, index) with return_index=True."""
+    from rayspatial import geom as g
+    from rayspatial.geom import accessors as A
+
+    mp = g.from_wkt(["MULTIPOINT (0 0, 1 1)"])
+    parts = A.get_parts(mp)
+    assert len(parts) == 2
+    parts2, idx = A.get_parts(mp, return_index=True)
+    assert list(idx) == [0, 0]
