@@ -309,9 +309,11 @@ def to_wkt(
     rounding_precision: int = 6,
     trim: bool = True,
     output_dimension: int = 3,
+    old_3d: bool = False,
 ) -> list[str | None]:
     """GeomArray -> WKT strings.  Reference io.py:100-182; new-style 3D
-    ("POINT Z (1 2 3)")."""
+    ("POINT Z (1 2 3)") by default, ``old_3d=True`` drops the Z tag
+    ("POINT (1 2 3)") like GEOS's old-style output."""
     parts_by_geom: dict[int, list] = {}
     for p in range(ga.n_parts):
         parts_by_geom.setdefault(int(ga.part_geom[p]), []).append(p)
@@ -324,7 +326,7 @@ def to_wkt(
             continue
         has_z = bool(ga.has_z[i]) and output_dimension >= 3 and zv is not None
         name = _NAME_BY_TYPE[typ]
-        ztag = " Z" if has_z else ""
+        ztag = " Z" if has_z and not old_3d else ""
         gparts = parts_by_geom.get(i, [])
 
         def cs(p):

@@ -346,14 +346,32 @@ def _write_geom(ga: GeomArray, i: int, parts_by_geom: dict, out: list) -> None:
     raise ValueError(f"cannot write geometry type {typ}")
 
 
-def to_wkb(ga: GeomArray, hex: bool = False) -> list[bytes | str | None]:
+def to_wkb(ga: GeomArray, hex: bool = False, output_dimension: int = 3,
+           byte_order: int = -1,
+           include_srid: bool = False) -> list[bytes | str | None]:
     """GeomArray -> list of canonical WKB (None for missing).
 
-    Mirrors reference ``to_wkb`` (pygeos/io.py:185-245) with the engine's
-    frozen canonical form (little-endian, ISO codes)."""
+    Mirrors reference ``to_wkb`` (pygeos/io.py:185-245) with the
+    engine's frozen canonical form (little-endian, ISO codes).
+    ``output_dimension=2`` drops Z; ``byte_order`` -1/1 = little
+    (native), 0 = big-endian (structural transcode);
+    ``include_srid=True`` writes the EWKB SRID flag + the sidecar srid
+    (``set_srid``) on the top-level geometry — the engine's parser
+    reads every variant back."""
+    if byte_order not in (-1, 0, 1):
+        raise ValueError("byte_order must be -1, 0 or 1")
+    if output_dimension == 2 and ga.z is not None:
+        from rayspatial.geom.accessors import force_2d
+
+        ga = force_2d(ga)
     parts_by_geom: dict[int, list] = {}
     for p in range(ga.n_parts):
         parts_by_geom.setdefault(int(ga.part_geom[p]), []).append(p)
+    srids = None
+    if include_srid:
+        from rayspatial.geom.accessors import get_srid
+
+        srids = get_srid(ga)
     result: list = []
     for i in range(len(ga)):
         if ga.types[i] == MISSING:
@@ -362,8 +380,74 @@ def to_wkb(ga: GeomArray, hex: bool = False) -> list[bytes | str | None]:
         out: list = []
         _write_geom(ga, i, parts_by_geom, out)
         blob = b"".join(out)
+        if include_srid:
+            blob = _insert_srid(blob, int(srids[i]))
+        if byte_order == 0:
+            blob = _swap_wkb_endianness(blob)
         result.append(blob.hex() if hex else blob)
     return result
+
+
+def _insert_srid(blob: bytes, srid: int) -> bytes:
+    """Set the EWKB SRID flag on the top-level type word and insert the
+    4-byte srid (little-endian input blob)."""
+    t = int.from_bytes(blob[1:5], "little") | 0x20000000
+    return (blob[:1] + t.to_bytes(4, "little")
+            + int(srid).to_bytes(4, "little", signed=False) + blob[5:])
+
+
+def _swap_wkb_endianness(blob: bytes) -> bytes:
+    """Structural little->big transcode of a WKB blob (every nested
+    geometry header, count and coordinate swaps)."""
+    out = bytearray()
+    pos = _swap_geom(blob, 0, out)
+    if pos != len(blob):
+        raise WKBError("trailing bytes while transcoding WKB")
+    return bytes(out)
+
+
+def _swap_geom(buf: bytes, pos: int, out: bytearray) -> int:
+    if buf[pos] != 1:
+        raise WKBError("transcode expects little-endian input")
+    out.append(0)  # big-endian marker
+    raw = int.from_bytes(buf[pos + 1 : pos + 5], "little")
+    out += raw.to_bytes(4, "big")
+    pos += 5
+    t = raw
+    if t & 0x20000000:
+        t &= ~0x20000000
+        out += int.from_bytes(buf[pos : pos + 4], "little").to_bytes(4, "big")
+        pos += 4
+    has_z = bool(t & 0x80000000) or (t & 0x7FFFFFFF) // 1000 in (1, 3)
+    base = (t & 0x7FFFFFFF) % 1000
+    nd = 3 if has_z else 2
+
+    def swap_doubles(n):
+        nonlocal pos
+        for _ in range(n):
+            out.extend(buf[pos : pos + 8][::-1])
+            pos += 8
+
+    def swap_count():
+        nonlocal pos
+        c = int.from_bytes(buf[pos : pos + 4], "little")
+        out.extend(c.to_bytes(4, "big"))
+        pos += 4
+        return c
+
+    if base == 1:  # point
+        swap_doubles(nd)
+    elif base == 2:  # linestring
+        swap_doubles(swap_count() * nd)
+    elif base == 3:  # polygon
+        for _ in range(swap_count()):
+            swap_doubles(swap_count() * nd)
+    elif base in (4, 5, 6, 7):
+        for _ in range(swap_count()):
+            pos = _swap_geom(buf, pos, out)
+    else:
+        raise WKBError(f"unsupported geometry type {raw}")
+    return pos
 
 
 # ---------------------------------------------------------------------------

@@ -117,3 +117,37 @@ def test_multipoint_nan_wkb():
     ga = gwkb.parse_wkb([mp])
     assert ga.types[0] == 4
     assert ga.coord_counts()[0] == 0
+
+
+def test_to_wkb_byte_order_and_srid():
+    """reference io.py:185-245 byte_order / include_srid /
+    output_dimension parameters; the engine's parser reads every
+    variant back."""
+    from rayspatial import geom as g
+    from rayspatial.geom.wkb import parse_wkb, to_wkb
+
+    ga = g.from_wkt([
+        "POINT (1 2)",
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))",
+    ])
+    big = to_wkb(ga, byte_order=0)
+    assert big[0][0] == 0  # big-endian marker
+    assert g.to_wkt(parse_wkb(big)) == g.to_wkt(ga)
+    sr = to_wkb(g.set_srid(ga, 4326), include_srid=True)
+    assert int.from_bytes(sr[0][1:5], "little") & 0x20000000
+    assert g.to_wkt(parse_wkb(sr)) == g.to_wkt(ga)
+    with pytest.raises(ValueError):
+        to_wkb(ga, byte_order=2)
+
+
+def test_to_wkt_old_3d_and_2d_wkb():
+    from rayspatial import geom as g
+    from rayspatial.geom.wkb import parse_wkb, to_wkb
+
+    z = g.from_wkt(["POINT Z (1 2 3)"])
+    assert g.to_wkt(z, old_3d=True)[0] == "POINT (1 2 3)"
+    assert g.to_wkt(z)[0] == "POINT Z (1 2 3)"
+    flat = parse_wkb(to_wkb(z, output_dimension=2))
+    assert g.to_wkt(flat)[0] == "POINT (1 2)"
