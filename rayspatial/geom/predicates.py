@@ -220,23 +220,52 @@ def is_valid_reason(ga: GeomArray) -> np.ndarray:
     return out
 
 
+_PREP_ATTR = "_prepared_decomps"
+
+
 def prepare(ga: GeomArray) -> None:
-    """API-parity no-op (reference creation.py:472-501 caches a prepared
-    geometry on the object).  The engine prepares per polygon partition
-    inside join workers (ops.join builds decompositions once per
-    worker), so there is no per-object cache to populate here."""
+    """Prepare geometries IN PLACE (reference creation.py:472-501):
+    attaches a per-row decomposition cache to the array; subsequent
+    pairwise predicate calls reuse it via :func:`prepared_decomp`
+    instead of re-decomposing per call.  (The join workers additionally
+    keep their own per-worker caches — ops/join.py — which is the
+    100-TB-scale preparation path.)"""
+    cache = getattr(ga, _PREP_ATTR, None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(ga, _PREP_ATTR, cache)
+    for i in range(len(ga)):
+        if ga.types[i] != MISSING and i not in cache:
+            cache[i] = _Decomp(ga, i)
     return None
 
 
 def destroy_prepared(ga: GeomArray) -> None:
-    """API-parity no-op (see :func:`prepare`)."""
+    """Drop the prepared cache (reference creation.py:504-523)."""
+    if hasattr(ga, _PREP_ATTR):
+        object.__delattr__(ga, _PREP_ATTR)
     return None
 
 
 def is_prepared(ga: GeomArray) -> np.ndarray:
-    """False for every geometry — preparation is worker-side state, not
-    a geometry attribute (reference predicates.py:224-259)."""
-    return np.zeros(len(ga), dtype=bool)
+    """True where :func:`prepare` cached a decomposition
+    (reference predicates.py:224-259; missing -> False)."""
+    cache = getattr(ga, _PREP_ATTR, None)
+    out = np.zeros(len(ga), dtype=bool)
+    if cache:
+        for i in cache:
+            out[i] = True
+    return out
+
+
+def prepared_decomp(ga: GeomArray, i: int) -> "_Decomp":
+    """The row's prepared decomposition if present, else a fresh one."""
+    cache = getattr(ga, _PREP_ATTR, None)
+    if cache is not None:
+        d = cache.get(i)
+        if d is not None:
+            return d
+    return _Decomp(ga, i)
 
 
 def relate(ga: GeomArray, gb: GeomArray) -> np.ndarray:
@@ -615,7 +644,7 @@ def _locate_point_in(ga: GeomArray, i: int, gb: GeomArray, j: int) -> str:
     if t in (3, 6):
         from rayspatial.geom.strtree import _locate_in_polyset
 
-        d = _Decomp(gb, j)
+        d = prepared_decomp(gb, j)
         loc = _locate_in_polyset(d, np.array([px]), np.array([py]))[0]
         return {INT: "interior", BND: "boundary", EXT: "exterior"}[int(loc)]
     if t in (0, 4):
@@ -1195,7 +1224,7 @@ def _interiors_intersect(da: _Decomp, db: _Decomp) -> tuple[bool, int]:
 
 
 def _pair_intersects(ga: GeomArray, i: int, gb: GeomArray, j: int) -> bool:
-    da, db = _Decomp(ga, i), _Decomp(gb, j)
+    da, db = prepared_decomp(ga, i), prepared_decomp(gb, j)
     return _decomp_intersects(da, db)
 
 
@@ -1227,7 +1256,7 @@ def _binary(ga: GeomArray, gb: GeomArray, fn) -> np.ndarray:
     for i in range(n):
         if ga.types[i] == MISSING or gb.types[i] == MISSING:
             continue
-        da, db = _Decomp(ga, i), _Decomp(gb, i)
+        da, db = prepared_decomp(ga, i), prepared_decomp(gb, i)
         if da.empty or db.empty:
             continue
         out[i] = fn(da, db)
@@ -1244,7 +1273,7 @@ def disjoint(ga: GeomArray, gb: GeomArray) -> np.ndarray:
     for i in range(n):
         if ga.types[i] == MISSING or gb.types[i] == MISSING:
             continue  # missing -> False even for disjoint (ufuncs.c:296-298)
-        da, db = _Decomp(ga, i), _Decomp(gb, i)
+        da, db = prepared_decomp(ga, i), prepared_decomp(gb, i)
         if da.empty or db.empty:
             out[i] = True  # empty is disjoint from everything
             continue

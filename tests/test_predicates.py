@@ -228,3 +228,23 @@ def test_hausdorff():
     b = g("LINESTRING (10 10, 10 150, 130 10)")
     h = M.hausdorff_distance(a, b)
     assert abs(h[0] - 14.142135623730951) < 1e-9
+
+
+def test_prepare_cycle():
+    """reference creation.py:472-523 / predicates.py:224-259: prepare
+    caches per-row state in place, is_prepared reflects it, predicates
+    are unchanged, destroy_prepared drops it."""
+    from rayspatial import geom as g
+
+    polys = g.from_wkt([
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+        "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+    ])
+    pts = g.from_wkt(["POINT (1 1)", "POINT (0 0)"])
+    before = list(g.contains(polys, pts))
+    assert not g.is_prepared(polys).any()
+    g.prepare(polys)
+    assert g.is_prepared(polys).all()
+    assert list(g.contains(polys, pts)) == before
+    g.destroy_prepared(polys)
+    assert not g.is_prepared(polys).any()
