@@ -90,6 +90,11 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 16,
     representative (min member id) per node."""
     from rayspatial.util import hash_partitioned_agg
 
+    # materialize the edge list ONCE: every propagation round re-reads
+    # it, and without this the entire upstream pair pipeline (shingling,
+    # bucketing, ...) would re-execute per round
+    pairs_ds = pairs_ds.materialize()
+
     def init_labels(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
         b = batch.column("b").to_numpy()
