@@ -111,3 +111,21 @@ def read_parquet_sized(path: str, columns: list[str] | None = None,
         if cur is not None and cur < nb:
             ctx._max_num_blocks_in_streaming_gen_buffer = nb
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
+def quiet_thp() -> None:
+    """Best-effort: disable transparent-hugepage merging for this host.
+
+    Measured in this sandbox: khugepaged THP compaction (madvise mode)
+    made first-touch page faults intermittently ~150x slower (a 12 MB
+    np.arange took 2+ seconds), which dominated fresh-process benchmark
+    runs and injected ~30% noise into the scaling ratio.  Writing
+    'never' drops first-touch to ~13 ms.  No-op without root or the
+    sysfs knobs (containers); harness entrypoints call this, library
+    code never does."""
+    for knob in ("enabled", "defrag"):
+        try:
+            with open(f"/sys/kernel/mm/transparent_hugepage/{knob}", "w") as f:
+                f.write("never")
+        except OSError:
+            pass

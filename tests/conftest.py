@@ -9,6 +9,13 @@ import pytest
 def ray_session():
     import ray
 
+try:
+    from rayspatial.util import quiet_thp
+
+    quiet_thp()
+except Exception:
+    pass
+
     if not ray.is_initialized():
         ray.init(
             address="local",
