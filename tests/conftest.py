@@ -4,17 +4,17 @@ from __future__ import annotations
 
 import pytest
 
-
-@pytest.fixture(scope="session")
-def ray_session():
-    import ray
-
-try:
+try:  # host tuning (no-op without root); see rayspatial.util.quiet_thp
     from rayspatial.util import quiet_thp
 
     quiet_thp()
 except Exception:
     pass
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
 
     if not ray.is_initialized():
         ray.init(
