@@ -151,3 +151,19 @@ def test_to_wkt_old_3d_and_2d_wkb():
     assert g.to_wkt(z)[0] == "POINT Z (1 2 3)"
     flat = parse_wkb(to_wkb(z, output_dimension=2))
     assert g.to_wkt(flat)[0] == "POINT (1 2)"
+
+
+def test_assert_geometries_equal_helper():
+    """reference testing.py:20-77 semantics: tolerance, missing==missing."""
+    from rayspatial import geom as g
+    from rayspatial.geom.testing import assert_geometries_equal
+
+    a = g.from_wkt(["POINT (1 2)", None])
+    b = g.from_wkt(["POINT (1.00000001 2)", None])
+    assert_geometries_equal(a, b)
+    with pytest.raises(AssertionError):
+        assert_geometries_equal(a, g.from_wkt(["POINT (9 9)", None]))
+    with pytest.raises(AssertionError):
+        assert_geometries_equal(a, b, equal_none=False)
+    with pytest.raises(AssertionError):
+        assert_geometries_equal(a, g.from_wkt(["POINT (1 2)"]))
