@@ -24,10 +24,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 try:  # host tuning (no-op without root); see util.quiet_thp docstring
+    import atexit
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from rayspatial.util import quiet_thp
 
-    quiet_thp()
+    atexit.register(quiet_thp())  # restore prior sysfs values on exit
 except Exception:
     pass
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -304,6 +304,21 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8,
                     continue
                 _append_empty(b, POLYGON)
                 continue
+            if any(int(ga.part_kind[p]) == PK_HOLE for p in parts):
+                # Polygon with interior rings: dissolving bare shell
+                # rings would fill the holes (a face inside the shell
+                # ring is inside "ANY input ring").  Correct dilation is
+                # union(polygon-with-holes, band(boundary, r)) — the
+                # band covers everything within r of any ring while the
+                # eroded hole interiors stay uncovered.
+                from rayspatial.geom.setops import _copy_geom, union as _union
+
+                sl = _slice_one(ga, i)
+                band = buffer(boundary(sl), radius[i], quadsegs,
+                              cap_style, join_style, mitre_limit)
+                res = _union(sl, band)
+                _copy_geom(res, 0, b, i)
+                continue
             rings = []
             for p in parts:
                 xy = ga.part_coords(p)

@@ -13,8 +13,9 @@ Design:
   entry exists AND its data file exists.  Per-entry files (not one
   appended log) because concurrent writer tasks must not contend.
 - Each entry records lineage + metrics: stage name, partition id,
-  input fingerprint (order-insensitive content hash of the partition's
-  key column), rows, bytes, output content hash, wall time.
+  input fingerprint (order-insensitive content hash of ALL of the
+  partition's columns — a value-only upstream change must invalidate
+  the skip), a key-only lineage hash, rows, bytes, wall time.
 - Resume: a rerun recomputes the shuffle (Ray Data lineage handles
   upstream retries), but each writer task first consults the manifest
   and SKIPS its partition if complete — so only missing partitions
@@ -144,9 +145,10 @@ def checkpointed_write(
         batch = pa.Table.from_pandas(
             g.drop(columns=["_pid"]), preserve_index=False
         )
-        fp = _content_hash(batch, [key_col])
-        # skip only when the recorded entry was produced from the SAME
-        # input (fingerprint match) — a changed upstream rewrites
+        # Fingerprint ALL columns: a rerun whose upstream VALUES changed
+        # (same keys) must rewrite, not silently keep stale data.  The
+        # key-only hash is kept as a separate lineage field below.
+        fp = _content_hash(batch)
         if manifest.is_complete(pid, input_fingerprint=fp):
             return pa.table(
                 {"pid": [pid], "rows": [len(batch)], "skipped": [True]}
@@ -164,7 +166,8 @@ def checkpointed_write(
                 "bytes": os.path.getsize(data_path),
                 "key_col": key_col,
                 "input_fingerprint": fp,
-                "content_hash": _content_hash(batch),
+                "key_fingerprint": _content_hash(batch, [key_col]),
+                "content_hash": fp,
                 "wall_s": round(time.perf_counter() - t0, 4),
                 "ts": time.time(),
             },

@@ -114,7 +114,13 @@ def split_words(texts):
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     trimmed = pc.utf8_trim_whitespace(texts)
-    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    # RE2's \s is [\t\n\f\r ] only; str.split() breaks on the full
+    # Python isspace() set.  Add \v, \p{Zs} (NBSP, ideographic space,
+    # ...), the Zl/Zp separators U+2028/29 and the isspace controls
+    # 1C-1F / 85.  (Empties from any trim/split mismatch drop below.)
+    toks = pc.split_pattern_regex(
+        trimmed, r"[\s\x{0b}\x{1c}-\x{1f}\x{85}\x{2028}\x{2029}\p{Zs}]+"
+    )
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()

@@ -106,14 +106,24 @@ def read_parquet_sized(path: str, columns: list[str] | None = None,
     if nb > 8 and md.num_row_groups < nb and md.serialized_size < (64 << 20):
         from ray.data import DataContext
 
+        # Private Ray API (ray 2.49): the streaming-gen buffer size knob.
+        # Scoped per-read — the Dataset's ExecutionPlan snapshots a COPY
+        # of the current context at creation, so we set it, build the
+        # dataset, and restore the process-global context immediately;
+        # subsequent (possibly large multi-file) reads keep the default.
         ctx = DataContext.get_current()
         cur = getattr(ctx, "_max_num_blocks_in_streaming_gen_buffer", None)
         if cur is not None and cur < nb:
-            ctx._max_num_blocks_in_streaming_gen_buffer = nb
+            try:
+                ctx._max_num_blocks_in_streaming_gen_buffer = nb
+                return rd.read_parquet(path, columns=columns,
+                                       override_num_blocks=nb)
+            finally:
+                ctx._max_num_blocks_in_streaming_gen_buffer = cur
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
-def quiet_thp() -> None:
+def quiet_thp():
     """Best-effort: disable transparent-hugepage merging for this host.
 
     Measured in this sandbox: khugepaged THP compaction (madvise mode)
@@ -122,10 +132,36 @@ def quiet_thp() -> None:
     runs and injected ~30% noise into the scaling ratio.  Writing
     'never' drops first-touch to ~13 ms.  No-op without root or the
     sysfs knobs (containers); harness entrypoints call this, library
-    code never does."""
+    code never does.
+
+    The write is HOST-WIDE, so callers must undo it: returns a
+    ``restore()`` callable that puts back the values read before the
+    change (no-op if nothing was written).  Harness entrypoints call it
+    at teardown/atexit.
+    """
+    saved: list[tuple[str, str]] = []
     for knob in ("enabled", "defrag"):
+        path = f"/sys/kernel/mm/transparent_hugepage/{knob}"
         try:
-            with open(f"/sys/kernel/mm/transparent_hugepage/{knob}", "w") as f:
+            with open(path) as f:
+                # sysfs format: "always defrag [madvise] never" — the
+                # bracketed token is the active value
+                cur = f.read()
+            active = cur[cur.index("[") + 1 : cur.index("]")] if "[" in cur \
+                else cur.strip()
+            with open(path, "w") as f:
                 f.write("never")
-        except OSError:
+            if active != "never":
+                saved.append((path, active))
+        except (OSError, ValueError):
             pass
+
+    def restore() -> None:
+        for path, val in saved:
+            try:
+                with open(path, "w") as f:
+                    f.write(val)
+            except OSError:
+                pass
+
+    return restore

@@ -4,12 +4,21 @@ from __future__ import annotations
 
 import pytest
 
-try:  # host tuning (no-op without root); see rayspatial.util.quiet_thp
-    from rayspatial.util import quiet_thp
 
-    quiet_thp()
-except Exception:
-    pass
+@pytest.fixture(scope="session", autouse=True)
+def quiet_thp_session():
+    """Host tuning for benchmark stability (no-op without root); the
+    prior sysfs values are restored at session teardown so the change
+    never outlives the test run (ADVICE round 2)."""
+    restore = lambda: None  # noqa: E731
+    try:
+        from rayspatial.util import quiet_thp
+
+        restore = quiet_thp()
+    except Exception:
+        pass
+    yield
+    restore()
 
 
 @pytest.fixture(scope="session")

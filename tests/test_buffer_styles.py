@@ -118,3 +118,36 @@ def test_buffer_closed_line_ring():
     bu = g.buffer(ring, 1, join_style="mitre")
     # band around the square ring: outer 12x12 minus inner 8x8
     assert area(bu) == pytest.approx(144.0 - 64.0)
+
+
+def test_positive_buffer_preserves_holes():
+    # ADVICE round 2: dilation must NOT fill interior rings — the hole
+    # survives eroded by r (GEOS: buffer of 10x10 shell with 4x4 hole
+    # at r=0.5 has area 121 - 3*3 = 112 with mitre joins).
+    poly = g.from_wkt(
+        ["POLYGON((0 0,10 0,10 10,0 10,0 0),(3 3,7 3,7 7,3 7,3 3))"]
+    )
+    assert area(g.buffer(poly, 0.5, join_style="mitre")) == pytest.approx(112.0)
+    # round joins: outer corners are inscribed arcs (< quarter-disk),
+    # eroded hole keeps sharp corners
+    ra = area(g.buffer(poly, 0.5))
+    assert 111.7 < ra < 111.786
+
+
+def test_positive_buffer_fills_small_hole():
+    # hole erodes to empty once r >= half its width
+    poly = g.from_wkt(
+        ["POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))"]
+    )
+    assert area(g.buffer(poly, 1.0, join_style="mitre")) == pytest.approx(144.0)
+
+
+def test_positive_buffer_multipolygon_component_inside_hole():
+    # a second component sitting inside the first one's hole keeps its
+    # own dilation; the hole erodes around it
+    mp = g.from_wkt([
+        "MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),"
+        "(2 2,8 2,8 8,2 8,2 2)),"
+        "((4.5 4.5,5.5 4.5,5.5 5.5,4.5 5.5,4.5 4.5)))"
+    ])
+    assert area(g.buffer(mp, 0.5, join_style="mitre")) == pytest.approx(100.0)

@@ -178,3 +178,25 @@ def test_checkpoint_stale_input_rewrites(ray_session, tmp_path):
     got = read_checkpointed(out).to_pandas().sort_values("k").reset_index(drop=True)
     assert len(got) == 41
     assert (got["v"].to_numpy() == got["k"].to_numpy() * 2).all()
+
+
+def test_checkpoint_value_change_rewrites(ray_session, tmp_path):
+    """ADVICE round 2: same keys, changed VALUES must invalidate every
+    partition — the skip fingerprint covers all columns, not just the
+    key column."""
+    import ray.data as rd
+
+    from rayspatial.state.checkpoint import checkpointed_write, read_checkpointed
+
+    out = str(tmp_path / "ckpt")
+    df1 = pd.DataFrame({"k": np.arange(40), "v": np.arange(40) * 2})
+    _, rep1 = checkpointed_write(rd.from_pandas(df1), out, key_col="k",
+                                 num_partitions=4)
+    assert not rep1["skipped"].any()
+
+    df2 = pd.DataFrame({"k": np.arange(40), "v": np.arange(40) * 100})
+    _, rep2 = checkpointed_write(rd.from_pandas(df2), out, key_col="k",
+                                 num_partitions=4)
+    assert not rep2["skipped"].any()  # every partition rewritten
+    got = read_checkpointed(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert (got["v"].to_numpy() == got["k"].to_numpy() * 100).all()

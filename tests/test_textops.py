@@ -442,3 +442,30 @@ def test_binary_embeddings_feed_ann(ray_session):
     out = ann_topk(embs, query_ids=[0, 100], k=3).to_pandas()
     assert set(out["query_id"]) == {0, 100}
     assert (out.groupby("query_id").size() == 3).all()
+
+
+def test_split_words_unicode_whitespace_matches_str_split():
+    """ADVICE round 2: RE2's \\s is ASCII-only — split_words must still
+    match str.split() on Unicode whitespace (NBSP, ideographic space,
+    Zl/Zp separators, isspace control chars)."""
+    import pyarrow as pa
+
+    from rayspatial.textops.hashing import split_words
+
+    docs = [
+        "hello world",
+        "a b　c",            # NBSP + ideographic space
+        "x y z",            # line / paragraph separator
+        "p\x1cq\x85r\x1d\x1e\x1fs",   # isspace() control chars
+        "    ",   # all-Zs doc -> no tokens
+        " lead trail ",
+        "", None,
+        "tab\tsep\nnl\x0b\x0cws",
+        "mixed  \t 　 runs",
+    ]
+    flat, off = split_words(pa.array(docs))
+    flat = flat.to_pylist()
+    for i, d in enumerate(docs):
+        got = flat[off[i] : off[i + 1]]
+        exp = d.split() if d is not None else []
+        assert got == exp, (d, got, exp)
