@@ -469,3 +469,63 @@ def test_split_words_unicode_whitespace_matches_str_split():
         got = flat[off[i] : off[i + 1]]
         exp = d.split() if d is not None else []
         assert got == exp, (d, got, exp)
+
+
+def test_plan_block_pairs_prunes_far_clusters():
+    """Unit: the angular triangle-inequality plan keeps near/overlapping
+    cluster pairs and drops provably-far ones."""
+    import numpy as np
+
+    from rayspatial.textops.ann import _plan_block_pairs
+
+    e = np.eye(3)
+    # tight clusters around +x, -x, +y (radius 0.05 rad)
+    sums = [(e[0], 0.05), (-e[0], 0.05), (e[1], 0.05)]
+    plan = {(p["i"], p["j"]) for p in _plan_block_pairs(sums, 0.95)}
+    # theta_t ~= 0.318 rad; +x vs -x (pi apart) and +x vs +y (pi/2)
+    # both prune; self pairs stay
+    assert plan == {(0, 0), (1, 1), (2, 2)}
+    # wide radius defeats pruning (conservative, never drops a hit)
+    sums_wide = [(e[0], 1.2), (e[1], 1.2)]
+    plan2 = {(p["i"], p["j"]) for p in _plan_block_pairs(sums_wide, 0.95)}
+    assert (0, 1) in plan2
+    # empty blocks contribute nothing
+    assert _plan_block_pairs([None, (e[0], 0.0)], 0.95) == [{"i": 1, "j": 1}]
+
+
+def test_embedding_dup_pairs_pruned_exact_on_clustered_corpus(ray_session):
+    """The default (pruned) path must return EXACTLY the brute-force
+    pairs on a clustered planted-dup corpus at threshold 0.95 —
+    recall 1.0 is by construction, not an LSH gamble."""
+    import ray.data as rd
+
+    from rayspatial.textops.ann import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    d, n_clusters, per = 32, 8, 50
+    base = rng.standard_normal((n_clusters, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = base[c] + 0.03 * rng.standard_normal(d)  # tight: dups
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(vid)
+            vid += 1
+    m = np.asarray(vecs)
+    tab = pa.table({
+        "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in m]),
+    })
+    ds = rd.from_arrow(tab).repartition(8)
+    got = embedding_dup_pairs(ds, threshold=0.95, nlist=8).to_pandas()
+    sims = m @ m.T
+    iu = np.triu_indices(len(m), k=1)
+    ref = {(int(min(i, j)), int(max(i, j)))
+           for i, j in zip(*iu) if sims[i, j] >= 0.95}
+    assert len(ref) > 100  # planted dups actually exist
+    assert set(zip(got["a"], got["b"])) == ref
+    # and the plain (prune=False) oracle path agrees
+    got2 = embedding_dup_pairs(ds, threshold=0.95, prune=False).to_pandas()
+    assert set(zip(got2["a"], got2["b"])) == ref
