@@ -199,13 +199,64 @@ def _q_poly_area_perimeter(sf_dir: str):
 
 def _q_tile_vectorize(sf_dir: str):
     """Raster->vector tile materialization: per-tile count grids ->
-    maximal-rectangle vector boxes (north_star raster<->vector)."""
+    maximal-rectangle vector boxes (north_star raster<->vector).
+
+    For the DuckDB oracle the output boxes are EXPLODED back into the
+    fine cells they cover (parse box WKB -> bounds -> integer subcell
+    ranges): if the rectangle cover is exact AND disjoint, the exploded
+    rows equal exactly the distinct occupied fine cells — any cover
+    bug (missed cell, overlap, spurious box) breaks row count or hash
+    (round-2 verdict item 4)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial import cell as cellmod
     from rayspatial.ops.tiles import rasterize_tiles, vectorize_tiles
     from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.textops.hashing import _ragged_arange
 
-    raster = rasterize_tiles(points_dataset(sf_dir), res=3, tile_res=6)
-    vec = vectorize_tiles(raster, res=3, tile_res=6, threshold=1)
-    return vec.select_columns(["cell_x", "cell_y", "res"])
+    RES, TILE_RES = 3, 6
+    nsub = 1 << (TILE_RES - RES)
+    raster = rasterize_tiles(points_dataset(sf_dir), res=RES, tile_res=TILE_RES)
+    vec = vectorize_tiles(raster, res=RES, tile_res=TILE_RES, threshold=1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from rayspatial.geom.wkb import parse_wkb
+
+        empty = pa.table({
+            "cell_x": pa.array([], type=pa.int64()),
+            "cell_y": pa.array([], type=pa.int64()),
+            "fx": pa.array([], type=pa.int64()),
+            "fy": pa.array([], type=pa.int64()),
+        })
+        if not len(batch):
+            return empty
+        ga = parse_wkb(batch.column("wkb").to_numpy(zero_copy_only=False))
+        b = ga.bounds()
+        cell_x = batch.column("cell_x").to_numpy()
+        cell_y = batch.column("cell_y").to_numpy()
+        cid = cellmod.encode_xy(cell_x, cell_y, RES)
+        txmin, tymin, txmax, tymax = cellmod.cell_bounds(cid)
+        w = (txmax - txmin) / nsub
+        h = (tymax - tymin) / nsub
+        i0 = np.rint((b[:, 0] - txmin) / w).astype(np.int64)
+        i1 = np.rint((b[:, 2] - txmin) / w).astype(np.int64)
+        j0 = np.rint((b[:, 1] - tymin) / h).astype(np.int64)
+        j1 = np.rint((b[:, 3] - tymin) / h).astype(np.int64)
+        nx = i1 - i0
+        cnt = nx * (j1 - j0)
+        rep = np.repeat(np.arange(len(b)), cnt)
+        k = _ragged_arange(cnt)
+        di = k % nx[rep]
+        dj = k // nx[rep]
+        return pa.table({
+            "cell_x": pa.array(cell_x[rep]),
+            "cell_y": pa.array(cell_y[rep]),
+            "fx": pa.array(cell_x[rep] * nsub + i0[rep] + di),
+            "fy": pa.array(cell_y[rep] * nsub + j0[rep] + dj),
+        })
+
+    return vec.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_dwithin_join(sf_dir: str):
@@ -658,6 +709,39 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": (
             f"WITH {_PTS_CTE} SELECT {cx} AS cell_x, {cy} AS cell_y, "
             "COUNT(*) AS n_points FROM pts GROUP BY 1, 2"
+        ),
+        # Horner recurrence h = (h*B + byte) mod 2^64 reproduced in a
+        # recursive CTE; 128-bit-safe via 32-bit split of h (HUGEINT
+        # holds every intermediate).  Texts are ASCII so ord == byte.
+        "fingerprints": (
+            "WITH RECURSIVE "
+            "chars AS (SELECT doc_id, i, CAST(ord(substr(text, "
+            "CAST(i AS INTEGER), 1)) AS HUGEINT) AS c FROM documents, "
+            "LATERAL unnest(generate_series(1, length(text))) AS t(i)), "
+            "lens AS (SELECT doc_id, length(text) AS L FROM documents), "
+            "r AS (SELECT doc_id, 1 AS pos, CAST(0 AS HUGEINT) AS h "
+            "FROM lens UNION ALL SELECT r.doc_id, r.pos + 1, "
+            "((((r.h // CAST(4294967296 AS HUGEINT)) * "
+            "CAST(11400714819323198485 AS HUGEINT)) % "
+            "CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT) "
+            "+ (r.h % CAST(4294967296 AS HUGEINT)) * "
+            "CAST(11400714819323198485 AS HUGEINT) + c.c) % "
+            "CAST(18446744073709551616 AS HUGEINT) "
+            "FROM r JOIN chars c ON c.doc_id = r.doc_id AND c.i = r.pos), "
+            "fin AS (SELECT r.doc_id, r.h FROM r JOIN lens "
+            "ON lens.doc_id = r.doc_id WHERE r.pos = lens.L + 1) "
+            "SELECT doc_id, CAST(CASE WHEN h < "
+            "CAST(9223372036854775808 AS HUGEINT) THEN h ELSE h - "
+            "CAST(18446744073709551616 AS HUGEINT) END AS BIGINT) AS fp "
+            "FROM fin"
+        ),
+        # the query explodes its vector boxes back into covered fine
+        # cells; an exact disjoint rectangle cover equals exactly the
+        # distinct occupied res-6 cells (tile = fine cell // 8)
+        "tile_vectorize": (
+            f"WITH {_PTS_CTE}, f AS (SELECT DISTINCT {cx} AS fx, {cy} AS fy "
+            "FROM pts) "
+            "SELECT fx // 8 AS cell_x, fy // 8 AS cell_y, fx, fy FROM f"
         ),
         "pip_join": (
             f"WITH {_PTS_CTE}, {_POLYS_CTE} "

@@ -58,9 +58,18 @@ class WatermarkWindower:
         keep_ts = ts_us[~late]
         keep_v = values[~late]
         wstart = (keep_ts // self.width_us) * self.width_us
-        for w, t, v in zip(wstart, keep_ts, keep_v):
-            n, s = self.partials.get(int(w), (0, 0))
-            self.partials[int(w)] = (n + 1, s + int(v))
+        # chunk-vectorized partials: one dict op per DISTINCT window per
+        # chunk, never per event (round-2 verdict item 3).  np.add.at on
+        # int64 keeps cent sums exact (no float accumulation).
+        if len(wstart):
+            uw, inv = np.unique(wstart, return_inverse=True)
+            sums = np.zeros(len(uw), dtype=np.int64)
+            np.add.at(sums, inv, keep_v.astype(np.int64))
+            cnts = np.bincount(inv, minlength=len(uw))
+            for k in range(len(uw)):
+                w = int(uw[k])
+                n, s = self.partials.get(w, (0, 0))
+                self.partials[w] = (n + int(cnts[k]), s + int(sums[k]))
         new_wm = max(
             float(self.watermark),
             float(ts_us.max() - self.lateness_us) if len(ts_us) else -np.inf,

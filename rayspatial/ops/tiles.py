@@ -147,47 +147,61 @@ def vectorize_tiles(raster_ds, res: int, tile_res: int, threshold: int = 1):
     nsub = 1 << sub
 
     def per_tile(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         from rayspatial.geom.constructive import box as mkbox
+        from rayspatial.geom.setops import grid_to_boxes
         from rayspatial.geom.wkb import to_wkb
 
-        rows = batch.to_pylist()
-        out_rows = []
-        for r in rows:
-            grid = np.asarray(r["grid"], dtype=np.int64).reshape(nsub, nsub)
-            cid = cellmod.encode_xy(
-                np.asarray([r["cell_x"]]), np.asarray([r["cell_y"]]), res
+        empty = pa.table(
+            {
+                "cell_x": pa.array([], type=pa.int64()),
+                "cell_y": pa.array([], type=pa.int64()),
+                "res": pa.array([], type=pa.int64()),
+                "wkb": pa.array([], type=pa.binary()),
+            }
+        )
+        T = len(batch)
+        if not T:
+            return empty
+        # batched decode: ALL grids of the batch into one (T, nsub^2)
+        # int64 array, all tile bounds in one vectorized pass — the only
+        # remaining per-tile work is the maximal-rectangle cover itself
+        cell_x = batch.column("cell_x").to_numpy()
+        cell_y = batch.column("cell_y").to_numpy()
+        gcol = batch.column("grid")
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        grids = (
+            gcol.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .reshape(T, nsub * nsub)
+        )
+        cid = cellmod.encode_xy(cell_x, cell_y, res)
+        xmin, ymin, xmax, ymax = cellmod.cell_bounds(cid)
+        w = (xmax - xmin) / nsub
+        h = (ymax - ymin) / nsub
+        mask = grids >= threshold
+        boxes_parts: list[np.ndarray] = []
+        tile_of: list[np.ndarray] = []
+        for t in np.flatnonzero(mask.any(axis=1)):
+            arr = grid_to_boxes(
+                mask[t].reshape(nsub, nsub), xmin[t], ymin[t], w[t], h[t]
             )
-            xmin, ymin, xmax, ymax = (v[0] for v in cellmod.cell_bounds(cid))
-            w = (xmax - xmin) / nsub
-            h = (ymax - ymin) / nsub
-            # maximal-rectangle vectorization (row runs + vertical
-            # merge of identical runs) — geom.setops.grid_to_boxes
-            from rayspatial.geom.setops import grid_to_boxes
-
-            arr = grid_to_boxes(grid >= threshold, xmin, ymin, w, h)
-            if not len(arr):
-                continue
-            ga = mkbox(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
-            for wkb_blob in to_wkb(ga):
-                out_rows.append(
-                    {
-                        "cell_x": r["cell_x"],
-                        "cell_y": r["cell_y"],
-                        "res": res,
-                        "wkb": wkb_blob,
-                    }
-                )
-        if not out_rows:
-            return pa.table(
-                {
-                    "cell_x": pa.array([], type=pa.int64()),
-                    "cell_y": pa.array([], type=pa.int64()),
-                    "res": pa.array([], type=pa.int64()),
-                    "wkb": pa.array([], type=pa.binary()),
-                }
-            )
-        return pa.Table.from_pylist(out_rows)
+            if len(arr):
+                boxes_parts.append(arr)
+                tile_of.append(np.full(len(arr), t, dtype=np.int64))
+        if not boxes_parts:
+            return empty
+        allb = np.vstack(boxes_parts)
+        ti = np.concatenate(tile_of)
+        ga = mkbox(allb[:, 0], allb[:, 1], allb[:, 2], allb[:, 3])
+        return pa.table(
+            {
+                "cell_x": pa.array(cell_x[ti]),
+                "cell_y": pa.array(cell_y[ti]),
+                "res": pa.array(np.full(len(ti), res, dtype=np.int64)),
+                "wkb": pa.array(list(to_wkb(ga)), type=pa.binary()),
+            }
+        )
 
     return raster_ds.map_batches(per_tile, batch_format="pyarrow")

@@ -43,25 +43,47 @@ def tumbling_window(events_ds, width_s: int, ts_col: str = "ts",
         return pa.Table.from_pandas(out, preserve_index=False)
 
     part = events_ds.map_batches(partial, batch_format="pyarrow")
+    return _combine_window_partials(part, keys)
 
-    def merge(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+
+def _combine_window_partials(part, keys: list[str]):
+    """Final combine of per-batch (window, keys) partial rows.
+
+    Keyless (or few-key) windows have result cardinality #windows —
+    a single gather task is correct and cheapest.  KEYED windows can
+    have #windows x #keys results (e.g. per-user windows), so the
+    partials go through ``hash_partitioned_agg`` — every (window, key)
+    lands in exactly one partition and no single task ever sees the
+    whole result (round-2 verdict item 5; same bounded-combine shape
+    as top_k_by_group)."""
+
+    def merge_df(df: pd.DataFrame) -> pd.DataFrame:
         out = (
             df.groupby(["window_start"] + keys, sort=False)
             .agg(n_events=("n_partial", "sum"), sum_value=("sum_partial", "sum"))
             .reset_index()
         )
-        # deterministic row order + exact timestamp[us] schema so the
-        # output representation (not just the values) is canonical
+        # deterministic row order within a block + exact timestamp[us]
         out = out.sort_values(["window_start"] + keys, kind="stable")
         out["window_start"] = out["window_start"].astype("datetime64[us]")
-        tab = pa.Table.from_pandas(out, preserve_index=False)
-        i = tab.column_names.index("window_start")
-        return tab.set_column(
-            i, "window_start", tab.column(i).cast(pa.timestamp("us"))
+        return out
+
+    def canon(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us"))
         )
 
-    # result cardinality = #windows x #key-values (bounded) -> gather
+    if keys:
+        from rayspatial.util import hash_partitioned_agg
+
+        out = hash_partitioned_agg(part, ["window_start"] + keys, merge_df)
+        return out.map_batches(canon, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return canon(pa.Table.from_pandas(merge_df(batch.to_pandas()),
+                                          preserve_index=False))
+
     return part.repartition(1).map_batches(merge, batch_size=None,
                                            batch_format="pyarrow")
 
@@ -149,24 +171,7 @@ def sliding_window(events_ds, width_s: int, slide_s: int,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     part = events_ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = (
-            df.groupby(["window_start"] + keys, sort=False)
-            .agg(n_events=("n_partial", "sum"), sum_value=("sum_partial", "sum"))
-            .reset_index()
-        )
-        out = out.sort_values(["window_start"] + keys, kind="stable")
-        out["window_start"] = out["window_start"].astype("datetime64[us]")
-        tab = pa.Table.from_pandas(out, preserve_index=False)
-        i = tab.column_names.index("window_start")
-        return tab.set_column(
-            i, "window_start", tab.column(i).cast(pa.timestamp("us"))
-        )
-
-    return part.repartition(1).map_batches(merge, batch_size=None,
-                                           batch_format="pyarrow")
+    return _combine_window_partials(part, keys)
 
 
 #: aggregations whose per-batch partials combine exactly (partial op ->

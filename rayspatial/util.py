@@ -59,11 +59,19 @@ def hash_partitioned_agg(ds, key_cols: list[str], pandas_agg,
 
     P = num_partitions or 2 * cluster_cpus()
 
+    def _key_u64(col) -> np.ndarray:
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            from rayspatial.textops.hashing import hash_strings
+
+            return hash_strings(col)
+        v = col.to_numpy(zero_copy_only=False)
+        return v.astype(np.int64).view(np.uint64)
+
     def add_part(batch: pa.Table) -> pa.Table:
         h = np.zeros(len(batch), dtype=np.uint64)
         for c in key_cols:
-            col = batch.column(c).to_numpy()
-            h = hash_int64(h ^ col.astype(np.int64).view(np.uint64))
+            h = hash_int64(h ^ _key_u64(batch.column(c)))
         return batch.append_column(
             "_agg_part", pa.array((h % np.uint64(P)).astype(np.int64))
         )
