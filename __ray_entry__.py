@@ -561,6 +561,40 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_dup_pairs(_docs(sf_dir, rows_per_block=512), hamming_k=3)
 
 
+def _q_ivf_topk_indexed(sf_dir: str):
+    """IVF ANN over the MATERIALIZED list-partitioned index (the
+    100-TB read-skipping shape): the index is built once per input
+    under /tmp, then each run reads only the queries' probed
+    partitions (rows-only check; indexed==in-stream equality and the
+    read-set bound are asserted in pytest)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayspatial.textops.ann import (
+        _emb_matrix,
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+    from rayspatial.util import read_parquet_sized
+
+    idx = "/tmp/rayspatial_ivf_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    if not os.path.exists(os.path.join(idx, "centroids.npy")):
+        ivf_build_index(
+            read_parquet_sized(f"{sf_dir}/embeddings.parquet"), idx, nlist=16
+        )
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = tab.column("vec_id").to_numpy()
+    qids = vec_ids[vec_ids % 100 == 0]
+    pos = {v: i for i, v in enumerate(vec_ids)}
+    qmat = _emb_matrix(tab)[np.asarray([pos[q] for q in qids])]
+    return ivf_topk_indexed(idx, qids, qmat, k=5, nprobe=4)
+
+
 def _q_emb_dup_pairs(sf_dir: str):
     from rayspatial.textops.ann import embedding_dup_pairs
 
@@ -692,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "srp_candidates": _q_srp_candidates,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_indexed": _q_ivf_topk_indexed,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,

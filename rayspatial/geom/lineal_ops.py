@@ -479,6 +479,40 @@ def _polys_of_rows(ga: GeomArray) -> list[tuple]:
     return out
 
 
+def contact_off_closure(sub: GeomArray, chains, pts: np.ndarray):
+    """Filter boundary-contact pieces down to those NOT on the closure
+    of the areal result ``sub`` (GeomArray[1], polygonal).
+
+    Supports the mixed-dimension GC output of poly x poly intersection
+    (GEOS set_operations semantics): contact chains either coincide
+    with ``sub``'s boundary (already part of the polygon) or lie wholly
+    outside its closure — a shared-boundary segment can never cross the
+    interior, since boundary(A) is disjoint from interior(A) and
+    interior(sub) is contained in both interiors.  Per-segment midpoint
+    membership decides; kept segments re-merge into maximal chains."""
+    P, L, polys, R = _decompose(sub, 0)
+    segx, segy = _segs_np(_rings_to_segs(R))
+
+    def in_clos(q: np.ndarray) -> bool:
+        return _in_closure(q, P, segx, segy, R)
+
+    kept_segs: list[tuple] = []
+    for c in chains:
+        for s in range(len(c) - 1):
+            mid = (np.asarray(c[s], float) + np.asarray(c[s + 1], float)) / 2.0
+            if not in_clos(mid):
+                kept_segs.append((tuple(c[s]), tuple(c[s + 1])))
+    kept_chains = _merge_chains(kept_segs)
+    A, B = _segs_np(kept_segs)
+    out_pts = [
+        np.asarray(p, float)
+        for p in pts
+        if not in_clos(np.asarray(p, float))
+        and not _on_segs(np.asarray(p, float), A, B)
+    ]
+    return kept_chains, _dedupe_points(out_pts)
+
+
 def poly_boundary_contact(ga: GeomArray, i: int, gb: GeomArray, j: int):
     """Lower-dimensional contact of two polygonal operands whose AREA
     intersection is empty (GEOS: edge-touching polygons intersect in

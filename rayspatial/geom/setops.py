@@ -134,14 +134,18 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
             sub = box(x0, y0, x1, y1)
             _copy_geom(sub, 0, b, g)
             return
-        # polygon clipped by a CONVEX polygon: Sutherland-Hodgman exact
+        # CONVEX x CONVEX: Sutherland-Hodgman exact clip.  Restricted to
+        # convex pairs: a concave subject can intersect in DISCONNECTED
+        # regions, which SH renders as one degenerate self-touching ring
+        # (zero-width connector) instead of a MULTIPOLYGON — those pairs
+        # route to the general overlay below.  For a convex pair the
+        # intersection is convex/connected, so SH is exact AND no
+        # mixed-dimension contact off the areal part can exist.
         ra = _poly_single_ring(ga, i)
         rb = _poly_single_ring(gb, j)
         if ra is not None and rb is not None:
-            if _is_convex_ring(rb):
+            if _is_convex_ring(ra) and _is_convex_ring(rb):
                 res = convex_clip(ra, rb)
-            elif _is_convex_ring(ra):
-                res = convex_clip(rb, ra)
             else:
                 res = None
             if res is not None:
@@ -189,6 +193,12 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
             return
         # general polygon overlay (noded-face classification)
         if ga.types[i] in (POLYGON, MULTIPOLYGON) and gb.types[j] in (POLYGON, MULTIPOLYGON):
+            from rayspatial.geom.lineal_ops import (
+                _decompose,
+                _emit,
+                contact_off_closure,
+                poly_boundary_contact,
+            )
             from rayspatial.geom.overlay import polygon_overlay
 
             sub = polygon_overlay(
@@ -198,15 +208,21 @@ def intersection(ga: GeomArray, gb: GeomArray, grid_size: float | None = None) -
                 # no area overlap: boundary contact is still a GEOS
                 # intersection result (shared edges -> lines, corner
                 # touches -> points)
-                from rayspatial.geom.lineal_ops import (
-                    _emit,
-                    poly_boundary_contact,
-                )
-
                 chains, pts = poly_boundary_contact(ga, i, gb, j)
                 if chains or len(pts):
                     _emit(b, g, [], chains, pts, POLYGON)
                     return
+            else:
+                # area AND extra boundary contact off the areal part
+                # coexist -> GEOMETRYCOLLECTION(polygon..., line/point)
+                # (reference set_operations.py:79-131 / GEOS semantics)
+                chains, pts = poly_boundary_contact(ga, i, gb, j)
+                if chains or len(pts):
+                    xch, xpts = contact_off_closure(sub, chains, pts)
+                    if xch or len(xpts):
+                        _, _, polys, _ = _decompose(sub, 0)
+                        _emit(b, g, polys, xch, xpts, POLYGON)
+                        return
             _copy_geom(sub, 0, b, g)
             return
         from rayspatial.geom.lineal_ops import general_pair_setop

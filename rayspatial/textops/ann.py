@@ -332,6 +332,131 @@ def srp_bucket_candidates(ds, num_bits: int = 16, num_tables: int = 4,
     return hash_partitioned_agg(pairs, ["a", "b"], distinct_pairs)
 
 
+def ivf_build_index(ds, index_dir: str, nlist: int = 32,
+                    train_limit: int = 4096,
+                    id_col: str = "vec_id", col: str = "embedding"):
+    """Materialize the IVF list-partitioned layout (the 100-TB ANN
+    shape ``ivf_topk``'s docstring promises): one Hive partition
+    directory per coarse list (``list=<id>/``) plus the centroid
+    matrix.  A query then reads ONLY its nprobe probed partitions —
+    the skip happens at the READ, not per batch.
+
+    The list id is stored twice: as the partition column (pruning) and
+    as a ``vec_list`` data column (per-vector candidate filtering at
+    query time, since partition columns don't come back when explicit
+    subdirectories are read)."""
+    import os
+
+    import ray
+
+    sample = ds.limit(train_limit).take_all()
+    st = pa.Table.from_pylist(sample)
+    centroids = _kmeans(_normalize(_emb_matrix(st, col)), nlist)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _normalize(_emb_matrix(batch, col))
+        lst = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return (batch.append_column("list", pa.array(lst))
+                .append_column("vec_list", pa.array(lst)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_topk_indexed(index_dir: str, query_ids, qmat_raw: np.ndarray,
+                     k: int = 5, nprobe: int = 4,
+                     id_col: str = "vec_id", col: str = "embedding"):
+    """IVF top-k over a materialized list-partitioned index: only the
+    union of the queries' probed partitions is read (verify with
+    ``Dataset.stats()`` / ``input_files()``); per-query candidates are
+    then narrowed to that query's own lists via ``vec_list``.  Same
+    math and tie-breaking as ``ivf_topk`` — with identical centroids
+    and parameters the results are identical."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    order = np.argsort(query_ids)
+    qids = query_ids[order]
+    qmat = _normalize(np.asarray(qmat_raw, dtype=np.float64)[order])
+    nprobe = min(nprobe, len(centroids))
+    qsims = qmat @ centroids.T
+    probed = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    lists = np.unique(probed)
+    # expand probed partition dirs to their files (a LIST of directory
+    # paths is rejected by pyarrow's dataset factory)
+    paths = []
+    for l in lists:
+        d = os.path.join(index_dir, f"list={int(l)}")
+        paths.extend(
+            sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+        )
+    ds = rd.read_parquet(paths)  # READ-SKIP: unprobed lists never load
+    ref = ray.put((qids, qmat, probed))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, prb = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, col))
+        ids = batch.column(id_col).to_numpy()
+        vl = batch.column("vec_list").to_numpy()
+        sims = m @ qm.T
+        out_q, out_n, out_s = [], [], []
+        for c in range(sims.shape[1]):
+            mask = np.isin(vl, prb[c]) & (ids != qi[c])
+            cand = np.flatnonzero(mask)
+            kk = min(k, len(cand))
+            if kk == 0:
+                continue
+            s = sims[:, c]
+            if len(cand) > 4 * kk:
+                kth = np.partition(-s[cand], kk - 1)[kk - 1]
+                cand = cand[-s[cand] <= kth]
+            sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+            out_q.append(np.full(kk, qi[c]))
+            out_n.append(ids[sel])
+            out_s.append(s[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "sim": pa.array([], type=pa.float64())}
+            )
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank"]], preserve_index=False
+        )
+
+    return partial.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 17):
     """Deterministic Lloyd k-means (numpy) for the IVF coarse
     quantizer; trained on a bounded sample."""
