@@ -745,6 +745,19 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_PTS_CTE} SELECT {cx} AS cell_x, {cy} AS cell_y, "
             "COUNT(*) AS n_points FROM pts GROUP BY 1, 2"
         ),
+        # payload_bytes = octet_length(html) where html is the
+        # deterministic page scaffold (pages.py make_pages_batch):
+        # 60-byte prefix + str(lat_num) + ',' + str(lon_num) + 18-byte
+        # mid + text + 18-byte suffix; texts are ASCII so
+        # length(text) == octet_length
+        "binary_features": (
+            "SELECT doc_id, CAST(60 + "
+            "length(CAST((doc_id * 2246822519) % 170000000 AS VARCHAR)) "
+            "+ 1 + "
+            "length(CAST((doc_id * 2654435761) % 360000000 AS VARCHAR)) "
+            "+ 18 + length(text) + 18 AS BIGINT) AS payload_bytes "
+            "FROM documents"
+        ),
         # Horner recurrence h = (h*B + byte) mod 2^64 reproduced in a
         # recursive CTE; 128-bit-safe via 32-bit split of h (HUGEINT
         # holds every intermediate).  Texts are ASCII so ord == byte.

@@ -84,16 +84,60 @@ def _min_label(df: pd.DataFrame) -> pd.DataFrame:
     return df.groupby("doc_id", sort=False)["label"].min().reset_index()
 
 
+def _unionfind_components(batch: pa.Table) -> pa.Table:
+    """Single-task union-find with path halving over one edge block —
+    the small-graph fast path (identical semantics: rep = min member
+    id of the component)."""
+    a = batch.column("a").to_numpy()
+    b = batch.column("b").to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by min node id keeps the rep deterministic
+            if nodes[rx] < nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(int(x)) for x in range(len(nodes))])
+    return pa.table({
+        "doc_id": pa.array(nodes),
+        "rep": pa.array(nodes[roots]),
+    })
+
+
 def connected_components_distributed(pairs_ds, max_rounds: int = 16,
-                                     mode: str = "broadcast"):
+                                     mode: str = "broadcast",
+                                     small_edge_limit: int = 1 << 22):
     """pairs Dataset (a, b) -> Dataset (doc_id, rep): component
-    representative (min member id) per node."""
+    representative (min member id) per node.
+
+    Adaptive execution: once the edge list is materialized its size is
+    known; a graph with <= ``small_edge_limit`` edges is resolved by a
+    single union-find task over the gathered edge blocks (one Dataset
+    execution instead of 2-3 per propagation round — label rounds on a
+    tiny graph are pure scheduling overhead).  Larger graphs run the
+    distributed min-label fixpoint.  ``small_edge_limit=0`` forces the
+    distributed path (used by its tests)."""
     from rayspatial.util import hash_partitioned_agg
 
     # materialize the edge list ONCE: every propagation round re-reads
     # it, and without this the entire upstream pair pipeline (shingling,
     # bucketing, ...) would re-execute per round
     pairs_ds = pairs_ds.materialize()
+    if small_edge_limit and pairs_ds.count() <= small_edge_limit:
+        return pairs_ds.repartition(1).map_batches(
+            _unionfind_components, batch_size=None, batch_format="pyarrow"
+        )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()

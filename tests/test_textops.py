@@ -321,7 +321,7 @@ def test_connected_components_distributed(ray_session):
     )
     ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
     got = (
-        connected_components_distributed(ds)
+        connected_components_distributed(ds, small_edge_limit=0)
         .to_pandas()
         .set_index("doc_id")["rep"]
         .sort_index()
@@ -340,7 +340,7 @@ def test_connected_components_distributed(ray_session):
     rp = pd.DataFrame({"a": np.minimum(a, b)[keep], "b": np.maximum(a, b)[keep]})
     ds2 = rd.from_arrow(pa.Table.from_pandas(rp, preserve_index=False))
     got2 = (
-        connected_components_distributed(ds2)
+        connected_components_distributed(ds2, small_edge_limit=0)
         .to_pandas()
         .set_index("doc_id")["rep"]
     )
@@ -364,7 +364,7 @@ def test_connected_components_bucket_mode(ray_session):
     rp = pd.DataFrame({"a": np.minimum(a, b)[keep], "b": np.maximum(a, b)[keep]})
     ds = rd.from_arrow(pa.Table.from_pandas(rp, preserve_index=False)).repartition(4)
     got = (
-        connected_components_distributed(ds, mode="bucket")
+        connected_components_distributed(ds, mode="bucket", small_edge_limit=0)
         .to_pandas()
         .set_index("doc_id")["rep"]
     )
@@ -577,3 +577,27 @@ def test_ivf_indexed_read_skipping(ray_session, tmp_path):
         got.sort_values(["query_id", "rank"]).reset_index(drop=True),
         stream.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_connected_components_small_graph_fast_path(ray_session):
+    """The size-gated single-task union-find returns exactly the
+    distributed fixpoint's labels (same deterministic min-id rep)."""
+    import ray.data as rd
+
+    from rayspatial.textops.components import connected_components_distributed
+
+    rng = np.random.RandomState(23)
+    a = rng.randint(0, 300, 500)
+    b = rng.randint(0, 300, 500)
+    keep = a != b
+    rp = pd.DataFrame({"a": np.minimum(a, b)[keep], "b": np.maximum(a, b)[keep]})
+    ds = rd.from_arrow(pa.Table.from_pandas(rp, preserve_index=False)).repartition(4)
+    fast = (
+        connected_components_distributed(ds)  # fast path (edges << limit)
+        .to_pandas().set_index("doc_id")["rep"].sort_index()
+    )
+    slow = (
+        connected_components_distributed(ds, small_edge_limit=0)
+        .to_pandas().set_index("doc_id")["rep"].sort_index()
+    )
+    pd.testing.assert_series_equal(fast, slow)
