@@ -491,6 +491,24 @@ def _q_asof_prior_click(sf_dir: str):
     return out.select_columns(["event_id", "event_id_right"])
 
 
+def _q_sessions_salted(sf_dir: str):
+    """Hot-user-safe sessionization: shuffle key salted with a 6-hour
+    time bucket, sessions stitched across bucket boundaries in a
+    bounded second pass over SESSION rows (ops/window.sessionize_salted)
+    — same result as `sessions`, same SQL oracle."""
+    from rayspatial.ops.window import sessionize_salted
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = sessionize_salted(ds, gap_s=1800, bucket_s=6 * 3600)
+    return out.select_columns(
+        ["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     from rayspatial.ops.window import sessionize
@@ -713,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaming": _q_events_streaming,
         "asof_prior_click": _q_asof_prior_click,
         "sessions": _q_sessions,
+        "sessions_salted": _q_sessions_salted,
         "total_bounds": _q_total_bounds,
         "pages_by_lang": _q_pages_by_lang,
         # training-data ops
@@ -886,6 +905,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM k GROUP BY 1, 2"
         ),
         "sessions": (
+            "WITH l AS (SELECT user_id, ts, event_id, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "b AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM l), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "sessions_salted": (
             "WITH l AS (SELECT user_id, ts, event_id, "
             "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
             "FROM events), "

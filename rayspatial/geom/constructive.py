@@ -304,6 +304,26 @@ def buffer(ga: GeomArray, radius, quadsegs: int = 8,
                     continue
                 _append_empty(b, POLYGON)
                 continue
+            if (t == POLYGON and len(parts) == 1 and join_style == "mitre"
+                    and mitre_limit >= 1.4143
+                    and int(ga.part_kind[parts[0]]) == PK_SHELL):
+                # axis-aligned rectangle + mitre join (limit >= sqrt(2),
+                # so 90-degree corners stay sharp): the dilation is
+                # exactly the expanded rectangle — no ring union needed
+                xy = ga.part_coords(parts[0])
+                if len(xy) == 5:
+                    x0, y0 = xy[:, 0].min(), xy[:, 1].min()
+                    x1, y1 = xy[:, 0].max(), xy[:, 1].max()
+                    on_x = (xy[:, 0] == x0) | (xy[:, 0] == x1)
+                    on_y = (xy[:, 1] == y0) | (xy[:, 1] == y1)
+                    if on_x.all() and on_y.all() and x1 > x0 and y1 > y0:
+                        r = radius[i]
+                        _append_ring_polygon(b, i, np.array([
+                            [x0 - r, y0 - r], [x1 + r, y0 - r],
+                            [x1 + r, y1 + r], [x0 - r, y1 + r],
+                            [x0 - r, y0 - r],
+                        ]))
+                        continue
             if any(int(ga.part_kind[p]) == PK_HOLE for p in parts):
                 # Polygon with interior rings: dissolving bare shell
                 # rings would fill the holes (a face inside the shell

@@ -139,6 +139,104 @@ def sessionize(events_ds, gap_s: int, user_col: str = "user_id",
     return hash_partitioned_agg(events_ds, [user_col], per_partition)
 
 
+def sessionize_salted(events_ds, gap_s: int, bucket_s: int = 86_400,
+                      user_col: str = "user_id", ts_col: str = "ts"):
+    """Hot-user-safe sessionization (SURVEY 8.6 item 3): the plain
+    operator co-locates ALL of a user's events in one partition, so one
+    hot user (bot traffic) overloads a single task.  Here the shuffle
+    key is SALTED with a time bucket — ``(user, ts // bucket_s)`` — so
+    a hot user's events spread over #buckets partitions:
+
+    1. sessionize each (user, bucket) locally (vectorized, same kernel
+       as :func:`sessionize`);
+    2. stitch sessions that cross bucket boundaries with a second
+       hash-partition BY USER over the *session rows* — bounded by the
+       number of sessions, never the number of events.  Two adjacent
+       sessions merge iff ``next.start - prev.end <= gap_s``
+       (aggregates are decomposable: min/max/sum), which reproduces the
+       un-salted result exactly.
+
+    Output equals :func:`sessionize` row-for-row (asserted in tests and
+    by sharing the ``sessions`` SQL oracle)."""
+
+    from rayspatial.util import hash_partitioned_agg
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        bucket = ts // (bucket_s * 1_000_000)
+        return batch.append_column("_bucket", pa.array(bucket))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, "event_id"], kind="stable")
+        uid = df[user_col].to_numpy()
+        bkt = df["_bucket"].to_numpy()
+        ts = df[ts_col].astype("int64").to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            same = (uid[1:] == uid[:-1]) & (bkt[1:] == bkt[:-1])
+            brk[1:] = ~same | (np.diff(ts) > gap_s * 1_000_000)
+        sid = np.cumsum(brk) - 1
+        return (
+            pd.DataFrame({
+                "user_id": uid,
+                "sid": sid,
+                "ts": ts,
+                "value": df["value"].to_numpy(),
+            })
+            .groupby("sid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+
+    partial_sessions = hash_partitioned_agg(
+        events_ds.map_batches(add_bucket, batch_format="pyarrow"),
+        [user_col, "_bucket"],
+        per_bucket,
+    )
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "session_start", "session_end"],
+                            kind="stable")
+        uid = df["user_id"].to_numpy()
+        start = df["session_start"].to_numpy().astype(np.int64)
+        end = df["session_end"].to_numpy().astype(np.int64)
+        brk = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            same_user = uid[1:] == uid[:-1]
+            brk[1:] = ~same_user | (start[1:] - end[:-1] > gap_s * 1_000_000)
+        gid = np.cumsum(brk) - 1
+        out = (
+            pd.DataFrame({
+                "gid": gid,
+                "user_id": uid,
+                "session_start": start,
+                "session_end": end,
+                "n_events": df["n_events"].to_numpy(),
+                "sum_value": df["sum_value"].to_numpy(),
+            })
+            .groupby("gid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("session_start", "min"),
+                session_end=("session_end", "max"),
+                n_events=("n_events", "sum"),
+                sum_value=("sum_value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        out["session_end"] = out["session_end"].astype("datetime64[us]")
+        return out
+
+    return hash_partitioned_agg(partial_sessions, ["user_id"], stitch)
+
+
 def sliding_window(events_ds, width_s: int, slide_s: int,
                    ts_col: str = "ts", keys: list[str] | None = None,
                    value_col: str = "value"):

@@ -252,3 +252,57 @@ def test_keyed_window_high_cardinality_bounded_combine(ray_session):
     assert (got["sum_value"].to_numpy() == exp["sum_value"].to_numpy()).all()
     assert (got["window_start"].astype("int64").to_numpy()
             == exp["w"].to_numpy()).all()
+
+
+def test_sessionize_salted_equals_plain(ray_session, events_df):
+    """The bucket-salted sessionizer must reproduce the plain result
+    exactly (sessions crossing bucket boundaries stitched)."""
+    from rayspatial.ops.window import sessionize, sessionize_salted
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/events.parquet")
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    plain = (
+        sessionize(ds, gap_s=1800).to_pandas()[cols]
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    # small bucket (1h) forces many cross-bucket stitches
+    salted = (
+        sessionize_salted(ds, gap_s=1800, bucket_s=3600).to_pandas()[cols]
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_sessionize_salted_hot_user(ray_session):
+    """One bot user with most of the events: the salted operator spreads
+    it over buckets and still returns exact sessions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial.ops.window import sessionize, sessionize_salted
+
+    rng = np.random.default_rng(9)
+    n_hot, n_cold = 40_000, 2_000
+    ts_hot = np.sort(rng.integers(0, 5 * 86_400, n_hot)) * 1_000_000
+    ts_cold = np.sort(rng.integers(0, 5 * 86_400, n_cold)) * 1_000_000
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n_hot + n_cold, dtype=np.int64)),
+        "ts": pa.array(np.concatenate([ts_hot, ts_cold])).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.concatenate([
+            np.zeros(n_hot, dtype=np.int64),
+            rng.integers(1, 50, n_cold),
+        ])),
+        "value": pa.array(np.ones(n_hot + n_cold, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(tab).repartition(8)
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    plain = (
+        sessionize(ds, gap_s=600).to_pandas()[cols]
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    salted = (
+        sessionize_salted(ds, gap_s=600, bucket_s=6 * 3600).to_pandas()[cols]
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
