@@ -178,35 +178,48 @@ def embedding_dup_pairs(ds, threshold: float = 0.95,
     import ray
     import ray.data as rd
 
-    centroids = None
-    if prune:
-        sample = ds.limit(train_limit).take_all()
-        st = pa.Table.from_pylist(sample)
-        centroids = _kmeans(_normalize(_emb_matrix(st, col)), nlist)
-    cref = ray.put(centroids)
-
     def norm_block(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cref) if not isinstance(cref, (type(None), np.ndarray)) else cref
         m = _normalize(_emb_matrix(batch, col))
         n, d = m.shape
-        cols = {
+        return pa.table({
             id_col: batch.column(id_col),
             "emb": pa.FixedSizeListArray.from_arrays(
                 pa.array(m.ravel(), type=pa.float64()), d
             ),
-        }
-        if cents is not None:
-            cols["list"] = pa.array(
-                np.argmax(m @ cents.T, axis=1).astype(np.int64)
-            )
-        return pa.table(cols)
+        })
 
-    normed = ds.map_batches(norm_block, batch_format="pyarrow")
-    if prune:
-        # one all-to-all: cluster-coherent blocks license the pruning
-        normed = normed.sort("list")
-    refs = normed.materialize().to_arrow_refs()
+    normed = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
+    refs = normed.to_arrow_refs()
     B = len(refs)
+    # the cluster sort + summaries only pay off when there are enough
+    # blocks to prune: a handful of blocks is already a handful of
+    # cheap exact pair tasks, so skip the machinery (adaptive, like the
+    # components small-graph path).  At corpus scale B is large.
+    prune = prune and B > 8
+    if prune:
+        sample = normed.limit(train_limit).take_all()
+        st = pa.Table.from_pylist(sample)
+        centroids = _kmeans(
+            _emb_matrix(st, "emb"), nlist  # already normalized
+        )
+        cref = ray.put(centroids)
+
+        def add_list(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            emb = batch.column("emb")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            m = emb.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+            return batch.append_column(
+                "list", pa.array(np.argmax(m @ cents.T, axis=1).astype(np.int64))
+            )
+
+        # one all-to-all: cluster-coherent blocks license the pruning
+        normed = normed.map_batches(
+            add_list, batch_format="pyarrow"
+        ).sort("list").materialize()
+        refs = normed.to_arrow_refs()
+        B = len(refs)
 
     if prune and B > 1:
         # per-block angular summary (tiny metadata tasks over blocks

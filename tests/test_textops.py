@@ -518,7 +518,8 @@ def test_embedding_dup_pairs_pruned_exact_on_clustered_corpus(ray_session):
         "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
         "embedding": pa.array([list(map(float, v)) for v in m]),
     })
-    ds = rd.from_arrow(tab).repartition(8)
+    # >8 blocks so the adaptive gate ENGAGES the cluster-pruned path
+    ds = rd.from_arrow(tab).repartition(16)
     got = embedding_dup_pairs(ds, threshold=0.95, nlist=8).to_pandas()
     sims = m @ m.T
     iu = np.triu_indices(len(m), k=1)
