@@ -491,6 +491,32 @@ def _q_asof_prior_click(sf_dir: str):
     return out.select_columns(["event_id", "event_id_right"])
 
 
+def _q_asof_salted(sf_dir: str):
+    """Hot-key-safe as-of join: (user, 6h-bucket)-salted first pass +
+    bounded summary pass (ops/asof.asof_join_salted) — same result as
+    `asof_prior_click`, same SQL oracle."""
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.asof import asof_join_salted
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def only(kind):
+        def fn(batch):
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+        return fn
+
+    err = ds.map_batches(only("error"), batch_format="pyarrow")
+    clk = ds.map_batches(only("click"), batch_format="pyarrow")
+    out = asof_join_salted(err, clk, by="user_id", on="ts",
+                           id_col="event_id", bucket_s=6 * 3600)
+    return out.select_columns(["event_id", "event_id_right"])
+
+
 def _q_sessions_salted(sf_dir: str):
     """Hot-user-safe sessionization: shuffle key salted with a 6-hour
     time bucket, sessions stitched across bucket boundaries in a
@@ -730,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "events_streaming": _q_events_streaming,
         "asof_prior_click": _q_asof_prior_click,
+        "asof_salted": _q_asof_salted,
         "sessions": _q_sessions,
         "sessions_salted": _q_sessions_salted,
         "total_bounds": _q_total_bounds,
@@ -881,6 +908,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY total_cents DESC, user_id LIMIT 10"
         ),
         "asof_prior_click": (
+            "WITH err AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "clk AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT e.event_id, c.event_id AS cid, "
+            "ROW_NUMBER() OVER (PARTITION BY e.event_id "
+            "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+            "FROM err e JOIN clk c ON c.user_id = e.user_id AND c.ts <= e.ts) "
+            "SELECT event_id, cid AS event_id_right FROM j WHERE rn = 1"
+        ),
+        "asof_salted": (
             "WITH err AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'error'), "
             "clk AS (SELECT event_id, user_id, ts FROM events "

@@ -91,3 +91,162 @@ def asof_join(left_ds, right_ds, by: str, on: str, id_col: str,
         return out
 
     return hash_partitioned_agg(unioned, [by], per_partition)
+
+
+def asof_join_salted(left_ds, right_ds, by: str, on: str, id_col: str,
+                     left_keep: list[str] | None = None,
+                     right_suffix: str = "_right",
+                     bucket_s: int = 21_600):
+    """Hot-key-safe as-of join: the shuffle key is salted with a time
+    bucket ``(by, on // bucket_s)`` so one hot ``by`` key (bot user)
+    spreads over #buckets partitions instead of one.
+
+    Pass 1 (salted): merge_asof WITHIN each (key, bucket); rows that
+    match are final.  Each bucket also emits one SUMMARY row — its last
+    right row by (on, id).
+    Pass 2 (by key, bounded): only UNMATCHED lefts + the per-bucket
+    summaries re-shuffle by ``by``; merge_asof against the summaries
+    finds the latest right row in any earlier bucket.  Correctness of
+    matching summaries on plain ``on``: an unmatched left has no right
+    row at or before it in its OWN bucket, so every summary with
+    ``on <= left.on`` is from an earlier bucket, and the greatest one
+    is exactly the global backward match.  Equal ``on`` values share a
+    bucket, so the (on, id) tie-break is decided in pass 1.
+
+    Output equals :func:`asof_join` row-for-row (asserted in tests);
+    the pass-2 volume is #unmatched-lefts + #buckets-per-key — for a
+    hot key with dense right traffic, almost nothing."""
+    from rayspatial.util import hash_partitioned_agg
+
+    left_keep = left_keep or [id_col]
+    bucket_us = bucket_s * 1_000_000
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            onv = batch.column(on).cast(pa.int64()).to_numpy()
+            cols = {
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+                "_bucket": pa.array(onv // bucket_us),
+                by: batch.column(by),
+                on: batch.column(on),
+                id_col: batch.column(id_col),
+            }
+            for c in left_keep:
+                if c not in cols:
+                    cols[c] = (
+                        batch.column(c)
+                        if side == 1
+                        else pa.nulls(len(batch), batch.schema.field(c).type)
+                        if c in batch.column_names
+                        else pa.nulls(len(batch), pa.null())
+                    )
+            return pa.table(cols)
+
+        return fn
+
+    lt = left_ds.map_batches(tag(1), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(0), batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    idr = id_col + right_suffix
+    onr = on + right_suffix
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 1].drop(columns=["_side"])
+        right = df[df["_side"] == 0][[by, "_bucket", on, id_col]]
+        outs = []
+        if len(left):
+            if len(right):
+                ls = left.sort_values([on, id_col], kind="stable")
+                rs = right.sort_values([on, id_col], kind="stable").rename(
+                    columns={id_col: idr, on: onr}
+                )
+                # match STRICTLY within the (key, bucket) group: a hash
+                # partition holds many groups, and a cross-bucket match
+                # here could finalize a stale right row whose bucket's
+                # true latest lives in another partition
+                m = pd.merge_asof(
+                    ls, rs, left_on=on, right_on=onr,
+                    left_by=[by, "_bucket"], right_by=[by, "_bucket"],
+                    allow_exact_matches=True, direction="backward",
+                )
+            else:
+                m = left.copy()
+                m[idr] = np.nan
+                m[onr] = np.nan
+            matched = m[~m[idr].isna()].copy()
+            matched[idr] = matched[idr].astype(np.int64)
+            matched["_final"] = np.int8(1)
+            outs.append(matched)
+            unmatched = m[m[idr].isna()].drop(columns=[idr, onr]).copy()
+            unmatched["_final"] = np.int8(0)
+            unmatched["_side"] = np.int8(1)
+            outs.append(unmatched)
+        if len(right):
+            # one summary per (by, bucket): the last right row
+            rs = right.sort_values([on, id_col], kind="stable")
+            summ = rs.groupby([by, "_bucket"], sort=False).tail(1).copy()
+            summ["_final"] = np.int8(0)
+            summ["_side"] = np.int8(0)
+            outs.append(summ)
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    stage1 = hash_partitioned_agg(unioned, [by, "_bucket"], pass1).materialize()
+
+    import pyarrow.compute as pc
+
+    def keep_final(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("_final"), 1))
+        drop = [c for c in ("_final", "_side", "_bucket") if c in t.column_names]
+        t = t.drop_columns(drop)
+        # pass1's pending/summary rows NaN-filled idr/onr in the concat,
+        # widening their dtypes — restore them on the final rows
+        i = t.column_names.index(idr)
+        t = t.set_column(i, idr, t.column(idr).cast(pa.int64()))
+        j = t.column_names.index(onr)
+        t = t.set_column(j, onr, t.column(onr).cast(t.schema.field(on).type))
+        return t
+
+    def keep_pending(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("_final"), 0))
+        drop = [c for c in (idr, onr) if c in t.column_names]
+        return t.drop_columns([c for c in drop] + ["_final"])
+
+    final1 = stage1.map_batches(keep_final, batch_format="pyarrow")
+    pending = stage1.map_batches(keep_pending, batch_format="pyarrow")
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 1].drop(columns=["_side", "_bucket"])
+        right = df[df["_side"] == 0][[by, on, id_col]]
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                columns=[c for c in left.columns] + [idr, onr]
+            )
+        ls = left.sort_values([on, id_col], kind="stable")
+        rs = right.sort_values([on, id_col], kind="stable").rename(
+            columns={id_col: idr, on: onr}
+        )
+        out = pd.merge_asof(
+            ls, rs, left_on=on, right_on=onr,
+            left_by=by, right_by=by,
+            allow_exact_matches=True, direction="backward",
+        )
+        out = out[~out[idr].isna()].copy()
+        out[idr] = out[idr].astype(np.int64)
+        return out
+
+    final2 = hash_partitioned_agg(pending, [by], pass2)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        cols = list(left_keep)
+        for c in (by, on):
+            if c not in cols:
+                cols.append(c)
+        cols += [idr, onr]
+        return batch.select([c for c in cols if c in batch.column_names])
+
+    return final1.map_batches(canon, batch_format="pyarrow").union(
+        final2.map_batches(canon, batch_format="pyarrow")
+    )

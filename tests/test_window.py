@@ -306,3 +306,69 @@ def test_sessionize_salted_hot_user(ray_session):
         .sort_values(["user_id", "session_start"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_asof_join_salted_equals_plain(ray_session, events_df):
+    """Bucket-salted as-of join must reproduce the plain result exactly
+    (cross-bucket backward matches resolved via bucket summaries)."""
+    import ray.data as rd
+
+    from rayspatial.ops.asof import asof_join, asof_join_salted
+
+    err = events_df[events_df.event_type == "error"]
+    clk = events_df[events_df.event_type == "click"]
+    l = rd.from_pandas(err[["event_id", "ts", "user_id"]]).repartition(4)
+    r = rd.from_pandas(clk[["event_id", "ts", "user_id"]]).repartition(4)
+    plain = (
+        asof_join(l, r, by="user_id", on="ts", id_col="event_id")
+        .to_pandas()[["event_id", "event_id_right"]]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    # small bucket (1h) forces many cross-bucket matches through pass 2
+    salted = (
+        asof_join_salted(l, r, by="user_id", on="ts", id_col="event_id",
+                         bucket_s=3600)
+        .to_pandas()[["event_id", "event_id_right"]]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_asof_join_salted_hot_key(ray_session):
+    """A hot user holding most rows on both sides stays correct through
+    the salted two-pass plan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial.ops.asof import asof_join, asof_join_salted
+
+    rng = np.random.default_rng(31)
+    nl, nr = 20_000, 20_000
+    lts = np.sort(rng.integers(0, 3 * 86_400, nl)) * 1_000_000
+    rts = np.sort(rng.integers(0, 3 * 86_400, nr)) * 1_000_000
+    left = pa.table({
+        "event_id": pa.array(np.arange(nl, dtype=np.int64)),
+        "ts": pa.array(lts).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.where(rng.random(nl) < 0.9, 0,
+                                     rng.integers(1, 20, nl)).astype(np.int64)),
+    })
+    right = pa.table({
+        "event_id": pa.array(np.arange(nr, 2 * nr, dtype=np.int64)),
+        "ts": pa.array(rts).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.where(rng.random(nr) < 0.9, 0,
+                                     rng.integers(1, 20, nr)).astype(np.int64)),
+    })
+    l = rd.from_arrow(left).repartition(8)
+    r = rd.from_arrow(right).repartition(8)
+    plain = (
+        asof_join(l, r, by="user_id", on="ts", id_col="event_id")
+        .to_pandas()[["event_id", "event_id_right"]]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    salted = (
+        asof_join_salted(l, r, by="user_id", on="ts", id_col="event_id",
+                         bucket_s=6 * 3600)
+        .to_pandas()[["event_id", "event_id_right"]]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
