@@ -160,15 +160,13 @@ def pairs_from_buckets(ds, key_cols: list[str], id_col: str,
         )
         bounds = np.append(bounds, len(ids))
         out = {k: [] for k in ["a", "b", *(f"{c}_a" for c in carry), *(f"{c}_b" for c in carry)]}
-        dropped = 0
-        for s in range(len(bounds) - 1):
+        # singleton buckets dominate (most shingles are unique): filter
+        # them vectorized so the Python loop touches only REAL buckets
+        sizes = np.diff(bounds)
+        dropped = int((sizes > max_bucket).sum())
+        for s in np.flatnonzero((sizes >= 2) & (sizes <= max_bucket)):
             lo, hi = bounds[s], bounds[s + 1]
             sz = hi - lo
-            if sz < 2:
-                continue
-            if sz > max_bucket:
-                dropped += 1
-                continue
             ii, jj = np.triu_indices(sz, k=1)
             out["a"].append(ids[lo:hi][ii])
             out["b"].append(ids[lo:hi][jj])

@@ -119,3 +119,75 @@ def test_knn_certification_random(pts):
         order = sorted(range(240), key=lambda q: (d2[rid, q], q))[:2]
         got = out[out["rid"] == rid]["poly_id"].tolist()
         assert got == order
+
+
+@given(
+    st.integers(-15, 15), st.integers(-15, 15),
+    st.integers(-6, 6), st.integers(-6, 6),
+    st.integers(-15, 10), st.integers(-15, 10),
+    st.integers(1, 12), st.integers(1, 12),
+)
+@settings(max_examples=200, deadline=None)
+def test_liang_barsky_matches_exact_lineal_kernel(
+    x1, y1, dx, dy, bx, by_, bw, bh
+):
+    """Property: the vectorized segment x box clip agrees with the
+    exact lineal intersection kernel on integer inputs (len2 metric)."""
+    import numpy as np
+
+    from rayspatial import geom as g
+    from rayspatial.ops.lineclip import (
+        _len2_per_row,
+        _liang_barsky_len2,
+        _segments_geomarray,
+    )
+
+    X1 = np.array([float(x1)]); Y1 = np.array([float(y1)])
+    X2 = np.array([float(x1 + dx)]); Y2 = np.array([float(y1 + dy)])
+    boxes = np.array([[float(bx), float(by_),
+                       float(bx + bw), float(by_ + bh)]])
+    keep, len2 = _liang_barsky_len2(X1, Y1, X2, Y2, boxes)
+    from rayspatial.geom.setops import _slice_rows, intersection
+
+    polys = g.box(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+    inter = intersection(
+        _segments_geomarray(X1, Y1, X2, Y2), _slice_rows(polys, [0])
+    )
+    exact = _len2_per_row(inter)
+    assert (len2[0] if keep[0] else 0) == exact[0]
+
+
+@given(
+    st.integers(0, 6), st.integers(0, 6),
+    st.integers(2, 8), st.integers(2, 8),
+    st.integers(-4, 12), st.integers(-4, 12),
+    st.integers(2, 8), st.integers(2, 8),
+)
+@settings(max_examples=120, deadline=None)
+def test_poly_intersection_area_never_exceeds_operands(
+    ax, ay, aw, ah, bx, by_, bw, bh
+):
+    """Property: for L-shape x box pairs (any mix of GC / polygon /
+    multipolygon outputs), intersection area <= min operand area and
+    the intersection is covered by both operands' bboxes."""
+    from rayspatial import geom as g
+    from rayspatial.geom.setops import intersection
+
+    a = g.from_wkt([
+        f"POLYGON(({ax} {ay},{ax+aw} {ay},{ax+aw} {ay+ah//2},"
+        f"{ax+aw//2} {ay+ah//2},{ax+aw//2} {ay+ah},{ax} {ay+ah},{ax} {ay}))"
+    ])
+    b = g.box(float(bx), float(by_), float(bx + bw), float(by_ + bh))
+    out = intersection(a, b)
+    ia = float(g.area(out)[0])
+    assert ia <= min(float(g.area(a)[0]), float(g.area(b)[0])) + 1e-9
+    bounds = g.bounds(out)
+    if ia > 0:
+        import numpy as np
+
+        ob = bounds[0]
+        if not np.isnan(ob).any():
+            assert ob[0] >= max(ax, bx) - 1e-9
+            assert ob[1] >= max(ay, by_) - 1e-9
+            assert ob[2] <= min(ax + aw, bx + bw) + 1e-9
+            assert ob[3] <= min(ay + ah, by_ + bh) + 1e-9
