@@ -76,6 +76,28 @@ def _consume(res) -> int:
     return 0
 
 
+def _host_probe(num_cpus: int) -> float:
+    """Parallel Ray-task burn: wall seconds for ``num_cpus`` concurrent
+    20x matmul(800) tasks.  Healthy sandbox steady state: ~1.1 s at 32
+    cpus / ~0.7 s at 8.  The host shows intermittent minutes-long
+    phases where EVERY pipeline runs ~2-3x slower (hypervisor steal;
+    single-process CPU probes stay normal) — this probe is embedded in
+    the bench JSON so a run landing in such a phase is identifiable."""
+    import numpy as np
+    import ray
+
+    @ray.remote
+    def burn() -> float:
+        a = np.random.rand(800, 800)
+        for _ in range(20):
+            a = 0.5 * (a @ a) / max(float(a.max()), 1e-9)
+        return float(a[0, 0])
+
+    t0 = time.perf_counter()
+    ray.get([burn.remote() for _ in range(num_cpus)])
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -96,6 +118,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     qs = em.queries()
     expand, n_rows = _expand_for(sf_dir)
+
+    probe_start = _host_probe(num_cpus)
 
     # headline: the flagship pipeline on the EXPANDED corpus
     from rayspatial.pipeline.flagship import flagship
@@ -132,6 +156,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "rows": n_rows,
         "rows_per_sec": round(n_rows / headline, 1) if headline > 0 else None,
+        # host-health transparency (see _host_probe): healthy ~1.1s at
+        # 32 cpus; >2x that means the run landed in a degraded phase
+        "host_probe_sec": {"start": probe_start,
+                           "end": _host_probe(num_cpus)},
     }
     ray.shutdown()
     return out
@@ -200,6 +228,7 @@ def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
     from rayspatial.pipeline.flagship import flagship
 
     expand, n_rows = _expand_for(sf_dir)
+    probe_start = _host_probe(num_cpus)
     # warm-up pass amortizes worker startup; then best of two timed
     # passes (shared-host load spikes otherwise dominate the ratio)
     _consume(flagship(sf_dir, expand=expand))
@@ -209,6 +238,7 @@ def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
         _consume(flagship(sf_dir, expand=expand))
         d = time.perf_counter() - t0
         dt = d if dt is None else min(dt, d)
+    probe_end = _host_probe(num_cpus)
     ray.shutdown()
     return {
         "metric": "flagship throughput",
@@ -219,6 +249,7 @@ def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "rows": n_rows,
         "rows_per_sec": round(n_rows / dt, 1),
+        "host_probe_sec": {"start": probe_start, "end": probe_end},
     }
 
 
