@@ -517,6 +517,51 @@ def _q_asof_salted(sf_dir: str):
     return out.select_columns(["event_id", "event_id_right"])
 
 
+def _q_range_join_views(sf_dir: str):
+    """Time-interval range join: per 'click', COUNT and exact cent-SUM
+    of the same user's 'view' events in (ts, ts + 6 h] — the right
+    side replicated to adjacent 6-hour buckets, one salted hash
+    shuffle, per-partition searchsorted + prefix-sum kernel
+    (ops/rangejoin.py)."""
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.rangejoin import interval_agg_join
+    from rayspatial.util import read_parquet_sized
+
+    import pyarrow as pa
+
+    delta_us = 6 * 3600 * 1_000_000
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("event_type"), kind))
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("value"), 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "cents": cents,
+            })
+        return fn
+
+    clk = ds.map_batches(prep("click"), batch_format="pyarrow")
+    vw = ds.map_batches(prep("view"), batch_format="pyarrow")
+    out = interval_agg_join(
+        clk, vw, by="user_id", on="ts_us", delta=delta_us,
+        left_id="event_id", right_value="cents",
+        out_count="n_views", out_sum="sum_view_cents",
+    )
+    return out.select_columns(["event_id", "n_views", "sum_view_cents"])
+
+
 def _q_sessions_salted(sf_dir: str):
     """Hot-user-safe sessionization: shuffle key salted with a 6-hour
     time bucket, sessions stitched across bucket boundaries in a
@@ -757,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaming": _q_events_streaming,
         "asof_prior_click": _q_asof_prior_click,
         "asof_salted": _q_asof_salted,
+        "range_join_views": _q_range_join_views,
         "sessions": _q_sessions,
         "sessions_salted": _q_sessions_salted,
         "total_bounds": _q_total_bounds,
@@ -917,6 +963,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
             "FROM err e JOIN clk c ON c.user_id = e.user_id AND c.ts <= e.ts) "
             "SELECT event_id, cid AS event_id_right FROM j WHERE rn = 1"
+        ),
+        "range_join_views": (
+            "WITH clk AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "vw AS (SELECT user_id, ts, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT c.event_id, COUNT(*) AS n_views, "
+            "CAST(SUM(v.cents) AS BIGINT) AS sum_view_cents "
+            "FROM clk c JOIN vw v ON v.user_id = c.user_id "
+            "AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 6 HOUR "
+            "GROUP BY c.event_id"
         ),
         "asof_salted": (
             "WITH err AS (SELECT event_id, user_id, ts FROM events "

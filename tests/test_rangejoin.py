@@ -1,0 +1,88 @@
+"""interval_agg_join vs a brute-force O(n^2) reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _brute(left: pd.DataFrame, right: pd.DataFrame, delta: int) -> pd.DataFrame:
+    rows = []
+    for _, l in left.iterrows():
+        m = right[(right.k == l.k) & (right.t > l.t) & (right.t <= l.t + delta)]
+        if len(m):
+            rows.append((int(l.lid), len(m), int(m.v.sum())))
+    return (
+        pd.DataFrame(rows, columns=["lid", "n_right", "sum_right"])
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+
+def _run(left, right, delta, **kw):
+    import ray.data as rd
+
+    from rayspatial.ops.rangejoin import interval_agg_join
+
+    out = interval_agg_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="k", on="t", delta=delta, left_id="lid", right_value="v", **kw
+    ).to_pandas()
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed,delta", [(0, 100), (1, 7), (2, 1000)])
+def test_matches_bruteforce(ray_session, seed, delta):
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 300, 500
+    left = pd.DataFrame({
+        "lid": np.arange(n_l, dtype=np.int64),
+        "k": rng.integers(0, 12, n_l).astype(np.int64),
+        "t": rng.integers(0, 3000, n_l).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r).astype(np.int64),
+        "t": rng.integers(0, 3000, n_r).astype(np.int64),
+        "v": rng.integers(-50, 50, n_r).astype(np.int64),
+    })
+    got = _run(left, right, delta)
+    want = _brute(left, right, delta)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64), check_dtype=False
+    )
+
+
+def test_boundary_semantics(ray_session):
+    # (t, t+delta]: exact-left excluded, exact-right included
+    left = pd.DataFrame({"lid": [1], "k": [5], "t": [100]})
+    right = pd.DataFrame({
+        "k": [5, 5, 5, 5, 4],
+        "t": [100, 101, 110, 111, 105],  # 100 out, 110 in, 111 out, wrong key out
+        "v": [1000, 1, 2, 4000, 7000],
+    }).astype(np.int64)
+    got = _run(left.astype(np.int64), right, delta=10)
+    assert got.to_dict("records") == [
+        {"lid": 1, "n_right": 2, "sum_right": 3}
+    ]
+
+
+def test_bucket_edges_exhaustive(ray_session):
+    # every (left t, right t) offset combination around bucket borders
+    delta = 10
+    ts = np.arange(0, 45, dtype=np.int64)  # spans 5 buckets
+    left = pd.DataFrame({
+        "lid": np.arange(len(ts), dtype=np.int64),
+        "k": np.zeros(len(ts), dtype=np.int64),
+        "t": ts,
+    })
+    right = pd.DataFrame({
+        "k": np.zeros(len(ts), dtype=np.int64),
+        "t": ts,
+        "v": (ts * 3 + 1).astype(np.int64),
+    })
+    got = _run(left, right, delta, salt=3, num_partitions=5)
+    want = _brute(left, right, delta)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64), check_dtype=False
+    )
