@@ -632,6 +632,21 @@ def _q_text_stats(sf_dir: str):
     return text_stats(_docs(sf_dir, rows_per_block=512))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition/quality scoring: per-doc word, unique
+    word, top-word and top-bigram counts + an all-integer keep flag
+    (textops/analysis.repetition_stats — one dictionary-encode +
+    np.unique/reduceat group kernels per batch)."""
+    from rayspatial.textops.analysis import repetition_stats
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        rows_per_block=512,
+    )
+    return repetition_stats(ds)
+
+
 def _q_ngram_dup_pairs(sf_dir: str):
     from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
 
@@ -811,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
+        "repetition_stats": _q_repetition_stats,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1067,6 +1083,31 @@ def oracle_sql() -> dict[str, str]:
             r"ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq_tokens, "
             "length(text) - length(replace(text, ' ', '')) AS n_spaces "
             "FROM documents"
+        ),
+        "repetition_stats": (
+            r"WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w, "
+            r"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord "
+            "FROM documents), "
+            "t AS (SELECT * FROM toks WHERE w <> ''), "
+            "wc AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w), "
+            "ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+            "CAST(COUNT(*) AS BIGINT) AS n_uniq_words, "
+            "CAST(MAX(c) AS BIGINT) AS top_word_n FROM wc GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, w || ' ' || lead(w) OVER "
+            "(PARTITION BY doc_id ORDER BY ord) AS g FROM t), "
+            "bs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM "
+            "(SELECT doc_id, g, COUNT(*) AS c FROM bg WHERE g IS NOT NULL "
+            "GROUP BY doc_id, g) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(ws.n_words, 0) AS n_words, "
+            "COALESCE(ws.n_uniq_words, 0) AS n_uniq_words, "
+            "COALESCE(ws.top_word_n, 0) AS top_word_n, "
+            "COALESCE(bs.top_bigram_n, 0) AS top_bigram_n, "
+            "CAST(COALESCE(ws.n_words, 0) >= 20 "
+            "AND COALESCE(ws.top_word_n, 0) * 8 <= COALESCE(ws.n_words, 0) "
+            "AND COALESCE(ws.n_uniq_words, 0) * 5 >= COALESCE(ws.n_words, 0) * 2 "
+            "AS BIGINT) AS keep "
+            "FROM documents d LEFT JOIN ws ON ws.doc_id = d.doc_id "
+            "LEFT JOIN bs ON bs.doc_id = d.doc_id"
         ),
         "ngram_dup_pairs": (
             "WITH " + _NGRAM_PAIRS_CTE + ", "

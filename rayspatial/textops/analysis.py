@@ -200,3 +200,76 @@ def lang_id(ds, sample_df: pd.DataFrame, n: int = 2, id_col: str = "doc_id"):
         return sc(batch)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_stats(ds, id_col: str = "doc_id",
+                     min_words: int = 20,
+                     top_word_den: int = 8,
+                     uniq_num: int = 5, uniq_den: int = 2):
+    """Gopher-style repetition/quality scoring -> (doc_id, n_words,
+    n_uniq_words, top_word_n, top_bigram_n, keep).
+
+    All outputs are exact integers (SQL-reproducible); ``keep`` is the
+    all-integer filter rule
+
+        n_words >= min_words
+        AND top_word_n * top_word_den <= n_words       (top-word share)
+        AND n_uniq_words * uniq_num >= n_words * uniq_den  (unique ratio)
+
+    Fully vectorized per batch: one Arrow dictionary-encode of the
+    token stream, then np.unique / reduceat group kernels — no Python
+    row loop (the repetition rules of Gopher Appx. A / C4 expressed as
+    integer numerators so the DuckDB oracle hashes exactly)."""
+    from rayspatial.textops.hashing import split_words
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        flat, offsets = split_words(batch.column("text"))
+        counts = np.diff(offsets)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary)) + 1
+
+        n_uniq = np.zeros(n, dtype=np.int64)
+        top_word = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            key = doc_of * V + codes
+            uk, uc = np.unique(key, return_counts=True)
+            udoc = uk // V
+            n_uniq = np.bincount(udoc, minlength=n).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, np.diff(udoc) != 0])
+            top_word[udoc[starts]] = np.maximum.reduceat(uc, starts)
+
+        top_bigram = np.zeros(n, dtype=np.int64)
+        if len(codes) > 1:
+            same = doc_of[1:] == doc_of[:-1]
+            if same.any():
+                bg = codes[:-1][same] * V + codes[1:][same]
+                # dense-rank bigrams so (doc, bigram) fits int64
+                ubg, binv = np.unique(bg, return_inverse=True)
+                B = np.int64(len(ubg)) + 1
+                bkey = doc_of[:-1][same] * B + binv
+                ubk, ubc = np.unique(bkey, return_counts=True)
+                bdoc = ubk // B
+                bstarts = np.flatnonzero(np.r_[True, np.diff(bdoc) != 0])
+                top_bigram[bdoc[bstarts]] = np.maximum.reduceat(ubc, bstarts)
+
+        n_words = counts.astype(np.int64)
+        keep = (
+            (n_words >= min_words)
+            & (top_word * top_word_den <= n_words)
+            & (n_uniq * uniq_num >= n_words * uniq_den)
+        ).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "n_uniq_words": pa.array(n_uniq),
+            "top_word_n": pa.array(top_word),
+            "top_bigram_n": pa.array(top_bigram),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -602,3 +602,44 @@ def test_connected_components_small_graph_fast_path(ray_session):
         .to_pandas().set_index("doc_id")["rep"].sort_index()
     )
     pd.testing.assert_series_equal(fast, slow)
+
+
+def test_repetition_stats_vs_python_reference(ray_session):
+    import ray.data as rd
+
+    from rayspatial.textops.analysis import repetition_stats
+
+    texts = [
+        "a b c d e f g h i j k l m n o p q r s t",     # 20 uniq words
+        "a a a a a a a a a a b c d e f g h i j k",     # top-word heavy
+        "x y x y x y x y x y x y x y x y x y x y",     # top-bigram heavy
+        "",                                             # empty
+        "solo",                                         # one word
+        "  padded   with   unicode　spaces  ",
+        "w " * 50,                                      # repeated single word
+        " ".join(f"t{i}" for i in range(40)),           # all unique, long
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = (
+        repetition_stats(rd.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    for i, t in enumerate(texts):
+        ws = t.split()
+        n_words = len(ws)
+        from collections import Counter
+        wc = Counter(ws)
+        bc = Counter(zip(ws, ws[1:]))
+        n_uniq = len(wc)
+        top_w = max(wc.values()) if wc else 0
+        top_b = max(bc.values()) if bc else 0
+        keep = int(n_words >= 20 and top_w * 8 <= n_words
+                   and n_uniq * 5 >= n_words * 2)
+        row = got.iloc[i]
+        assert row.n_words == n_words, (i, t)
+        assert row.n_uniq_words == n_uniq, (i, t)
+        assert row.top_word_n == top_w, (i, t)
+        assert row.top_bigram_n == top_b, (i, t)
+        assert row.keep == keep, (i, t)
