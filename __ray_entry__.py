@@ -632,6 +632,39 @@ def _q_text_stats(sf_dir: str):
     return text_stats(_docs(sf_dir, rows_per_block=512))
 
 
+def _q_canonical_docs(sf_dir: str):
+    """Near-dup RESOLUTION: duplicate groups (n-gram Jaccard pairs ->
+    distributed components) -> keep only each group's canonical (min
+    doc_id) member plus all unpaired docs, via a hash-partitioned
+    anti-join (ops/relational.anti_join — the labeled drop set is never
+    broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.relational import anti_join
+    from rayspatial.textops.components import connected_components_distributed
+    from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
+    from rayspatial.util import read_parquet_sized
+
+    pairs = ngram_jaccard_dup_pairs(
+        _docs(sf_dir, rows_per_block=512), k=3, threshold_pct=50
+    ).map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    labels = connected_components_distributed(pairs)
+    drops = labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.filter(
+                pc.less(b.column("rep"), b.column("doc_id"))
+            ).column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return anti_join(docs, drops, on="doc_id",
+                     left_cols=["doc_id", "n_chars"])
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/quality scoring: per-doc word, unique
     word, top-word and top-bigram counts + an all-integer keep flag
@@ -827,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
+        "canonical_docs": _q_canonical_docs,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1083,6 +1117,18 @@ def oracle_sql() -> dict[str, str]:
             r"ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq_tokens, "
             "length(text) - length(replace(text, ' ', '')) AS n_spaces "
             "FROM documents"
+        ),
+        "canonical_docs": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "
+            "edges AS (SELECT a, b FROM pairsq UNION SELECT b, a FROM pairsq), "
+            "reach(node, r) AS ("
+            "SELECT a AS node, a AS r FROM edges "
+            "UNION "
+            "SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.node = e.b), "
+            "grp AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node) "
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "LEFT JOIN grp g ON g.node = d.doc_id "
+            "WHERE g.rep IS NULL OR g.rep = d.doc_id"
         ),
         "repetition_stats": (
             r"WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w, "

@@ -86,3 +86,27 @@ def test_bucket_edges_exhaustive(ray_session):
     pd.testing.assert_frame_equal(
         got.astype(np.int64), want.astype(np.int64), check_dtype=False
     )
+
+
+def test_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.relational import anti_join, semi_join
+
+    left = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "n_chars": (np.arange(20) * 7).astype(np.int64),
+    })
+    right = pd.DataFrame({"doc_id": np.array([3, 5, 5, 11, 40], dtype=np.int64)})
+    l_ds, r_ds = rd.from_pandas(left), rd.from_pandas(right)
+
+    semi = semi_join(l_ds, r_ds, "doc_id", ["doc_id", "n_chars"]).to_pandas()
+    anti = anti_join(l_ds, r_ds, "doc_id", ["doc_id", "n_chars"]).to_pandas()
+    assert sorted(semi.doc_id) == [3, 5, 11]
+    assert sorted(anti.doc_id) == [i for i in range(20) if i not in (3, 5, 11)]
+    # payload column survives the shuffle intact
+    assert dict(zip(anti.doc_id, anti.n_chars))[7] == 49
+    # empty right side: anti keeps everything, semi keeps nothing
+    empty = rd.from_pandas(right[right.doc_id < 0].reset_index(drop=True))
+    assert len(anti_join(l_ds, empty, "doc_id", ["doc_id", "n_chars"]).to_pandas()) == 20
+    assert len(semi_join(l_ds, empty, "doc_id", ["doc_id", "n_chars"]).to_pandas()) == 0
