@@ -632,6 +632,60 @@ def _q_text_stats(sf_dir: str):
     return text_stats(_docs(sf_dir, rows_per_block=512))
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Dimension equi-join + aggregate: orders x customer (broadcast
+    hash join, ops/equijoin.py) -> per-market-segment order count and
+    exact cent revenue (per-batch partial sums before the tiny
+    groupby)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("o_custkey"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("c_custkey"),
+            "c_mktsegment": b.column("c_mktsegment"),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(orders, customer, on="custkey",
+                       left_cols=["cents"], right_cols=["c_mktsegment"],
+                       mode="broadcast")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("cents", "size"), sum_price_cents=("cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_price_cents", alias_name="sum_price_cents"))
+    )
+
+
 def _q_canonical_docs(sf_dir: str):
     """Near-dup RESOLUTION: duplicate groups (n-gram Jaccard pairs ->
     distributed components) -> keep only each group's canonical (min
@@ -861,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
         "canonical_docs": _q_canonical_docs,
+        "orders_by_segment": _q_orders_by_segment,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1117,6 +1172,13 @@ def oracle_sql() -> dict[str, str]:
             r"ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq_tokens, "
             "length(text) - length(replace(text, ' ', '')) AS n_spaces "
             "FROM documents"
+        ),
+        "orders_by_segment": (
+            "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_mktsegment"
         ),
         "canonical_docs": (
             "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "

@@ -110,3 +110,31 @@ def test_semi_anti_join(ray_session):
     empty = rd.from_pandas(right[right.doc_id < 0].reset_index(drop=True))
     assert len(anti_join(l_ds, empty, "doc_id", ["doc_id", "n_chars"]).to_pandas()) == 20
     assert len(semi_join(l_ds, empty, "doc_id", ["doc_id", "n_chars"]).to_pandas()) == 0
+
+
+def test_hash_join_modes_agree(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 500).astype(np.int64),
+        "lv": np.arange(500, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 50, 2, dtype=np.int64),   # some keys absent
+        "rv": (np.arange(25) * 11).astype(np.int64),
+    })
+    l_ds, r_ds = rd.from_pandas(left), rd.from_pandas(right)
+    a = hash_join(l_ds, r_ds, "k", ["k", "lv"], ["rv"],
+                  mode="broadcast").to_pandas()
+    b = hash_join(l_ds, r_ds, "k", ["k", "lv"], ["rv"],
+                  mode="shuffle").to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    for got in (a, b):
+        pd.testing.assert_frame_equal(
+            got.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]],
+            want.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]],
+            check_dtype=False,
+        )
