@@ -46,6 +46,72 @@ polys AS (
 """.strip()
 
 
+def _minhash_oracle_sql() -> str:
+    """SQL reproduction of minhash_lsh_candidates (textops/dedup.py):
+    FNV-1a shingle hashes, 64 splitmix64 permutations (the 64x64-bit
+    multiply done mod 2^64 via 32-bit split — HUGEINT holds at most
+    2^127), per-band polynomial keys, docs sharing any (band, key).
+    Generated here because the splitmix constants repeat per stage."""
+    M = "CAST(18446744073709551616 AS HUGEINT)"
+    P32 = "CAST(4294967296 AS HUGEINT)"
+    FNV_P = "CAST(1099511628211 AS HUGEINT)"
+
+    def mul64(x: str, c: int) -> str:
+        C = f"CAST({c} AS HUGEINT)"
+        return (f"(((({x}) // {P32}) * {C} % {P32}) * {P32} "
+                f"+ (({x}) % {P32}) * {C}) % {M}")
+
+    def sm_stage(prev: str, shift: int, mulc: int | None) -> str:
+        x = f"xor({prev}, ({prev}) // CAST({2 ** shift} AS HUGEINT))"
+        return mul64(x, mulc) if mulc else x
+
+    seed_vals = ", ".join(
+        f"({p}, CAST({(0x9E3779B97F4A7C15 * (p + 1)) % 2 ** 64} AS HUGEINT))"
+        for p in range(64)
+    )
+    band_vals = ", ".join(
+        f"({b}, CAST({(0x9E3779B97F4A7C15 * (b + 1)) % 2 ** 64} AS HUGEINT))"
+        for b in range(16)
+    )
+    return rf"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+gs AS (SELECT DISTINCT g FROM ng),
+f(g, pos, h) AS (
+  SELECT g, 1, CAST(14695981039346656037 AS HUGEINT) FROM gs
+  UNION ALL
+  SELECT f.g, f.pos + 1,
+    (xor(f.h, CAST(ord(substr(f.g, f.pos, 1)) AS HUGEINT)) * {FNV_P}) % {M}
+  FROM f WHERE f.pos <= length(f.g)),
+gh AS (SELECT g, h FROM f WHERE pos = length(g) + 1),
+seeds(p, a) AS (VALUES {seed_vals}),
+x0 AS (SELECT g, p, (h + a) % {M} AS x FROM gh CROSS JOIN seeds),
+x1 AS (SELECT g, p, {sm_stage('x', 30, 0xBF58476D1CE4E5B9)} AS x FROM x0),
+x2 AS (SELECT g, p, {sm_stage('x', 27, 0x94D049BB133111EB)} AS x FROM x1),
+ph AS (SELECT g, p, {sm_stage('x', 31, None)} AS x FROM x2),
+sig0 AS (SELECT ng.doc_id, ph.p, MIN(ph.x) AS s
+         FROM ng JOIN ph USING (g) GROUP BY ng.doc_id, ph.p),
+sig AS (SELECT d.doc_id, sd.p,
+        COALESCE(s0.s, CAST(18446744073709551615 AS HUGEINT)) AS s
+        FROM documents d CROSS JOIN seeds sd
+        LEFT JOIN sig0 s0 ON s0.doc_id = d.doc_id AND s0.p = sd.p),
+bl AS (SELECT doc_id, p // 4 AS band, list(s ORDER BY p) AS l
+       FROM sig GROUP BY doc_id, p // 4),
+k1 AS (SELECT doc_id, band, ((l[1] * {FNV_P}) % {M} + l[2]) % {M} AS k, l FROM bl),
+k2 AS (SELECT doc_id, band, ((k * {FNV_P}) % {M} + l[3]) % {M} AS k, l FROM k1),
+k3 AS (SELECT doc_id, band, ((k * {FNV_P}) % {M} + l[4]) % {M} AS k FROM k2),
+bk0 AS (SELECT doc_id, band, (k + b.a) % {M} AS x FROM k3
+        JOIN (VALUES {band_vals}) AS b(bb, a) ON b.bb = band),
+bk1 AS (SELECT doc_id, band, {sm_stage('x', 30, 0xBF58476D1CE4E5B9)} AS x FROM bk0),
+bk2 AS (SELECT doc_id, band, {sm_stage('x', 27, 0x94D049BB133111EB)} AS x FROM bk1),
+bk AS (SELECT doc_id, band, {sm_stage('x', 31, None)} AS key FROM bk2)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""".strip()
+
+
 def _cell_expr(col: str, lo: float, span: float, n: int) -> str:
     return (
         f"CAST(GREATEST(LEAST(FLOOR(({col} + {lo}) / {span} * {n}), {n - 1}), 0) AS BIGINT)"
@@ -1152,9 +1218,52 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY d2, poly_id) AS rank FROM d) "
             "SELECT doc_id, poly_id FROM r WHERE rank = 1"
         ),
-        # training-data ops (SQL-expressible subset; the hash-family ops
-        # — minhash/simhash/srp/lang_id/fingerprints/binary_features —
-        # are rows-only checked and pytest-verified instead)
+        # training-data ops.  Even the hash-family ops get exact SQL
+        # oracles where the hash is corpus-reproducible: fingerprints
+        # (rolling hash recurrence), simhash_pairs (FNV-1a per token +
+        # bit-majority + pairwise bit_count below), minhash_candidates
+        # (FNV shingle hash + splitmix64 permutations).  Only the
+        # model/random-projection family (srp, ivf, lang_id) stays
+        # rows-only + pytest-verified.
+        # simhash: FNV-1a(token) reproduced in HUGEINT (the multiply
+        # fits: h < 2^64, prime ~ 2^40 => product < 2^104 < 2^127),
+        # count-weighted bit majority (strict 2*ones > n rule as in
+        # dedup.simhash_batch), pairwise hamming via bit_count(xor).
+        "minhash_candidates": _minhash_oracle_sql(),
+        "simhash_pairs": (
+            r"WITH RECURSIVE "
+            r"toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents), "
+            "t AS (SELECT doc_id, w FROM toks WHERE w <> ''), "
+            "tc AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w), "
+            "words AS (SELECT DISTINCT w FROM tc), "
+            "f(w, pos, h) AS ("
+            "SELECT w, 1, CAST(14695981039346656037 AS HUGEINT) FROM words "
+            "UNION ALL "
+            "SELECT f.w, f.pos + 1, "
+            "(xor(f.h, CAST(ord(substr(f.w, f.pos, 1)) AS HUGEINT)) "
+            "* CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) "
+            "FROM f WHERE f.pos <= length(f.w)), "
+            "wh AS (SELECT w, h FROM f WHERE pos = length(w) + 1), "
+            "pw(bit, p) AS (SELECT 0, CAST(1 AS HUGEINT) "
+            "UNION ALL SELECT bit + 1, p * 2 FROM pw WHERE bit < 63), "
+            "simb AS (SELECT tc.doc_id, b.bit, b.p, "
+            "CASE WHEN 2 * SUM(tc.c * CAST((wh.h // b.p) % 2 AS HUGEINT)) "
+            "> SUM(tc.c) THEN 1 ELSE 0 END AS sbit "
+            "FROM tc JOIN wh USING (w) CROSS JOIN pw b "
+            "GROUP BY tc.doc_id, b.bit, b.p), "
+            "sim0 AS (SELECT doc_id, SUM(p * sbit) AS sh FROM simb GROUP BY doc_id), "
+            "sim AS (SELECT d.doc_id, "
+            "CAST(CASE WHEN COALESCE(s.sh, CAST(0 AS HUGEINT)) "
+            "< CAST(9223372036854775808 AS HUGEINT) "
+            "THEN COALESCE(s.sh, CAST(0 AS HUGEINT)) "
+            "ELSE COALESCE(s.sh, CAST(0 AS HUGEINT)) "
+            "- CAST(18446744073709551616 AS HUGEINT) END AS BIGINT) AS sh "
+            "FROM documents d LEFT JOIN sim0 s USING (doc_id)) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
+            "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sh, b.sh)) <= 3"
+        ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
