@@ -752,6 +752,45 @@ def _q_orders_by_segment(sf_dir: str):
     )
 
 
+def _q_user_event_windows(sf_dir: str):
+    """Partitioned analytic window functions (ops/analytic.py): per
+    user ordered by (ts, event_id) — lag/lead of the cent value,
+    row_number, running sum, and rank over ts alone (real ties share a
+    rank).  ONE hash-partition shuffle; all kernels are group-boundary
+    numpy over each sorted partition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.analytic import analytic_window
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("value"), "value",
+            pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()))
+
+    out = analytic_window(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        part_cols=["user_id"], order_cols=["ts", "event_id"],
+        specs=[
+            {"fn": "lag", "col": "value", "as": "prev_cents"},
+            {"fn": "lead", "col": "value", "as": "next_cents"},
+            {"fn": "row_number", "as": "rn"},
+            {"fn": "cumsum", "col": "value", "as": "run_cents"},
+            {"fn": "rank", "as": "ts_rank", "order_cols": ["ts"]},
+        ],
+        out_cols=["event_id", "user_id"],
+    )
+    return out
+
+
 def _q_canonical_docs(sf_dir: str):
     """Near-dup RESOLUTION: duplicate groups (n-gram Jaccard pairs ->
     distributed components) -> keep only each group's canonical (min
@@ -982,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "canonical_docs": _q_canonical_docs,
         "orders_by_segment": _q_orders_by_segment,
+        "user_event_windows": _q_user_event_windows,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1123,6 +1163,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY user_id "
             "ORDER BY total_cents DESC, user_id LIMIT 10"
+        ),
+        "user_event_windows": (
+            "WITH e AS (SELECT event_id, ts, user_id, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, "
+            "LAG(cents) OVER w AS prev_cents, "
+            "LEAD(cents) OVER w AS next_cents, "
+            "ROW_NUMBER() OVER w AS rn, "
+            "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents, "
+            "RANK() OVER (PARTITION BY user_id ORDER BY ts) AS ts_rank "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "asof_prior_click": (
             "WITH err AS (SELECT event_id, user_id, ts FROM events "

@@ -1,0 +1,138 @@
+"""Partitioned analytic ("window") functions: lag / lead / row_number /
+rank / dense_rank / running sum over ``PARTITION BY keys ORDER BY cols``.
+
+Scale shape (100-TB): ONE hash-partition shuffle by the partition keys
+(every key lives in exactly one partition — the same guarantee
+``util.hash_partitioned_agg`` relies on), then each partition is sorted
+ONCE and every requested function is computed with group-boundary numpy
+kernels — no per-row Python, no second shuffle, no global sort.  The
+output is bounded per partition (same row count as the input), so no
+stage gathers more than one hash partition.
+
+Skewed partition keys (one user with billions of rows) are the caller's
+concern: pick ``num_partitions`` high enough that a hot key's rows fit
+one worker's heap; functions here are all O(rows-in-partition) single
+pass after the sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["analytic_window"]
+
+_SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
+
+
+def _group_starts(keys: list[np.ndarray]) -> np.ndarray:
+    """Boolean mask: True where a new partition-key group starts (input
+    already sorted by those keys)."""
+    n = len(keys[0])
+    new = np.zeros(n, dtype=bool)
+    if n:
+        new[0] = True
+        for k in keys:
+            new[1:] |= k[1:] != k[:-1]
+    return new
+
+
+def _apply_specs(df: pd.DataFrame, part_cols: list[str],
+                 order_cols: list[str], specs: list[dict],
+                 out_cols: list[str]) -> pa.Table:
+    df = df.sort_values(part_cols + order_cols, kind="stable",
+                        ignore_index=True)
+    n = len(df)
+    keys = [df[c].to_numpy() for c in part_cols]
+    new_grp = _group_starts(keys)
+    starts = np.flatnonzero(new_grp)
+    counts = np.diff(np.append(starts, n))
+    # index of each row's group start, aligned per row
+    grp_start_idx = np.repeat(starts, counts)
+    idx = np.arange(n, dtype=np.int64)
+
+    cols: dict[str, pa.Array] = {}
+    for c in out_cols:
+        cols[c] = pa.array(df[c])
+    for spec in specs:
+        fn = spec["fn"]
+        name = spec["as"]
+        if fn not in _SUPPORTED:
+            raise ValueError(f"unsupported analytic fn {fn!r}")
+        if fn in ("lag", "lead", "cumsum"):
+            v = df[spec["col"]].to_numpy()
+        if fn == "lag":
+            off = int(spec.get("offset", 1))
+            src = idx - off
+            valid = src >= grp_start_idx
+            out = np.empty(n, dtype=v.dtype)
+            out[valid] = v[src[valid]]
+            cols[name] = pa.array(out, mask=~valid)
+        elif fn == "lead":
+            off = int(spec.get("offset", 1))
+            grp_end_idx = grp_start_idx + np.repeat(counts, counts)  # excl
+            src = idx + off
+            valid = src < grp_end_idx
+            out = np.empty(n, dtype=v.dtype)
+            out[valid] = v[src[valid]]
+            cols[name] = pa.array(out, mask=~valid)
+        elif fn == "row_number":
+            cols[name] = pa.array(idx - grp_start_idx + 1, type=pa.int64())
+        elif fn in ("rank", "dense_rank"):
+            # ties share a rank; spec may rank by a PREFIX of order_cols
+            # (must be a prefix — the partition sort must be consistent
+            # with the rank ordering)
+            rank_cols = spec.get("order_cols", order_cols)
+            if list(order_cols[: len(rank_cols)]) != list(rank_cols):
+                raise ValueError("rank order_cols must be a prefix of "
+                                 "the window order_cols")
+            ov = [df[c].to_numpy() for c in rank_cols]
+            new_val = new_grp.copy()
+            for k in ov:
+                new_val[1:] |= k[1:] != k[:-1]
+            if fn == "rank":
+                # index of the first row of this row's tie-run, minus
+                # the group start, +1
+                run_start = np.repeat(
+                    np.flatnonzero(new_val),
+                    np.diff(np.append(np.flatnonzero(new_val), n)),
+                )
+                cols[name] = pa.array(run_start - grp_start_idx + 1,
+                                      type=pa.int64())
+            else:
+                # count of distinct value-runs so far within the group
+                runs = np.cumsum(new_val)
+                cols[name] = pa.array(
+                    runs - runs[grp_start_idx] + 1, type=pa.int64())
+        elif fn == "cumsum":
+            c = np.cumsum(v)
+            base = c[starts] - v[starts]
+            cols[name] = pa.array(c - np.repeat(base, counts))
+    return pa.table(cols)
+
+
+def analytic_window(ds, part_cols: list[str], order_cols: list[str],
+                    specs: list[dict], out_cols: list[str] | None = None,
+                    num_partitions: int | None = None):
+    """Compute analytic window functions over a Dataset.
+
+    ``specs``: list of ``{"fn": ..., "col": ..., "as": ..., "offset":}``
+    with fn in lag/lead/row_number/rank/dense_rank/cumsum.  ``out_cols``
+    (default: all input columns) are carried through alongside the new
+    columns.  Ordering ties must be broken by ``order_cols`` for
+    deterministic lag/lead (include a unique id column).
+
+    Equivalent SQL: ``fn(col) OVER (PARTITION BY part_cols ORDER BY
+    order_cols)`` with RANGE/ROWS UNBOUNDED PRECEDING for cumsum.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    out_cols = list(out_cols) if out_cols is not None else None
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        oc = out_cols if out_cols is not None else list(df.columns)
+        return _apply_specs(df, part_cols, order_cols, specs, oc)
+
+    return hash_partitioned_agg(ds, part_cols, per_partition,
+                                num_partitions=num_partitions)

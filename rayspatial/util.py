@@ -78,6 +78,8 @@ def hash_partitioned_agg(ds, key_cols: list[str], pandas_agg,
 
     def agg_partition(df):
         out = pandas_agg(df.drop(columns=["_agg_part"]))
+        if isinstance(out, pa.Table):  # typed output (e.g. nullable int64)
+            return out
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (

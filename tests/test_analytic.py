@@ -1,0 +1,127 @@
+"""Analytic window functions (ops/analytic.py) vs DuckDB window SQL."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayspatial.ops.analytic import analytic_window
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame_with_ties(seed: int = 7, n: int = 500) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 20, n),          # partition key (some skew)
+        "o": rng.integers(0, 30, n),          # order key WITH ties
+        "id": np.arange(n, dtype=np.int64),   # unique tie-break
+        "v": rng.integers(-100, 100, n),
+    })
+
+
+def _run(ds_df: pd.DataFrame, specs, order_cols, out_cols):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(ds_df, preserve_index=False))
+    out = analytic_window(ds, ["k"], order_cols, specs, out_cols=out_cols,
+                          num_partitions=5)
+    return out.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analytic_matches_duckdb_with_ties():
+    df = _frame_with_ties()
+    got = _run(
+        df,
+        specs=[
+            {"fn": "lag", "col": "v", "as": "lag1"},
+            {"fn": "lag", "col": "v", "as": "lag3", "offset": 3},
+            {"fn": "lead", "col": "v", "as": "lead2", "offset": 2},
+            {"fn": "row_number", "as": "rn"},
+            {"fn": "cumsum", "col": "v", "as": "run"},
+            {"fn": "rank", "as": "rnk", "order_cols": ["o"]},
+            {"fn": "dense_rank", "as": "drnk", "order_cols": ["o"]},
+        ],
+        order_cols=["o", "id"],
+        out_cols=["id", "k"],
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT id, k,
+          LAG(v) OVER w AS lag1,
+          LAG(v, 3) OVER w AS lag3,
+          LEAD(v, 2) OVER w AS lead2,
+          ROW_NUMBER() OVER w AS rn,
+          SUM(v) OVER (PARTITION BY k ORDER BY o, id
+                       ROWS UNBOUNDED PRECEDING) AS run,
+          RANK() OVER (PARTITION BY k ORDER BY o) AS rnk,
+          DENSE_RANK() OVER (PARTITION BY k ORDER BY o) AS drnk
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY o, id)
+        ORDER BY id
+    """).df()
+    got = got[want.columns.tolist()]
+    for c in want.columns:
+        a = got[c].astype("float64")
+        b = want[c].astype("float64")
+        assert a.isna().equals(b.isna()), c
+        assert (a.dropna().to_numpy() == b.dropna().to_numpy()).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analytic_single_row_groups_and_offsets_past_group():
+    df = pd.DataFrame({
+        "k": [1, 2, 3, 3],
+        "o": [0, 0, 0, 1],
+        "id": [0, 1, 2, 3],
+        "v": [10, 20, 30, 40],
+    })
+    got = _run(
+        df,
+        specs=[
+            {"fn": "lag", "col": "v", "as": "lag5", "offset": 5},
+            {"fn": "lead", "col": "v", "as": "lead1"},
+            {"fn": "row_number", "as": "rn"},
+        ],
+        order_cols=["o", "id"],
+        out_cols=["id", "k"],
+    )
+    assert got["lag5"].isna().all()
+    assert got.loc[got.id == 2, "lead1"].iloc[0] == 40
+    assert got.loc[got.id.isin([0, 1, 3]), "lead1"].isna().all()
+    assert got["rn"].tolist() == [1, 1, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analytic_rank_requires_order_prefix():
+    import ray.data as rd
+
+    df = _frame_with_ties(n=10)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = analytic_window(
+        ds, ["k"], ["o", "id"],
+        [{"fn": "rank", "as": "r", "order_cols": ["id"]}],  # not a prefix
+        out_cols=["id"],
+    )
+    with pytest.raises(Exception):
+        out.materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analytic_dtype_preserved_int64_nullable():
+    """lag over int64 must stay int64 (nullable) end-to-end, not decay
+    to float64 through a pandas round-trip."""
+    df = pd.DataFrame({"k": [1, 1], "o": [0, 1], "id": [0, 1],
+                       "v": np.array([5, 6], dtype=np.int64)})
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = analytic_window(ds, ["k"], ["o", "id"],
+                          [{"fn": "lag", "col": "v", "as": "p"}],
+                          out_cols=["id"])
+    schema = out.schema()
+    assert schema.base_schema.field("p").type == pa.int64()
