@@ -791,6 +791,61 @@ def _q_user_event_windows(sf_dir: str):
     return out
 
 
+def _q_distinct_users_daily(sf_dir: str):
+    """Exact per-day COUNT(DISTINCT user_id) (ops/distinct.py): per-
+    block (day, user) Arrow dedup combiner -> one hash-partition
+    shuffle of distinct pairs -> vectorized nunique."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.distinct import count_distinct
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    DAY_US = 86_400_000_000
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        day = pc.cast(pc.multiply(pc.divide(us, DAY_US), DAY_US),
+                      pa.timestamp("us"))
+        return pa.table({"day": day, "user_id": batch.column("user_id")})
+
+    return count_distinct(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        group_cols=["day"], value_col="user_id", out_name="n_users",
+    )
+
+
+def _q_distinct_users_daily_hll(sf_dir: str):
+    """Same distinct count through the HyperLogLog sketch path — the
+    100-TB shape (shuffle volume = #groups x 4 KiB regardless of rows).
+    Model-defined estimate: no SQL oracle; pytest asserts <5% relative
+    error vs the exact path and sketch merge associativity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.distinct import approx_count_distinct
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    DAY_US = 86_400_000_000
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        day = pc.cast(pc.multiply(pc.divide(us, DAY_US), DAY_US),
+                      pa.timestamp("us"))
+        return pa.table({"day": day, "user_id": batch.column("user_id")})
+
+    return approx_count_distinct(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        group_cols=["day"], value_col="user_id", out_name="n_users_approx",
+    )
+
+
 def _q_canonical_docs(sf_dir: str):
     """Near-dup RESOLUTION: duplicate groups (n-gram Jaccard pairs ->
     distributed components) -> keep only each group's canonical (min
@@ -1022,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": _q_canonical_docs,
         "orders_by_segment": _q_orders_by_segment,
         "user_event_windows": _q_user_event_windows,
+        "distinct_users_daily": _q_distinct_users_daily,
+        "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1163,6 +1220,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY user_id "
             "ORDER BY total_cents DESC, user_id LIMIT 10"
+        ),
+        "distinct_users_daily": (
+            "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
+            "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
         ),
         "user_event_windows": (
             "WITH e AS (SELECT event_id, ts, user_id, "
