@@ -846,6 +846,22 @@ def _q_distinct_users_daily_hll(sf_dir: str):
     )
 
 
+def _q_span_dedup(sf_dir: str):
+    """Corpus-wide span dedup (C4 / Lee-et-al style,
+    textops/spandedup.py): every repeated 3-word span keeps only its
+    first occurrence by (doc_id, span_idx); docs rebuilt from the
+    survivors.  Only 28 B (hash, id, idx) rows cross the first shuffle;
+    text moves once in the rebuild shuffle."""
+    from rayspatial.textops.spandedup import span_dedup
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        rows_per_block=512,
+    )
+    return span_dedup(ds, span_w=3)
+
+
 def _q_canonical_docs(sf_dir: str):
     """Near-dup RESOLUTION: duplicate groups (n-gram Jaccard pairs ->
     distributed components) -> keep only each group's canonical (min
@@ -1078,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "user_event_windows": _q_user_event_windows,
         "distinct_users_daily": _q_distinct_users_daily,
+        "span_dedup": _q_span_dedup,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1225,6 +1242,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "span_dedup": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+            "AS ws FROM documents), "
+            "wi AS (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws))) AS i FROM w), "
+            "spans AS (SELECT doc_id, (i-1)//3 AS span_idx, "
+            "string_agg(ws[i], ' ' ORDER BY i) AS span "
+            "FROM wi GROUP BY doc_id, (i-1)//3), "
+            "ranked AS (SELECT doc_id, span_idx, span, "
+            "ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) "
+            "AS rn FROM spans), "
+            "agg AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) "
+            "AS text FROM ranked WHERE rn = 1 GROUP BY doc_id), "
+            "drops AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM ranked WHERE rn > 1 GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.text, '') AS text, "
+            "COALESCE(dr.n, 0) AS n_spans_dropped "
+            "FROM documents d LEFT JOIN agg a USING(doc_id) "
+            "LEFT JOIN drops dr USING(doc_id)"
         ),
         "user_event_windows": (
             "WITH e AS (SELECT event_id, ts, user_id, "
