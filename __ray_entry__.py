@@ -846,6 +846,17 @@ def _q_distinct_users_daily_hll(sf_dir: str):
     )
 
 
+def _q_spatial_clusters(sf_dir: str):
+    """DBSCAN-style eps-connectivity clustering of the extracted page
+    points (ops/cluster.py): cell-grid ghost replication -> per-cell
+    vectorized pair tests -> distributed min-label components; cluster
+    label = min member doc_id, singletons kept."""
+    from rayspatial.ops.cluster import eps_clusters
+    from rayspatial.pipeline.flagship import points_dataset
+
+    return eps_clusters(points_dataset(sf_dir), eps=8.0)
+
+
 def _q_span_dedup(sf_dir: str):
     """Corpus-wide span dedup (C4 / Lee-et-al style,
     textops/spandedup.py): every repeated 3-word span keeps only its
@@ -1095,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_windows": _q_user_event_windows,
         "distinct_users_daily": _q_distinct_users_daily,
         "span_dedup": _q_span_dedup,
+        "spatial_clusters": _q_spatial_clusters,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1242,6 +1254,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "spatial_clusters": (
+            f"WITH RECURSIVE {_PTS_CTE}, "
+            "cpairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM pts a "
+            "JOIN pts b ON a.doc_id < b.doc_id AND "
+            "(a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+            "<= 64.0), "
+            "edges AS (SELECT a, b FROM cpairs UNION "
+            "SELECT b, a FROM cpairs), "
+            "reach(node, r) AS (SELECT doc_id AS node, doc_id AS r "
+            "FROM pts UNION "
+            "SELECT e.b, rr.r FROM edges e JOIN reach rr ON rr.node = e.a) "
+            "SELECT node AS doc_id, MIN(r) AS cluster "
+            "FROM reach GROUP BY node"
         ),
         "span_dedup": (
             r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
