@@ -846,6 +846,37 @@ def _q_distinct_users_daily_hll(sf_dir: str):
     )
 
 
+def _q_area_interp(sf_dir: str):
+    """Areal interpolation (ops/interp.py): transfer the source
+    layer's integer attribute onto the 200-box target layer weighted
+    by exact intersection area over source area, in scaled integer
+    arithmetic (order-independent distributed sum)."""
+    from rayspatial.ops.interp import areal_interpolate
+    from rayspatial.pipeline.polygons import (
+        polygon_geoms,
+        source_values,
+        target_boxes_dataset,
+    )
+
+    return areal_interpolate(
+        target_boxes_dataset(), polygon_geoms(), source_values())
+
+
+def _q_zonal_stats(sf_dir: str):
+    """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
+    integer aggregates (count, micro-degree coordinate sums, id
+    min/max) over the covered points — the raster zonal-stats
+    primitive on top of the broadcast spatial join."""
+    from rayspatial.ops.agg import zonal_stats
+    from rayspatial.ops.join import join_points_polygons
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    pairs = join_points_polygons(
+        points_dataset(sf_dir), polygon_geoms(), predicate="covers")
+    return zonal_stats(pairs)
+
+
 def _q_spatial_clusters(sf_dir: str):
     """DBSCAN-style eps-connectivity clustering of the extracted page
     points (ops/cluster.py): cell-grid ghost replication -> per-cell
@@ -1107,6 +1138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "span_dedup": _q_span_dedup,
         "spatial_clusters": _q_spatial_clusters,
+        "zonal_stats": _q_zonal_stats,
+        "area_interp": _q_area_interp,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1254,6 +1287,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "area_interp": (
+            f"WITH {_POLYS_CTE}, tgts AS (SELECT CAST(range AS BIGINT) AS tgt_id, CAST((range * 6211) % 330 - 175 AS BIGINT) AS txmin, CAST((range * 9973) % 140 - 80 AS BIGINT) AS tymin, CAST((range * 6211) % 330 - 175 + 8 + (range % 17) AS BIGINT) AS txmax, CAST((range * 9973) % 140 - 80 + 5 + (range % 11) AS BIGINT) AS tymax FROM range(200)), "
+            "pairs AS (SELECT t.tgt_id, "
+            "(100 + (p.poly_id * 37) % 1000) AS pop, "
+            "CAST(p.xmax - p.xmin AS BIGINT) * CAST(p.ymax - p.ymin AS BIGINT) AS sarea, "
+            "GREATEST(0, LEAST(CAST(p.xmax AS BIGINT), t.txmax) - GREATEST(CAST(p.xmin AS BIGINT), t.txmin)) * "
+            "GREATEST(0, LEAST(CAST(p.ymax AS BIGINT), t.tymax) - GREATEST(CAST(p.ymin AS BIGINT), t.tymin)) AS iarea "
+            "FROM tgts t JOIN polys p ON t.txmax >= p.xmin AND t.txmin <= p.xmax "
+            "AND t.tymax >= p.ymin AND t.tymin <= p.ymax) "
+            "SELECT tgt_id, CAST(COALESCE(SUM(pop * 1000000 * iarea // sarea), 0) AS BIGINT) "
+            "AS est_scaled FROM tgts LEFT JOIN pairs USING(tgt_id) GROUP BY tgt_id"
+        ),
+        "zonal_stats": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE} "
+            "SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_points, "
+            "CAST(SUM(CAST(round(lon * 1000000.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_lon_micro, "
+            "CAST(SUM(CAST(round(lat * 1000000.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_lat_micro, "
+            "CAST(MIN(doc_id) AS BIGINT) AS min_id, "
+            "CAST(MAX(doc_id) AS BIGINT) AS max_id "
+            f"FROM pts JOIN polys ON {join_cond} GROUP BY poly_id"
         ),
         "spatial_clusters": (
             f"WITH RECURSIVE {_PTS_CTE}, "

@@ -79,3 +79,56 @@ def count_coordinates_distributed(ds, wkb_col: str = "wkb") -> int:
     return int(
         ds.map_batches(partial, batch_format="pyarrow").sum("n")
     )
+
+
+def zonal_stats(pairs_ds, key: str = "poly_id", id_col: str = "doc_id",
+                lon_col: str = "lon", lat_col: str = "lat"):
+    """Per-zone statistics over joined (point x polygon) rows ->
+    (key, n_points, sum_lon_micro, sum_lat_micro, min_id, max_id).
+
+    The raster-analysis "zonal statistics" primitive composed on top of
+    a spatial join.  Sums are integer micro-degrees so the reduction is
+    exact and order-independent (a distributed float sum would depend
+    on block combine order and could never hash-match a serial oracle).
+
+    Two-phase AGG like ``tile_counts``: vectorized per-batch pandas
+    partials shrink every block to <= #zones rows, then one gather
+    merge (result-bounded, KBs at any input scale).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: batch.column(key).to_numpy(),
+            "_lonu": np.round(
+                batch.column(lon_col).to_numpy() * 1e6).astype(np.int64),
+            "_latu": np.round(
+                batch.column(lat_col).to_numpy() * 1e6).astype(np.int64),
+            id_col: batch.column(id_col).to_numpy(),
+        })
+        g = df.groupby(key, sort=False)
+        out = g.agg(
+            n_points=(id_col, "size"),
+            sum_lon_micro=("_lonu", "sum"),
+            sum_lat_micro=("_latu", "sum"),
+            min_id=(id_col, "min"),
+            max_id=(id_col, "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = pairs_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby(key, sort=False).agg(
+            n_points=("n_points", "sum"),
+            sum_lon_micro=("sum_lon_micro", "sum"),
+            sum_lat_micro=("sum_lat_micro", "sum"),
+            min_id=("min_id", "min"),
+            max_id=("max_id", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return parts.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow"
+    )

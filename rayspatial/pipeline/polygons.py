@@ -48,3 +48,44 @@ SELECT CAST(range AS BIGINT) AS poly_id,
        CAST((range * 104729) % 150 - 85  + 4 + (range % 13) AS DOUBLE) AS ymax
 FROM range(240)
 """.strip()
+
+
+N_TARGETS = 200
+
+
+def target_boxes(n: int = N_TARGETS) -> np.ndarray:
+    """Second deterministic integer-coordinate layer (areal-interp
+    targets), disjoint constants from ``polygon_boxes``:
+
+        q in 0..199
+        x0 = (q * 6211) % 330 - 175      # [-175, 154]
+        y0 = (q * 9973) % 140 - 80       # [-80, 59]
+        w  = 8 + (q % 17); h = 5 + (q % 11)
+    """
+    q = np.arange(n, dtype=np.int64)
+    x0 = ((q * 6211) % 330 - 175).astype(np.float64)
+    y0 = ((q * 9973) % 140 - 80).astype(np.float64)
+    w = (8 + (q % 17)).astype(np.float64)
+    h = (5 + (q % 11)).astype(np.float64)
+    return np.column_stack([x0, y0, x0 + w, y0 + h])
+
+
+def target_boxes_dataset(n: int = N_TARGETS, num_blocks: int = 8):
+    """Target layer as a streaming Dataset of (tgt_id, bounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    b = target_boxes(n)
+    t = pa.table({
+        "tgt_id": pa.array(np.arange(n, dtype=np.int64)),
+        "xmin": pa.array(b[:, 0]), "ymin": pa.array(b[:, 1]),
+        "xmax": pa.array(b[:, 2]), "ymax": pa.array(b[:, 3]),
+    })
+    return rd.from_arrow(t).repartition(num_blocks)
+
+
+def source_values(n: int = N_POLYGONS) -> np.ndarray:
+    """Deterministic integer attribute per source polygon (the
+    'population' moved by areal interpolation)."""
+    p = np.arange(n, dtype=np.int64)
+    return 100 + (p * 37) % 1000

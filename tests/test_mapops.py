@@ -60,3 +60,25 @@ def test_geom_map_broadcast(ray_session, wkb_ds):
     pt = g.points([[1000.0, 1000.0]])  # far away point
     out2 = geom_map_broadcast(wkb_ds, g.distance, pt, "wkb", out="d").to_pandas()
     assert (out2["d"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonal_stats_exact_integers():
+    import ray.data as rd
+
+    from rayspatial.ops.agg import zonal_stats
+
+    pairs = pa.table({
+        "poly_id": pa.array([1, 1, 2, 1], type=pa.int64()),
+        "doc_id": pa.array([10, 4, 7, 30], type=pa.int64()),
+        "lon": pa.array([1.5, -2.25, 0.125, 3.0]),
+        "lat": pa.array([10.0, 20.0, -5.5, 0.25]),
+    })
+    out = zonal_stats(rd.from_arrow(pairs).repartition(3)).to_pandas() \
+        .sort_values("poly_id").reset_index(drop=True)
+    assert out["poly_id"].tolist() == [1, 2]
+    assert out["n_points"].tolist() == [3, 1]
+    assert out["sum_lon_micro"].tolist() == [2250000, 125000]
+    assert out["sum_lat_micro"].tolist() == [30250000, -5500000]
+    assert out["min_id"].tolist() == [4, 7]
+    assert out["max_id"].tolist() == [30, 7]
