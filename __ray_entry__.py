@@ -862,6 +862,51 @@ def _q_area_interp(sf_dir: str):
         target_boxes_dataset(), polygon_geoms(), source_values())
 
 
+
+def _splitmix64_cte_sql(key_expr: str, src_table: str, carry_cols: str,
+                        seed: int = 0) -> str:
+    """CTE chain computing splitmix64(key + GOLDEN*(seed+1)) mod 2^64
+    (textops/hashing.py hash_int64) in HUGEINT; final stage exposes the
+    mixed value as column ``x`` alongside ``carry_cols``."""
+    M = "CAST(18446744073709551616 AS HUGEINT)"
+    P32 = "CAST(4294967296 AS HUGEINT)"
+
+    def mul64(x: str, c: int) -> str:
+        C = f"CAST({c} AS HUGEINT)"
+        return (f"(((({x}) // {P32}) * {C} % {P32}) * {P32} "
+                f"+ (({x}) % {P32}) * {C}) % {M}")
+
+    add = (0x9E3779B97F4A7C15 * (seed + 1)) % 2 ** 64
+    x1 = mul64(f"xor(x, x // CAST({2 ** 30} AS HUGEINT))",
+               0xBF58476D1CE4E5B9)
+    x2 = mul64(f"xor(x, x // CAST({2 ** 27} AS HUGEINT))",
+               0x94D049BB133111EB)
+    return (
+        f"sm0 AS (SELECT {carry_cols}, "
+        f"(CAST({key_expr} AS HUGEINT) + CAST({add} AS HUGEINT)) % {M} "
+        f"AS x FROM {src_table}), "
+        f"sm1 AS (SELECT {carry_cols}, {x1} AS x FROM sm0), "
+        f"sm2 AS (SELECT {carry_cols}, {x2} AS x FROM sm1), "
+        f"sm3 AS (SELECT {carry_cols}, "
+        f"xor(x, x // CAST({2 ** 31} AS HUGEINT)) AS x FROM sm2)"
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic hash-based stratified sampling
+    (textops/sampling.py): downsample dominant languages (en 25%,
+    zh 80%), keep the tail at 100% — reproducible, shuffle-free,
+    partitioning-independent."""
+    from rayspatial.textops.sampling import stratified_sample
+
+    sampled = stratified_sample(
+        _docs(sf_dir), rates={"en": 0.25, "zh": 0.8})
+    import pyarrow as pa
+
+    return sampled.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1140,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clusters": _q_spatial_clusters,
         "zonal_stats": _q_zonal_stats,
         "area_interp": _q_area_interp,
+        "stratified_sample": _q_stratified_sample,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1287,6 +1333,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "stratified_sample": (
+            "WITH " + _splitmix64_cte_sql("doc_id", "documents",
+                                          "doc_id, lang") + ", "
+            "rates(lang, thr) AS (VALUES ('en', 250000), ('zh', 800000)) "
+            "SELECT doc_id, s.lang FROM sm3 s LEFT JOIN rates r "
+            "ON r.lang = s.lang "
+            "WHERE x % 1000000 < COALESCE(r.thr, 1000000)"
         ),
         "area_interp": (
             f"WITH {_POLYS_CTE}, tgts AS (SELECT CAST(range AS BIGINT) AS tgt_id, CAST((range * 6211) % 330 - 175 AS BIGINT) AS txmin, CAST((range * 9973) % 140 - 80 AS BIGINT) AS tymin, CAST((range * 6211) % 330 - 175 + 8 + (range % 17) AS BIGINT) AS txmax, CAST((range * 9973) % 140 - 80 + 5 + (range % 11) AS BIGINT) AS tymax FROM range(200)), "

@@ -1,0 +1,52 @@
+"""Deterministic stratified sampling for training-data curation:
+rebalance a corpus by keeping each document with a per-stratum
+probability decided by a HASH of its id, not an RNG — so the sample is
+reproducible run-to-run, independent of partitioning and execution
+order, resumable after failure, and exactly reproducible by a SQL
+oracle.
+
+keep(doc)  iff  splitmix64(key + seed) mod 1e6  <  rate[stratum] * 1e6
+
+Scale shape: pure map_batches filter — no shuffle, no state, no
+driver-side pass; the rate table is a tiny closure constant.  At
+100 TB this is the canonical "downsample English, keep the tail
+languages" stage run before expensive dedup/scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayspatial.textops.hashing import hash_int64
+
+__all__ = ["stratified_sample"]
+
+
+def stratified_sample(ds, rates: dict[str, float],
+                      default_rate: float = 1.0,
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      seed: int = 0):
+    """Keep each row iff hash(key) mod 1e6 < round(rate(stratum)*1e6).
+
+    ``rates`` maps stratum value -> keep probability in [0, 1];
+    strata not listed use ``default_rate``."""
+    thr = {k: int(round(v * 1_000_000)) for k, v in rates.items()}
+    dthr = int(round(default_rate * 1_000_000))
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy().astype(np.int64)
+        strata = batch.column(strata_col)
+        # dictionary-encode the stratum column once per batch, then a
+        # tiny per-distinct-value threshold lookup (no per-row Python)
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        enc = strata.dictionary_encode()
+        vals = enc.dictionary.to_pylist()
+        lut = np.array([thr.get(v, dthr) for v in vals], dtype=np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_int64(keys, seed=seed) % np.uint64(1_000_000)
+        keep = h.astype(np.int64) < lut[codes]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(sample_batch, batch_format="pyarrow")

@@ -643,3 +643,28 @@ def test_repetition_stats_vs_python_reference(ray_session):
         assert row.top_word_n == top_w, (i, t)
         assert row.top_bigram_n == top_b, (i, t)
         assert row.keep == keep, (i, t)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_deterministic_and_calibrated():
+    import ray.data as rd
+
+    from rayspatial.textops.sampling import stratified_sample
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(["en" if i % 2 else "fr" for i in range(n)]),
+    })
+    kept1 = stratified_sample(
+        rd.from_arrow(t).repartition(7), rates={"en": 0.25}
+    ).to_pandas().sort_values("doc_id")
+    kept2 = stratified_sample(
+        rd.from_arrow(t).repartition(2), rates={"en": 0.25}
+    ).to_pandas().sort_values("doc_id")
+    # identical sample regardless of partitioning
+    assert kept1["doc_id"].tolist() == kept2["doc_id"].tolist()
+    en = (kept1["lang"] == "en").sum()
+    fr = (kept1["lang"] == "fr").sum()
+    assert fr == n // 2                      # default rate 1.0 keeps all
+    assert abs(en / (n // 2) - 0.25) < 0.03  # hash rate ~ nominal
