@@ -907,6 +907,16 @@ def _q_stratified_sample(sf_dir: str):
         lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (textops/tfidf.py): tokenize ->
+    one shuffle by term (df attached in place) -> one shuffle by doc
+    (top-k select); integer micro-nat scores for exact comparison."""
+    from rayspatial.textops.tfidf import tfidf_topk
+
+    docs = _docs(sf_dir, rows_per_block=512)
+    return tfidf_topk(docs, n_docs=docs.count(), k=3)
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1186,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "area_interp": _q_area_interp,
         "stratified_sample": _q_stratified_sample,
+        "tfidf_topk": _q_tfidf_topk,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1333,6 +1344,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "tfidf_topk": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+            "AS ws FROM documents WHERE trim(text) <> ''), "
+            "t AS (SELECT doc_id, unnest(ws) AS term FROM w), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM t GROUP BY 1, 2), "
+            "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY 1), "
+            "n AS (SELECT COUNT(*) AS nd FROM documents), "
+            "scored AS (SELECT doc_id, term, tf, df, tf * "
+            "CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000000) AS BIGINT) "
+            "AS score_micro FROM tf JOIN dfq USING(term) CROSS JOIN n), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score_micro DESC, term ASC) AS rn FROM scored) "
+            "SELECT doc_id, term, tf, df, score_micro FROM r WHERE rn <= 3"
         ),
         "stratified_sample": (
             "WITH " + _splitmix64_cte_sql("doc_id", "documents",

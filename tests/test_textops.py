@@ -668,3 +668,31 @@ def test_stratified_sample_deterministic_and_calibrated():
     fr = (kept1["lang"] == "fr").sum()
     assert fr == n // 2                      # default rate 1.0 keeps all
     assert abs(en / (n // 2) - 0.25) < 0.03  # hash rate ~ nominal
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_topk_small():
+    import ray.data as rd
+
+    from rayspatial.textops.tfidf import tfidf_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "apple apple banana shared",
+            "banana cherry shared",
+            "cherry cherry cherry shared",
+        ]),
+    })
+    out = tfidf_topk(rd.from_arrow(docs).repartition(3), n_docs=3, k=2) \
+        .to_pandas().sort_values(["doc_id", "score_micro", "term"],
+                                 ascending=[True, False, True])
+    # 'shared' has df=3 -> idf ln(1)=0 -> score 0: never in top-2 when
+    # any nonzero-score term exists
+    by_doc = out.groupby("doc_id")["term"].apply(list).to_dict()
+    assert by_doc[0] == ["apple", "banana"]       # tf2*ln(3/1) > tf1*ln(3/2)
+    assert by_doc[2][0] == "cherry"
+    ln3_micro = int(np.round(np.log(3.0) * 1e6))
+    a = out[(out.doc_id == 0) & (out.term == "apple")]
+    assert a["tf"].iloc[0] == 2 and a["df"].iloc[0] == 1
+    assert a["score_micro"].iloc[0] == 2 * ln3_micro
