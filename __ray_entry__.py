@@ -917,6 +917,42 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, n_docs=docs.count(), k=3)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted index over the corpus (textops/index.py): one shuffle
+    by term; postings = ','-joined ascending doc ids (df >= 2)."""
+    from rayspatial.textops.index import inverted_index
+
+    return inverted_index(_docs(sf_dir, rows_per_block=512), min_df=2)
+
+
+def _q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (ops/pagerank.py) over the
+    deterministic 3-out-degree link graph i -> (7i+1, 13i+2, 31i+5)
+    mod N; 5 iterations, damping 85/100, exact int64 sums."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.pagerank import pagerank
+    from rayspatial.util import read_parquet_sized
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        rows_per_block=512)
+    n = docs.count()
+
+    def links(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.tile(i, 3)),
+            "dst": pa.array(np.concatenate([
+                (i * 7 + 1) % n, (i * 13 + 2) % n, (i * 31 + 5) % n,
+            ])),
+        })
+
+    edges = docs.map_batches(links, batch_format="pyarrow")
+    return pagerank(edges, n, iterations=5)
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1197,6 +1233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "area_interp": _q_area_interp,
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
+        "inverted_index": _q_inverted_index,
+        "pagerank": _q_pagerank,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1344,6 +1382,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "pagerank": (
+            """WITH nn AS (SELECT COUNT(*) AS n FROM documents), links AS (SELECT doc_id AS node, (doc_id*7+1) % n AS dst FROM documents CROSS JOIN nn UNION ALL SELECT doc_id, (doc_id*13+2) % n FROM documents CROSS JOIN nn UNION ALL SELECT doc_id, (doc_id*31+5) % n FROM documents CROSS JOIN nn), pr0 AS (SELECT doc_id AS node, (1000000000000 // n) AS r FROM documents CROSS JOIN nn), c1 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr0 p ON p.node = l.node GROUP BY l.dst), pr1 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c1 c ON c.node = d.doc_id), c2 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr1 p ON p.node = l.node GROUP BY l.dst), pr2 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c2 c ON c.node = d.doc_id), c3 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr2 p ON p.node = l.node GROUP BY l.dst), pr3 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c3 c ON c.node = d.doc_id), c4 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr3 p ON p.node = l.node GROUP BY l.dst), pr4 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c4 c ON c.node = d.doc_id), c5 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr4 p ON p.node = l.node GROUP BY l.dst), pr5 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c5 c ON c.node = d.doc_id) SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM pr5"""
+        ),
+        "inverted_index": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+            "AS ws FROM documents WHERE trim(text) <> ''), "
+            "t AS (SELECT DISTINCT doc_id, term FROM "
+            "(SELECT doc_id, unnest(ws) AS term FROM w)) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM t GROUP BY term HAVING COUNT(*) >= 2"
         ),
         "tfidf_topk": (
             r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
