@@ -953,6 +953,17 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, n, iterations=5)
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Exact event-value quantiles by distributed histogram
+    refinement (ops/quantile.py) — selection, never a global sort."""
+    from rayspatial.ops.quantile import exact_quantiles
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+    return exact_quantiles(ev, "value", [25, 50, 90, 99])
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1235,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "inverted_index": _q_inverted_index,
         "pagerank": _q_pagerank,
+        "value_quantiles": _q_value_quantiles,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1382,6 +1394,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "value_quantiles": (
+            "WITH n AS (SELECT COUNT(*) AS c FROM events), "
+            "r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) "
+            "AS rn FROM events) "
+            "SELECT CAST(p AS BIGINT) AS pct, value "
+            "FROM (VALUES (25), (50), (90), (99)) q(p) "
+            "JOIN n ON true JOIN r ON r.rn = (p * n.c + 99) // 100"
         ),
         "pagerank": (
             """WITH nn AS (SELECT COUNT(*) AS n FROM documents), links AS (SELECT doc_id AS node, (doc_id*7+1) % n AS dst FROM documents CROSS JOIN nn UNION ALL SELECT doc_id, (doc_id*13+2) % n FROM documents CROSS JOIN nn UNION ALL SELECT doc_id, (doc_id*31+5) % n FROM documents CROSS JOIN nn), pr0 AS (SELECT doc_id AS node, (1000000000000 // n) AS r FROM documents CROSS JOIN nn), c1 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr0 p ON p.node = l.node GROUP BY l.dst), pr1 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c1 c ON c.node = d.doc_id), c2 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr1 p ON p.node = l.node GROUP BY l.dst), pr2 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c2 c ON c.node = d.doc_id), c3 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr2 p ON p.node = l.node GROUP BY l.dst), pr3 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c3 c ON c.node = d.doc_id), c4 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr3 p ON p.node = l.node GROUP BY l.dst), pr4 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c4 c ON c.node = d.doc_id), c5 AS (SELECT l.dst AS node, SUM(p.r // 3) AS s FROM links l JOIN pr4 p ON p.node = l.node GROUP BY l.dst), pr5 AS (SELECT d.doc_id AS node, ((15 * 1000000000000) // (100 * n)) + (85 * COALESCE(c.s, 0)) // 100 AS r FROM documents d CROSS JOIN nn LEFT JOIN c5 c ON c.node = d.doc_id) SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM pr5"""

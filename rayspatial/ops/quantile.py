@@ -1,0 +1,134 @@
+"""Exact distributed order statistics (quantiles) by iterative
+histogram refinement — an EXACT p-quantile over a column too big to
+sort globally, without a global shuffle.
+
+Definition: quantile(p) = the ceil(p*n/100)-th smallest value (the
+smallest x whose CDF >= p) — pure selection, no interpolation, so no
+float arithmetic enters the result and a SQL ``ORDER BY .. OFFSET``
+oracle matches bit-for-bit.
+
+Scale shape: a full ``ds.sort`` would move every row through an
+all-to-all; instead
+1. one streaming aggregate pass for (min, max, count),
+2. per level: one map_batches pass emitting a 4096-bin partial
+   histogram per block (fixed 32 KB per block regardless of rows),
+   gathered bin-wise (bins travel, not rows),
+3. the target bin is re-scanned with the SAME bin mapping as a
+   predicate (so rank bookkeeping is exact even at float-boundary
+   bins); a bin still holding > ``leaf_limit`` rows is recursively
+   re-histogrammed (each level divides candidates by ~4096 — 10^12
+   rows reach a leaf in <= 3 levels), else its few rows are pulled
+   and selected exactly.
+
+The input is materialized once (object-store blocks) because every
+level re-scans it; histogram levels are shared across quantiles of
+the same call only when they land in the same bin chain, and the
+cheap (min,max,count) pass is shared always.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["exact_quantiles"]
+
+BINS = 4096
+
+
+def _bin_index(v: np.ndarray, lo: float, hi: float,
+               bins: int = BINS) -> np.ndarray:
+    """Monotone value -> bin mapping used identically by histogram and
+    refinement passes; -1 below lo, ``bins`` above hi."""
+    idx = np.full(len(v), -1, dtype=np.int64)
+    above = v > hi
+    inside = (v >= lo) & ~above
+    span = hi - lo
+    idx[inside] = np.minimum(
+        ((v[inside] - lo) / span * bins).astype(np.int64), bins - 1)
+    idx[above] = bins
+    return idx
+
+
+def _hist_pass(ds, col, lo, hi):
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = _bin_index(v, lo, hi)
+        h = np.bincount(idx + 1, minlength=BINS + 2).astype(np.int64)
+        return pa.table({
+            "bin": pa.array(np.arange(-1, BINS + 1, dtype=np.int64)),
+            "n": pa.array(h),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy()
+        n = batch.column("n").to_numpy()
+        out = np.zeros(BINS + 2, dtype=np.int64)
+        np.add.at(out, b + 1, n)
+        return pa.table({
+            "bin": pa.array(np.arange(-1, BINS + 1, dtype=np.int64)),
+            "n": pa.array(out),
+        })
+
+    rows = parts.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow").take_all()
+    arr = np.zeros(BINS + 2, dtype=np.int64)
+    for row in rows:
+        arr[row["bin"] + 1] = row["n"]
+    return arr[0], arr[1:BINS + 1]        # (count below lo, per-bin)
+
+
+def _kth_smallest(ds, col, k, lo, hi, leaf_limit=200_000, depth=0):
+    """Exact k-th smallest (1-based) value of ds[col]."""
+    if lo == hi:
+        return lo
+    below, hist = _hist_pass(ds, col, lo, hi)
+    cum = below + np.cumsum(hist)
+    b = int(np.searchsorted(cum, k))
+    rank_before = int(cum[b - 1]) if b else int(below)
+    span = hi - lo
+    blo = lo + span * b / BINS
+    bhi = hi if b == BINS - 1 else lo + span * (b + 1) / BINS
+    in_bin = int(hist[b])
+
+    def bin_filter(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_bin_index(v, lo, hi) == b))
+
+    sub = ds.map_batches(bin_filter, batch_format="pyarrow")
+    if in_bin > leaf_limit and depth < 6 and bhi > blo:
+        # widen one ulp each side: bin rows can straddle the float
+        # boundary of blo/bhi while _bin_index stays authoritative
+        return _kth_smallest(
+            sub, col, k - rank_before,
+            float(np.nextafter(blo, -np.inf)),
+            float(np.nextafter(bhi, np.inf)),
+            leaf_limit, depth + 1)
+    vals = np.concatenate(
+        [t.column(col).to_numpy(zero_copy_only=False)
+         for t in sub.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0)])
+    j = k - rank_before - 1
+    return float(np.partition(vals, j)[j])
+
+
+def exact_quantiles(ds, col: str, pcts: list[int],
+                    leaf_limit: int = 200_000):
+    """Dataset + numeric column -> pyarrow Table (pct, value); value
+    is the exact ceil(p*n/100)-th smallest of the column."""
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Min(col, alias_name="lo"),
+                       Max(col, alias_name="hi"),
+                       Count(alias_name="n"))
+    lo, hi, n = float(agg["lo"]), float(agg["hi"]), int(agg["n"])
+    ds = ds.materialize()      # every level re-scans the same blocks
+    out = [(p, _kth_smallest(ds, col, -(-p * n // 100), lo, hi,
+                             leaf_limit))
+           for p in pcts]
+    return pa.table({
+        "pct": pa.array([int(p) for p, _ in out], type=pa.int64()),
+        "value": pa.array([v for _, v in out], type=pa.float64()),
+    })

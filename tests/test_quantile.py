@@ -1,0 +1,44 @@
+"""Exact distributed quantiles (ops/quantile.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayspatial.ops.quantile import exact_quantiles
+
+
+def _check(vals, pcts, **kw):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(5)
+    out = exact_quantiles(ds, "value", pcts, **kw).to_pandas()
+    sv = np.sort(np.asarray(vals))
+    n = len(vals)
+    for p, v in zip(out["pct"], out["value"]):
+        k = -(-p * n // 100)
+        assert v == sv[k - 1], (p, v, sv[k - 1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_on_random_doubles():
+    rng = np.random.default_rng(5)
+    _check(rng.normal(100, 25, 20_001), [25, 50, 90, 99])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recursive_refinement_with_heavy_ties():
+    # 90% of mass in one histogram bin forces recursion; exact ties
+    rng = np.random.default_rng(6)
+    vals = np.concatenate([
+        np.full(9000, 42.0),
+        rng.uniform(41.999, 42.001, 5000),
+        rng.uniform(-1e6, 1e6, 1000),
+    ])
+    _check(vals, [10, 50, 95], leaf_limit=2000)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_equal_column():
+    _check(np.full(500, 7.25), [50, 99], leaf_limit=100)
