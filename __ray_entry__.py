@@ -935,10 +935,12 @@ def _q_pagerank(sf_dir: str):
     from rayspatial.ops.pagerank import pagerank
     from rayspatial.util import read_parquet_sized
 
+    import pyarrow.parquet as pq
+
     docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id"],
         rows_per_block=512)
-    n = docs.count()
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def links(batch: pa.Table) -> pa.Table:
         i = batch.column("doc_id").to_numpy().astype(np.int64)

@@ -13,11 +13,24 @@ order-independent int64 reduction and a SQL oracle reproduces each
 iteration bit-for-bit — float PageRank could never hash-match across
 different summation orders.
 
-Shape per iteration: TWO hash-partition shuffles (ranks co-located
-with edges by src -> contribution rows; contributions summed by dst),
-chained LAZILY so the whole k-iteration computation is one streaming
-Dataset execution.  The edge list is materialized once up front;
-ranks never touch the driver.
+Execution: this is the one operator family (iterative fixpoint over a
+partitioned mutable table) where the Dataset API is the wrong tool —
+each Ray Data groupby is a sort-based all-to-all with per-execution
+sampling overhead, and k iterations would chain 2k of them (measured:
+~3 s/shuffle of fixed cost regardless of rows).  Instead the classic
+raw-task shuffle (SURVEY.md §2.12 escape hatch (c)):
+
+- edges are hash-partitioned by src ONCE into P arrow shards (object
+  store refs; the driver only ever holds refs);
+- per iteration, task A_p joins rank shard p to edge shard p (same
+  hash -> same shard id co-locates them without motion), pre-AGGREGATES
+  contributions by dst inside the task (combiner), and emits P
+  dst-partitioned pieces (``num_returns=P``);
+- task B_q concat-sums its P pieces + base into the new rank shard q.
+
+P^2 small objects per iteration — the textbook shuffle; shards never
+visit the driver; at 10^9 nodes P scales with cluster cores and every
+piece stays bounded by (nodes-in-shard x 16 B).
 """
 
 from __future__ import annotations
@@ -31,106 +44,127 @@ __all__ = ["pagerank"]
 SCALE = 10 ** 12
 
 
+def _part_of(v: np.ndarray, P: int) -> np.ndarray:
+    from rayspatial.textops.hashing import hash_int64
+
+    return (hash_int64(v) % np.uint64(P)).astype(np.int64)
+
+
 def pagerank(edges_ds, n_nodes: int, iterations: int = 10,
              src_col: str = "src", dst_col: str = "dst",
              num_partitions: int | None = None):
     """edges (src, dst — every node must appear as a src; multi-edges
-    and self-loops allowed and counted) -> (node, rank_scaled) after
-    ``iterations`` rounds.  Nodes are assumed to be 0..n_nodes-1 with
-    every node having at least one outgoing edge (constant-degree
-    synthetic graphs satisfy this by construction)."""
-    from rayspatial.util import hash_partitioned_agg
+    and self-loops allowed and counted) -> Dataset (node, rank_scaled)
+    after ``iterations`` rounds."""
+    import ray
+    import ray.data as rd
 
+    from rayspatial.util import cluster_cpus
+
+    # default P is modest: the driver dispatches O(P^2) piece refs per
+    # iteration, so P should track cluster size, not row count (8 is
+    # ample below ~10^8 edges; raise num_partitions on a real cluster)
+    P = num_partitions or min(8, cluster_cpus())
     base = (15 * SCALE) // (100 * n_nodes)
+    r0 = SCALE // n_nodes
 
-    edges_ds = edges_ds.materialize()
+    @ray.remote
+    def split_block(tbl: pa.Table, P: int):
+        src = tbl.column(src_col).to_numpy().astype(np.int64)
+        part = _part_of(src, P)
+        out = []
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        t = tbl.take(pa.array(order))
+        for p in range(P):
+            out.append(t.slice(bounds[p], bounds[p + 1] - bounds[p]))
+        return tuple(out) if P > 1 else out[0]
 
-    # out-degree per src, attached once (stays constant)
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": batch.column(src_col),
-            "dst": batch.column(dst_col),
-            "r": pa.nulls(len(batch), pa.int64()),
-        })
+    @ray.remote
+    def build_shard(*pieces: pa.Table):
+        """Concat edge pieces of one partition; attach out-degree and
+        the initial rank table (all srcs of this shard live here)."""
+        t = pa.concat_tables(pieces)
+        src = t.column(src_col).to_numpy().astype(np.int64)
+        dst = t.column(dst_col).to_numpy().astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        uniq, starts = np.unique(src, return_index=True)
+        deg = np.diff(np.r_[starts, len(src)]).astype(np.int64)
+        edges = {
+            "src": src, "dst": dst,
+            "deg": np.repeat(deg, deg),
+            "dst_part": _part_of(dst, P),
+        }
+        ranks = {"node": uniq,
+                 "r": np.full(len(uniq), r0, dtype=np.int64)}
+        return edges, ranks
 
-    def deg_attach(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
-        pdf["deg"] = pdf.groupby("node", sort=False)["dst"] \
-            .transform("size").astype(np.int64)
-        return pdf
+    @ray.remote
+    def contrib(shard, ranks):
+        edges, _ = shard
+        rmap = pd.Series(ranks["r"], index=ranks["node"])
+        share = (rmap.loc[edges["src"]].to_numpy(dtype=np.int64)
+                 // edges["deg"])
+        out = []
+        dp = edges["dst_part"]
+        for q in range(P):
+            m = dp == q
+            d = edges["dst"][m]
+            # in-task combiner: pre-sum by dst before shipping
+            u, inv = np.unique(d, return_inverse=True)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, share[m])
+            out.append({"node": u, "c": s})
+        return tuple(out) if P > 1 else out[0]
 
-    edges = hash_partitioned_agg(
-        edges_ds.map_batches(edge_rows, batch_format="pyarrow")
-        .map_batches(lambda b: b.drop_columns(["r"]),
-                     batch_format="pyarrow"),
-        ["node"], deg_attach, num_partitions=num_partitions,
-    ).materialize()
+    @ray.remote
+    def apply_rank(ranks, *pieces):
+        nodes = ranks["node"]
+        total = np.zeros(len(nodes), dtype=np.int64)
+        for pc_ in pieces:
+            pos = np.searchsorted(nodes, pc_["node"])
+            # a contribution targeting a node with no out-edges means
+            # the caller violated the every-node-is-a-src contract;
+            # fail loudly rather than silently dropping rank mass
+            bad = (pos >= len(nodes)) | (
+                nodes[np.clip(pos, 0, len(nodes) - 1)] != pc_["node"])
+            if bad.any():
+                raise ValueError("pagerank: contribution to unknown "
+                                 "node (dst never appears as src)")
+            total[pos] += pc_["c"]
+        return {"node": nodes,
+                "r": base + (85 * total) // 100}
 
-    # initial ranks from the edge src set (every node appears as src)
-    def init_ranks(pdf: pd.DataFrame) -> pd.DataFrame:
-        nodes = pdf["node"].drop_duplicates()
-        return pd.DataFrame({
-            "node": nodes.to_numpy(),
-            "r": np.full(len(nodes), SCALE // n_nodes, dtype=np.int64),
-        })
+    # one-time partition of the edge list (refs only on the driver)
+    block_refs = edges_ds.to_arrow_refs()
+    nb = len(block_refs)
+    pieces = [split_block.options(
+        num_returns=P if P > 1 else 1).remote(ref, P)
+        for ref in block_refs]
+    if P == 1:
+        pieces = [[p] for p in pieces]
+    shards = [build_shard.remote(*[pieces[b][p] for b in range(nb)])
+              for p in range(P)]
 
-    ranks = hash_partitioned_agg(edges, ["node"], init_ranks,
-                                 num_partitions=num_partitions)
+    @ray.remote
+    def init_ranks(shard):
+        return shard[1]
 
+    ranks = [init_ranks.remote(s) for s in shards]
     for _ in range(iterations):
-        # co-locate ranks with edges by src; emit (dst, share)
-        def tag_rank(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "node": batch.column("node"),
-                "dst": pa.nulls(len(batch), pa.int64()),
-                "deg": pa.nulls(len(batch), pa.int64()),
-                "r": batch.column("r"),
-            })
+        outs = [contrib.options(
+            num_returns=P if P > 1 else 1).remote(shards[p], ranks[p])
+            for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        ranks = [apply_rank.remote(ranks[q],
+                                   *[outs[p][q] for p in range(P)])
+                 for q in range(P)]
 
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "node": batch.column("node"),
-                "dst": batch.column("dst"),
-                "deg": batch.column("deg"),
-                "r": pa.nulls(len(batch), pa.int64()),
-            })
+    @ray.remote
+    def to_table(ranks):
+        return pa.table({"node": pa.array(ranks["node"]),
+                         "rank_scaled": pa.array(ranks["r"])})
 
-        tagged = ranks.map_batches(tag_rank, batch_format="pyarrow") \
-            .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
-
-        def contribs(pdf: pd.DataFrame) -> pd.DataFrame:
-            rmask = pdf["dst"].isna()
-            rmap = pdf[rmask].set_index("node")["r"]
-            e = pdf[~rmask]
-            share = (e["node"].map(rmap).to_numpy(dtype=np.int64)
-                     // e["deg"].to_numpy(dtype=np.int64))
-            # zero-contribution row per node (from its rank row) so
-            # in-link-free nodes keep a rank (= base) next round
-            return pd.DataFrame({
-                "node": np.concatenate([
-                    e["dst"].to_numpy(dtype=np.int64),
-                    pdf.loc[rmask, "node"].to_numpy(dtype=np.int64),
-                ]),
-                "c": np.concatenate([
-                    share, np.zeros(int(rmask.sum()), dtype=np.int64),
-                ]),
-            })
-
-        csums = hash_partitioned_agg(tagged, ["node"], contribs,
-                                     num_partitions=num_partitions)
-
-        def new_rank(pdf: pd.DataFrame) -> pd.DataFrame:
-            g = pdf.groupby("node", sort=False)["c"].sum()
-            return pd.DataFrame({
-                "node": g.index.to_numpy(dtype=np.int64),
-                "r": (base + (85 * g.to_numpy(dtype=np.int64)) // 100),
-            })
-
-        ranks = hash_partitioned_agg(csums, ["node"], new_rank,
-                                     num_partitions=num_partitions)
-
-    return ranks.map_batches(
-        lambda b: pa.table({"node": b.column("node"),
-                            "rank_scaled": b.column("r")}),
-        batch_format="pyarrow",
-    )
+    return rd.from_arrow_refs([to_table.remote(r) for r in ranks])

@@ -117,7 +117,14 @@ def _kth_smallest(ds, col, k, lo, hi, leaf_limit=200_000, depth=0):
 def exact_quantiles(ds, col: str, pcts: list[int],
                     leaf_limit: int = 200_000):
     """Dataset + numeric column -> pyarrow Table (pct, value); value
-    is the exact ceil(p*n/100)-th smallest of the column."""
+    is the exact ceil(p*n/100)-th smallest of the column.
+
+    All requested quantiles SHARE the (min,max,count) pass and the
+    level-1 histogram pass; leaf bins of every quantile are pulled in
+    ONE combined filtered scan (tagged by bin), so the common case is
+    3 streaming passes total regardless of len(pcts).  Only an
+    oversized bin (> leaf_limit rows) recurses, and quantiles landing
+    in the same bin share that recursion too."""
     from ray.data.aggregate import Count, Max, Min
 
     agg = ds.aggregate(Min(col, alias_name="lo"),
@@ -125,10 +132,60 @@ def exact_quantiles(ds, col: str, pcts: list[int],
                        Count(alias_name="n"))
     lo, hi, n = float(agg["lo"]), float(agg["hi"]), int(agg["n"])
     ds = ds.materialize()      # every level re-scans the same blocks
-    out = [(p, _kth_smallest(ds, col, -(-p * n // 100), lo, hi,
-                             leaf_limit))
-           for p in pcts]
+    ks = {p: -(-p * n // 100) for p in pcts}
+    result: dict[int, float] = {}
+    if lo == hi:
+        result = {p: lo for p in pcts}
+    else:
+        below, hist = _hist_pass(ds, col, lo, hi)
+        cum = below + np.cumsum(hist)
+        span = hi - lo
+        by_bin: dict[int, list[int]] = {}
+        for p, k in ks.items():
+            by_bin.setdefault(int(np.searchsorted(cum, k)), []).append(p)
+        leaf_bins = [b for b in by_bin if hist[b] <= leaf_limit]
+
+        if leaf_bins:
+            bset = np.array(sorted(leaf_bins), dtype=np.int64)
+
+            def leaf_filter(batch: pa.Table) -> pa.Table:
+                v = batch.column(col).to_numpy(zero_copy_only=False)
+                bi = _bin_index(v, lo, hi)
+                return batch.filter(pa.array(np.isin(bi, bset)))
+
+            vals = np.concatenate(
+                [t.column(col).to_numpy(zero_copy_only=False)
+                 for t in ds.map_batches(leaf_filter,
+                                         batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")]
+                or [np.empty(0)])
+            vbin = _bin_index(vals, lo, hi)
+            for b in leaf_bins:
+                bv = np.sort(vals[vbin == b])
+                rank_before = int(cum[b - 1]) if b else int(below)
+                for p in by_bin[b]:
+                    result[p] = float(bv[ks[p] - rank_before - 1])
+
+        for b in by_bin:
+            if hist[b] <= leaf_limit:
+                continue
+            rank_before = int(cum[b - 1]) if b else int(below)
+            blo = lo + span * b / BINS
+            bhi = hi if b == BINS - 1 else lo + span * (b + 1) / BINS
+
+            def bin_filter(batch: pa.Table, _b=b) -> pa.Table:
+                v = batch.column(col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(_bin_index(v, lo, hi) == _b))
+
+            sub = ds.map_batches(bin_filter, batch_format="pyarrow") \
+                .materialize()
+            for p in by_bin[b]:
+                result[p] = _kth_smallest(
+                    sub, col, ks[p] - rank_before,
+                    float(np.nextafter(blo, -np.inf)),
+                    float(np.nextafter(bhi, np.inf)), leaf_limit, 1)
+
     return pa.table({
-        "pct": pa.array([int(p) for p, _ in out], type=pa.int64()),
-        "value": pa.array([v for _, v in out], type=pa.float64()),
+        "pct": pa.array([int(p) for p in pcts], type=pa.int64()),
+        "value": pa.array([result[p] for p in pcts], type=pa.float64()),
     })
