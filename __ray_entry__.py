@@ -966,6 +966,86 @@ def _q_value_quantiles(sf_dir: str):
     return exact_quantiles(ev, "value", [25, 50, 90, 99])
 
 
+def _q_host_stats(sf_dir: str):
+    """Per-host aggregates over the extracted pages: host parsed from
+    the url with a vectorized Arrow regex, per-batch integer partials,
+    one result-bounded gather (hosts << pages at any scale)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.pipeline.flagship import points_dataset
+
+    pts = points_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.extract_regex(
+            batch.column("url"), r"^https?://(?P<h>[^/]+)/")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        df = pd.DataFrame({
+            "host": host.field("h").to_pandas(),
+            "doc_id": batch.column("doc_id").to_numpy(),
+        })
+        g = df.groupby("host", sort=False)["doc_id"]
+        out = g.agg(n_pages="size", min_doc="min", max_doc="max")             .reset_index()
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = pts.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        out = df.groupby("host", sort=False).agg(
+            n_pages=("n_pages", "sum"), min_doc=("min_doc", "min"),
+            max_doc=("max_doc", "max")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return parts.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
+
+
+def _q_dissolve_groups(sf_dir: str):
+    """Dissolve-by-attribute: polygons hash-partitioned by group key,
+    each group's members unioned with the n-ary overlay
+    (geom/setops.union_all), exact integer areas out.  Groups are
+    aggregation units, so the per-group union inside a partition is
+    the combiner granularity — no cross-partition motion of geometry
+    beyond the one shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial import geom as g
+    from rayspatial.pipeline.polygons import polygon_geoms
+    from rayspatial.util import hash_partitioned_agg
+
+    ga = polygon_geoms()
+    ids = np.arange(len(ga), dtype=np.int64)
+    tab = pa.table({
+        "grp": pa.array(ids % 12),
+        "wkb": pa.array(g.to_wkb(ga), type=pa.binary()),
+    })
+    ds = rd.from_arrow(tab).repartition(6)
+
+    def dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        from rayspatial.geom.measures import area as g_area
+        from rayspatial.geom.setops import union_all
+        from rayspatial.geom.wkb import parse_wkb
+
+        rows = []
+        for grp, sub in pdf.groupby("grp", sort=False):
+            u = union_all(parse_wkb(sub["wkb"].tolist()))
+            rows.append((int(grp), int(round(float(g_area(u)[0])))))
+        return pd.DataFrame(rows, columns=["grp", "union_area"])
+
+    return hash_partitioned_agg(ds, ["grp"], dissolve)
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1249,6 +1329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "pagerank": _q_pagerank,
         "value_quantiles": _q_value_quantiles,
+        "host_stats": _q_host_stats,
+        "dissolve_groups": _q_dissolve_groups,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1396,6 +1478,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "dissolve_groups": (
+            f"WITH {_POLYS_CTE}, "
+            "pg AS (SELECT poly_id % 12 AS grp, xmin, ymin, xmax, ymax "
+            "FROM polys), "
+            "xs AS (SELECT DISTINCT grp, x FROM "
+            "(SELECT grp, xmin AS x FROM pg UNION SELECT grp, xmax FROM pg)), "
+            "ys AS (SELECT DISTINCT grp, y FROM "
+            "(SELECT grp, ymin AS y FROM pg UNION SELECT grp, ymax FROM pg)), "
+            "xi AS (SELECT grp, x, LEAD(x) OVER (PARTITION BY grp ORDER BY x) "
+            "AS x2 FROM xs), "
+            "yi AS (SELECT grp, y, LEAD(y) OVER (PARTITION BY grp ORDER BY y) "
+            "AS y2 FROM ys), "
+            "cells AS (SELECT xi.grp, x, x2, y, y2 FROM xi JOIN yi "
+            "ON xi.grp = yi.grp WHERE x2 IS NOT NULL AND y2 IS NOT NULL), "
+            "covered AS (SELECT c.grp, c.x, c.x2, c.y, c.y2 FROM cells c "
+            "WHERE EXISTS (SELECT 1 FROM pg p WHERE p.grp = c.grp "
+            "AND p.xmin <= c.x AND p.xmax >= c.x2 "
+            "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
+            "SELECT grp, CAST(SUM((x2 - x) * (y2 - y)) AS BIGINT) "
+            "AS union_area FROM covered GROUP BY grp"
+        ),
+        "host_stats": (
+            f"WITH {_PTS_CTE} "
+            "SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pages, "
+            "CAST(MIN(doc_id) AS BIGINT) AS min_doc, "
+            "CAST(MAX(doc_id) AS BIGINT) AS max_doc "
+            "FROM pts GROUP BY 1"
         ),
         "value_quantiles": (
             "WITH n AS (SELECT COUNT(*) AS c FROM events), "
