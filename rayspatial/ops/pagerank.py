@@ -35,6 +35,8 @@ piece stays bounded by (nodes-in-shard x 16 B).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -52,10 +54,21 @@ def _part_of(v: np.ndarray, P: int) -> np.ndarray:
 
 def pagerank(edges_ds, n_nodes: int, iterations: int = 10,
              src_col: str = "src", dst_col: str = "dst",
-             num_partitions: int | None = None):
+             num_partitions: int | None = None,
+             checkpoint_dir: str | None = None,
+             checkpoint_every: int = 2):
     """edges (src, dst — every node must appear as a src; multi-edges
     and self-loops allowed and counted) -> Dataset (node, rank_scaled)
-    after ``iterations`` rounds."""
+    after ``iterations`` rounds.
+
+    With ``checkpoint_dir`` the rank shards are written to parquet
+    every ``checkpoint_every`` iterations under a per-iteration stage
+    name, each shard guarded by the manifest's input fingerprint
+    (hash of that shard's edges + the run constants).  A restarted job
+    resumes from the highest iteration whose P shards are all complete
+    and fingerprint-matched — mid-computation recovery for the one
+    operator whose state lives outside any single Dataset execution
+    (north_rule: resumable with per-partition lineage)."""
     import ray
     import ray.data as rd
 
@@ -152,7 +165,56 @@ def pagerank(edges_ds, n_nodes: int, iterations: int = 10,
         return shard[1]
 
     ranks = [init_ranks.remote(s) for s in shards]
-    for _ in range(iterations):
+    start_it = 0
+    fps = None
+    if checkpoint_dir is not None:
+        from rayspatial.state.checkpoint import CheckpointManifest
+
+        @ray.remote
+        def shard_fp(shard):
+            from rayspatial.textops.hashing import hash_int64
+
+            edges, _ = shard
+            h = (hash_int64(edges["src"], seed=1)
+                 ^ hash_int64(edges["dst"], seed=2))
+            acc = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+            # process-stable run-constant mix (NOT Python hash(), which
+            # is salted per process and would defeat cross-run resume)
+            const = int(np.bitwise_xor.reduce(hash_int64(
+                np.array([n_nodes, P, SCALE], dtype=np.int64), seed=7)))
+            return acc ^ const
+
+        fps = ray.get([shard_fp.remote(s) for s in shards])
+
+        @ray.remote
+        def load_shard(path):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path)
+            return {"node": t.column("node").to_numpy().astype(np.int64),
+                    "r": t.column("r").to_numpy().astype(np.int64)}
+
+        for k in range(iterations, 0, -1):
+            man_k = CheckpointManifest(checkpoint_dir, f"pr-it{k}")
+            if all(man_k.is_complete(p, input_fingerprint=fps[p])
+                   for p in range(P)):
+                ranks = [load_shard.remote(man_k.data_path(p))
+                         for p in range(P)]
+                start_it = k
+                break
+
+    @ray.remote
+    def save_shard(ranks, path):
+        import pyarrow.parquet as pq
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table({"node": pa.array(ranks["node"]),
+                      "r": pa.array(ranks["r"])}), tmp)
+        os.replace(tmp, path)
+        return len(ranks["node"])
+
+    for it in range(start_it, iterations):
         outs = [contrib.options(
             num_returns=P if P > 1 else 1).remote(shards[p], ranks[p])
             for p in range(P)]
@@ -161,6 +223,21 @@ def pagerank(edges_ds, n_nodes: int, iterations: int = 10,
         ranks = [apply_rank.remote(ranks[q],
                                    *[outs[p][q] for p in range(P)])
                  for q in range(P)]
+        done = it + 1
+        if (checkpoint_dir is not None
+                and (done % checkpoint_every == 0
+                     or done == iterations)):
+            from rayspatial.state.checkpoint import CheckpointManifest
+
+            man_k = CheckpointManifest(checkpoint_dir, f"pr-it{done}")
+            rows = ray.get([
+                save_shard.remote(ranks[p], man_k.data_path(p))
+                for p in range(P)])
+            for p in range(P):
+                man_k.record(p, {
+                    "pid": p, "iteration": done, "rows": rows[p],
+                    "input_fingerprint": fps[p],
+                })
 
     @ray.remote
     def to_table(ranks):

@@ -55,3 +55,41 @@ def test_uniform_cycle_stays_uniform():
     }))
     out = pagerank(ds, n, iterations=3).to_pandas()
     assert out["rank_scaled"].nunique() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_resume_matches_direct_run(tmp_path):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 60
+    src = np.repeat(np.arange(n, dtype=np.int64), 2)
+    dst = rng.integers(0, n, 2 * n)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)})).repartition(3)
+    direct = pagerank(ds, n, iterations=6).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    ck = str(tmp_path / "pr")
+    # first run stops at iteration 3 and checkpoints it
+    pagerank(ds, n, iterations=3, checkpoint_dir=ck,
+             checkpoint_every=3).to_pandas()
+    import os
+    assert any("pr-it3" in f for f in os.listdir(ck))
+    # second run asks for 6: must resume from it3 and land exactly on
+    # the direct 6-iteration result
+    resumed = pagerank(ds, n, iterations=6, checkpoint_dir=ck,
+                       checkpoint_every=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert resumed["rank_scaled"].tolist() == \
+        direct["rank_scaled"].tolist()
+    # changed edges -> fingerprint mismatch -> checkpoint ignored
+    ds2 = rd.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array((dst + 1) % n)}))
+    fresh = pagerank(ds2, n, iterations=3, checkpoint_dir=ck,
+                     checkpoint_every=99).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    direct2 = pagerank(ds2, n, iterations=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert fresh["rank_scaled"].tolist() == \
+        direct2["rank_scaled"].tolist()
