@@ -1046,6 +1046,57 @@ def _q_dissolve_groups(sf_dir: str):
     return hash_partitioned_agg(ds, ["grp"], dissolve)
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-event-type exact quantiles (ops/quantile.grouped_quantiles):
+    one shuffle co-locates each group, vectorized selection inside."""
+    from rayspatial.ops.quantile import grouped_quantiles
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value", [50, 90])
+
+
+def _q_emb_centroids(sf_dir: str):
+    """Per-label embedding centroid numerators in exact scaled-integer
+    arithmetic: sum over vectors of round(v*1e6) per dimension plus
+    member count (a distributed k-means E-step whose reduction is
+    order-independent, unlike a float sum)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)             .astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        d = len(emb[0])
+        flat = emb.flatten().to_numpy(zero_copy_only=False)             .astype(np.float64)
+        m = np.round(flat * 1e6).astype(np.int64).reshape(len(lab), d)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), d), dtype=np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(u, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(u))),
+            "sum_micro": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    parts = _embs(sf_dir).map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby(["label", "dim"], sort=False)             .agg(sum_micro=("sum_micro", "sum"), n=("n", "sum"))             .reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return parts.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1331,6 +1382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "host_stats": _q_host_stats,
         "dissolve_groups": _q_dissolve_groups,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "emb_centroids": _q_emb_centroids,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
@@ -1478,6 +1531,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) "
             "AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "grouped_quantiles": (
+            "WITH r AS (SELECT event_type, value, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) "
+            "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS c "
+            "FROM events) "
+            "SELECT event_type, CAST(p AS BIGINT) AS pct, value "
+            "FROM (VALUES (50), (90)) q(p) JOIN r "
+            "ON r.rn = (p * r.c + 99) // 100"
+        ),
+        "emb_centroids": (
+            "WITH f AS (SELECT label, "
+            "unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS dim "
+            "FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(dim AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS sum_micro, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM f GROUP BY label, dim"
         ),
         "dissolve_groups": (
             f"WITH {_POLYS_CTE}, "

@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "grouped_quantiles"]
 
 BINS = 4096
 
@@ -189,3 +189,36 @@ def exact_quantiles(ds, col: str, pcts: list[int],
         "pct": pa.array([int(p) for p in pcts], type=pa.int64()),
         "value": pa.array([result[p] for p in pcts], type=pa.float64()),
     })
+
+
+def grouped_quantiles(ds, group_col: str, col: str, pcts: list[int],
+                      num_partitions: int | None = None):
+    """Per-group exact quantiles: one hash shuffle co-locates each
+    group, then a vectorized selection per group — right when groups
+    are numerous and individually partition-sized (the complement of
+    ``exact_quantiles``, which handles ONE giant distribution).  A
+    single group bigger than a partition should use
+    ``exact_quantiles`` on a filtered dataset instead.
+
+    Output (group, pct, value); value = ceil(p*n_g/100)-th smallest
+    within the group (same selection contract as exact_quantiles).
+    """
+    import pandas as pd
+
+    from rayspatial.util import hash_partitioned_agg
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_p, rows_v = [], [], []
+        for g, sub in pdf.groupby(group_col, sort=False):
+            v = np.sort(sub[col].to_numpy())
+            n = len(v)
+            for p in pcts:
+                rows_g.append(g)
+                rows_p.append(int(p))
+                rows_v.append(float(v[-(-p * n // 100) - 1]))
+        return pd.DataFrame({group_col: rows_g,
+                             "pct": pd.Series(rows_p, dtype="int64"),
+                             "value": rows_v})
+
+    return hash_partitioned_agg(ds, [group_col], per_partition,
+                                num_partitions=num_partitions)

@@ -42,3 +42,21 @@ def test_recursive_refinement_with_heavy_ties():
 @pytest.mark.usefixtures("ray_session")
 def test_all_equal_column():
     _check(np.full(500, 7.25), [50, 99], leaf_limit=100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_exact():
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import grouped_quantiles
+
+    rng = np.random.default_rng(8)
+    g = rng.choice(["a", "b", "c"], 3000)
+    v = rng.normal(0, 10, 3000)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "value": pa.array(v)})) \
+        .repartition(6)
+    out = grouped_quantiles(ds, "g", "value", [50, 99]).to_pandas()
+    for (grp, p), row in out.set_index(["g", "pct"]).iterrows():
+        sv = np.sort(v[g == grp])
+        k = -(-p * len(sv) // 100)
+        assert row["value"] == sv[k - 1]
