@@ -27,16 +27,80 @@ import pyarrow as pa
 def hash_join(left_ds, right_ds, on: str,
               left_cols: list[str], right_cols: list[str],
               mode: str = "broadcast",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              bloom_bits: int | None = None):
     """Inner equi-join LEFT x RIGHT on ``on``.  ``left_cols`` /
     ``right_cols``: output columns from each side (key listed once, in
-    ``left_cols``)."""
+    ``left_cols``).
+
+    ``bloom_bits`` (shuffle mode): build a Bloom filter of the RIGHT
+    side's keys (one streaming pass, per-block bitmaps OR-merged to a
+    fixed ``bloom_bits/8``-byte object) and drop non-matching LEFT rows
+    BEFORE the all-to-all — at 100 TB the exchange only moves probe
+    rows that can possibly join.  False positives just ride the
+    shuffle; the partition merge stays exact, so results are
+    identical with or without it."""
     if mode == "broadcast":
         return _broadcast_join(left_ds, right_ds, on, left_cols, right_cols)
     if mode == "shuffle":
+        if bloom_bits:
+            left_ds = _bloom_prefilter(left_ds, right_ds, on, bloom_bits)
         return _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
                              num_partitions)
     raise ValueError(f"unknown join mode: {mode!r}")
+
+
+def _key_hashes(col, seed: int) -> np.ndarray:
+    from rayspatial.textops.hashing import hash_int64, hash_strings
+
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return hash_int64(hash_strings(col), seed=seed)
+    return hash_int64(
+        col.to_numpy(zero_copy_only=False).astype(np.int64), seed=seed)
+
+
+def _bloom_prefilter(left_ds, right_ds, on, m_bits):
+    """Filter left rows through a 2-hash Bloom filter of right keys."""
+    import ray
+
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for seed in (3, 7):
+            h = _key_hashes(batch.column(on), seed) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (h // np.uint64(8)).astype(np.int64),
+                             np.left_shift(
+                                 np.uint8(1),
+                                 (h % np.uint64(8)).astype(np.uint8)))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary(nbytes))})
+
+    parts = right_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for row in batch.column("bits"):
+            acc |= np.frombuffer(row.as_py(), dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()],
+                                          type=pa.binary(nbytes))})
+
+    final = parts.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow").take_all()
+    ref = ray.put(np.frombuffer(final[0]["bits"], dtype=np.uint8))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bits = _ray.get(ref)
+        keep = np.ones(len(batch), dtype=bool)
+        for seed in (3, 7):
+            h = _key_hashes(batch.column(on), seed) % np.uint64(m_bits)
+            byte = bits[(h // np.uint64(8)).astype(np.int64)]
+            keep &= (byte >> (h % np.uint64(8)).astype(np.uint8)) & 1 > 0
+        return batch.filter(pa.array(keep))
+
+    return left_ds.map_batches(prefilter, batch_format="pyarrow")
 
 
 def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols):

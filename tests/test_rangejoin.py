@@ -138,3 +138,33 @@ def test_hash_join_modes_agree(ray_session):
             want.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]],
             check_dtype=False,
         )
+
+
+def test_hash_join_bloom_prefilter_exact_and_reduces(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import _bloom_prefilter, hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10_000, 4000).astype(np.int64),
+        "lv": np.arange(4000, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 100, dtype=np.int64),    # 1% of key space
+        "rv": np.arange(100, dtype=np.int64),
+    })
+    l_ds, r_ds = rd.from_pandas(left).repartition(4), rd.from_pandas(right)
+    plain = hash_join(l_ds, r_ds, "k", ["k", "lv"], ["rv"],
+                      mode="shuffle").to_pandas()
+    bloomed = hash_join(l_ds, r_ds, "k", ["k", "lv"], ["rv"],
+                        mode="shuffle", bloom_bits=1 << 16).to_pandas()
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        bloomed.sort_values(key).reset_index(drop=True)[key],
+        plain.sort_values(key).reset_index(drop=True)[key],
+        check_dtype=False)
+    # the prefilter must actually drop most non-joining probe rows
+    survivors = _bloom_prefilter(l_ds, r_ds, "k", 1 << 16).count()
+    truly = left["k"].isin(right["k"]).sum()
+    assert truly <= survivors < len(left) * 0.2
