@@ -1097,6 +1097,19 @@ def _q_emb_centroids(sf_dir: str):
         merge, batch_size=None, batch_format="pyarrow")
 
 
+def _q_kmeans_labels(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table
+    (textops/kmeans.py): one streaming pass per iteration,
+    micro-quantized integer M-step (partitioning-independent,
+    bit-reproducible vs the serial reference in tests).  No SQL
+    oracle: the iterative float E-step is model-defined; rows-only
+    driver check + exactness pytest."""
+    from rayspatial.textops.kmeans import kmeans_labels
+
+    out, _ = kmeans_labels(_embs(sf_dir), k=8, iterations=4)
+    return out
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (ops/agg.py zonal_stats): per-polygon exact
     integer aggregates (count, micro-degree coordinate sums, id
@@ -1384,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_groups": _q_dissolve_groups,
         "grouped_quantiles": _q_grouped_quantiles,
         "emb_centroids": _q_emb_centroids,
+        "kmeans_labels": _q_kmeans_labels,
         "distinct_users_daily_hll": _q_distinct_users_daily_hll,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "minhash_candidates": _q_minhash_candidates,
