@@ -109,7 +109,12 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols):
     pruned = right_ds.map_batches(
         lambda b: b.select([on] + right_cols), batch_format="pyarrow"
     )
-    rtab = pa.concat_tables(ray.get(pruned.to_arrow_refs()))
+    # skip schema-less empty blocks (all-to-all stages upstream can
+    # emit them; concat_tables would raise on the schema mismatch)
+    rtabs = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    rtab = (pa.concat_tables(rtabs) if rtabs
+            else pa.table({c: pa.array([], type=pa.int64())
+                           for c in [on] + right_cols}))
     ref = ray.put(rtab)  # ONE object-store copy, read by every probe task
     _cache: dict = {}
 

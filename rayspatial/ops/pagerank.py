@@ -83,6 +83,10 @@ def pagerank(edges_ds, n_nodes: int, iterations: int = 10,
 
     @ray.remote
     def split_block(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0:  # schema-less empty block (all-to-all)
+            empty = pa.table({src_col: pa.array([], type=pa.int64()),
+                              dst_col: pa.array([], type=pa.int64())})
+            return tuple([empty] * P) if P > 1 else empty
         src = tbl.column(src_col).to_numpy().astype(np.int64)
         part = _part_of(src, P)
         out = []
@@ -97,7 +101,7 @@ def pagerank(edges_ds, n_nodes: int, iterations: int = 10,
     def build_shard(*pieces: pa.Table):
         """Concat edge pieces of one partition; attach out-degree and
         the initial rank table (all srcs of this shard live here)."""
-        t = pa.concat_tables(pieces)
+        t = pa.concat_tables([p.select([src_col, dst_col]) for p in pieces])
         src = t.column(src_col).to_numpy().astype(np.int64)
         dst = t.column(dst_col).to_numpy().astype(np.int64)
         order = np.argsort(src, kind="stable")

@@ -226,7 +226,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.95,
         # already in the object store)
         @ray.remote
         def _summary(tab: pa.Table):
-            if not len(tab):
+            if tab.num_rows == 0:
                 return None
             emb = tab.column("emb")
             if isinstance(emb, pa.ChunkedArray):
@@ -252,6 +252,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.95,
     pair_ds = rd.from_items(pair_idx).repartition(max(1, min(len(pair_idx), 64)))
 
     def _unpack(tab: pa.Table):
+        if tab.num_rows == 0:  # schema-less empty block from the sort
+            return np.empty(0, dtype=np.int64), np.empty((0, 1))
         ids = tab.column(id_col).to_numpy()
         emb = tab.column("emb")
         if isinstance(emb, pa.ChunkedArray):

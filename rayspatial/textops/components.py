@@ -47,6 +47,12 @@ def _assemble_labels(round_key, refs):
     if hit is None:
         ks, vs = [], []
         for tab in ray.get(list(refs)):
+            # all-to-all stages (the hash-partitioned min-agg) can emit
+            # empty blocks with NO schema; map_batches passes them
+            # through without calling the UDF, but raw block refs see
+            # them — skip (ray plan_udf_map_op.py notes the behavior)
+            if tab.num_rows == 0:
+                continue
             ks.append(tab.column("doc_id").to_numpy())
             vs.append(tab.column("label").to_numpy())
         k = np.concatenate(ks) if ks else np.empty(0, dtype=np.int64)

@@ -696,3 +696,21 @@ def test_tfidf_topk_small():
     a = out[(out.doc_id == 0) & (out.term == "apple")]
     assert a["tf"].iloc[0] == 2 and a["df"].iloc[0] == 1
     assert a["score_micro"].iloc[0] == 2 * ln3_micro
+
+
+def test_assemble_labels_skips_schemaless_empty_blocks(ray_session):
+    """All-to-all stages can emit empty blocks with NO schema (ray
+    plan_udf_map_op.py passes them through map_batches uncalled, but
+    raw to_arrow_refs consumers see them).  The per-worker label
+    assembly must skip them instead of KeyError-ing on doc_id —
+    the root cause of the flaky fast-path comparison."""
+    import ray
+
+    from rayspatial.textops.components import _assemble_labels
+
+    good = pa.table({"doc_id": pa.array([3, 1], type=pa.int64()),
+                     "label": pa.array([30, 10], type=pa.int64())})
+    refs = (ray.put(pa.table({})), ray.put(good), ray.put(pa.table({})))
+    keys, vals = _assemble_labels(("regression-empty-blocks", 0), refs)
+    assert keys.tolist() == [1, 3]
+    assert vals.tolist() == [10, 30]
