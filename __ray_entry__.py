@@ -1185,6 +1185,54 @@ def _q_canonical_docs(sf_dir: str):
                      left_cols=["doc_id", "n_chars"])
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus-wide heavy hitters (textops/analysis.top_terms): top-25
+    whitespace tokens by exact count — per-batch partial counts (the
+    combiner), ONE hash-partition of (term, cnt) partials, per-
+    partition exact top-k, final head over k x P rows only."""
+    from rayspatial.textops.analysis import top_terms
+
+    return top_terms(_docs(sf_dir), k=25)
+
+
+def _q_customer_orders_left(sf_dir: str):
+    """LEFT outer hash equi-join (ops/equijoin.py, shuffle mode):
+    every customer row kept, order keys where they exist; unmatched
+    rows surface as sentinel -1 (coalesced on both sides so the
+    compare stays integer-exact).  Exercises the typed-null output
+    path — partitions with and without unmatched rows must emit the
+    same Arrow schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import read_parquet_sized
+
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: pa.table({"custkey": b.column("c_custkey")}),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    ).map_batches(
+        lambda b: pa.table({"custkey": b.column("o_custkey"),
+                            "o_orderkey": b.column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(customer, orders, on="custkey",
+                       left_cols=["custkey"], right_cols=["o_orderkey"],
+                       mode="shuffle", how="left")
+    return joined.map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("custkey"),
+            "o_orderkey": pc.fill_null(b.column("o_orderkey"), -1),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/quality scoring: per-doc word, unique
     word, top-word and top-bigram counts + an all-integer keep flag
@@ -1412,6 +1460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binary_features": _q_binary_features,
         "curated_docs": _q_curated_docs,
         "poly_union_area": _q_poly_union_area,
+        "top_terms": _q_top_terms,
+        "customer_orders_left": _q_customer_orders_left,
     }
 
 
@@ -1950,5 +2000,16 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
             "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"
+        ),
+        "top_terms": (
+            r"SELECT term, COUNT(*)::BIGINT AS cnt FROM ("
+            r"SELECT unnest(string_split_regex(trim(text), '\s+')) AS term "
+            r"FROM documents) WHERE term <> '' "
+            r"GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 25"
+        ),
+        "customer_orders_left": (
+            "SELECT c_custkey AS custkey, "
+            "COALESCE(o_orderkey, -1) AS o_orderkey "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
         ),
     }

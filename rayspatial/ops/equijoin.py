@@ -1,5 +1,6 @@
-"""Distributed hash equi-join (inner) — plain relational join as a Ray
-Data operator, with the two scale modes every 100-TB plan needs:
+"""Distributed hash equi-join (inner / left outer) — plain relational
+join as a Ray Data operator, with the two scale modes every 100-TB
+plan needs:
 
 - ``mode="broadcast"``: the small side is ``ray.put`` ONCE and probed
   inside a streaming ``map_batches`` over the big side (per-worker
@@ -28,10 +29,14 @@ def hash_join(left_ds, right_ds, on: str,
               left_cols: list[str], right_cols: list[str],
               mode: str = "broadcast",
               num_partitions: int | None = None,
-              bloom_bits: int | None = None):
-    """Inner equi-join LEFT x RIGHT on ``on``.  ``left_cols`` /
+              bloom_bits: int | None = None,
+              how: str = "inner"):
+    """Equi-join LEFT x RIGHT on ``on``.  ``left_cols`` /
     ``right_cols``: output columns from each side (key listed once, in
-    ``left_cols``).
+    ``left_cols``).  ``how``: "inner" or "left" (unmatched left rows
+    kept with nulls in the right columns; output schema stays the
+    right side's Arrow types — no float64 NaN coercion leaking
+    between partitions).
 
     ``bloom_bits`` (shuffle mode): build a Bloom filter of the RIGHT
     side's keys (one streaming pass, per-block bitmaps OR-merged to a
@@ -40,14 +45,30 @@ def hash_join(left_ds, right_ds, on: str,
     rows that can possibly join.  False positives just ride the
     shuffle; the partition merge stays exact, so results are
     identical with or without it."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown join how: {how!r}")
     if mode == "broadcast":
-        return _broadcast_join(left_ds, right_ds, on, left_cols, right_cols)
+        return _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
+                               how)
     if mode == "shuffle":
-        if bloom_bits:
+        if bloom_bits and how == "inner":
+            # (a Bloom prefilter DROPS unmatched left rows — only valid
+            # for inner joins)
             left_ds = _bloom_prefilter(left_ds, right_ds, on, bloom_bits)
         return _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
-                             num_partitions)
+                             num_partitions, how)
     raise ValueError(f"unknown join mode: {mode!r}")
+
+
+def _typed_table(out: pd.DataFrame, order: list[str], types: dict) -> pa.Table:
+    """pandas merge result -> Arrow with the declared column types
+    (``from_pandas=True`` turns the float64 NaN a left join injects
+    into proper nulls instead of leaking a float64 schema)."""
+    return pa.table({
+        c: (pa.array(out[c], type=types[c], from_pandas=True)
+            if c in types else pa.array(out[c], from_pandas=True))
+        for c in order
+    })
 
 
 def _key_hashes(col, seed: int) -> np.ndarray:
@@ -103,7 +124,8 @@ def _bloom_prefilter(left_ds, right_ds, on, m_bits):
     return left_ds.map_batches(prefilter, batch_format="pyarrow")
 
 
-def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols):
+def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
+                    how="inner"):
     import ray
 
     pruned = right_ds.map_batches(
@@ -116,6 +138,7 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols):
             else pa.table({c: pa.array([], type=pa.int64())
                            for c in [on] + right_cols}))
     ref = ray.put(rtab)  # ONE object-store copy, read by every probe task
+    rt_schema = rtab.schema
     _cache: dict = {}
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -129,15 +152,16 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols):
             built = rt.sort_values(on, kind="stable").reset_index(drop=True)
             _cache[key] = built
         lf = batch.select(left_cols + ([on] if on not in left_cols else []))
-        out = lf.to_pandas().merge(built, on=on, how="inner", sort=False)
-        return pa.Table.from_pandas(out[left_cols + right_cols],
-                                    preserve_index=False)
+        out = lf.to_pandas().merge(built, on=on, how=how, sort=False)
+        types = {**{f.name: f.type for f in lf.schema},
+                 **{f.name: f.type for f in rt_schema}}
+        return _typed_table(out, left_cols + right_cols, types)
 
     return left_ds.map_batches(probe, batch_format="pyarrow")
 
 
 def _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
-                  num_partitions):
+                  num_partitions, how="inner"):
     from rayspatial.util import hash_partitioned_agg
 
     lsch = left_ds.schema()
@@ -165,12 +189,14 @@ def _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
     rt = right_ds.map_batches(tag(0, ronly, lonly, ltypes),
                               batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    types = {**ltypes, **{c: rtypes[c] for c in ronly}}
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         lmask = df["_side"].to_numpy() == 1
         left = df.loc[lmask, [on] + lonly]
         right = df.loc[~lmask, [on] + ronly]
-        out = left.merge(right, on=on, how="inner", sort=False)
-        return out[left_cols + ronly]
+        out = left.merge(right, on=on, how=how, sort=False)
+        return _typed_table(out, left_cols + ronly, types)
 
     return hash_partitioned_agg(lt.union(rt), [on], per_partition,
                                 num_partitions=num_partitions)

@@ -273,3 +273,54 @@ def repetition_stats(ds, id_col: str = "doc_id",
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def top_terms(ds, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-``k`` most frequent whitespace tokens — the
+    heavy-hitters shape with a BOUNDED combine at every stage:
+
+    1. per-batch partial term counts (``np.unique`` over the block's
+       tokens; rows out = distinct terms in the block, NEVER the token
+       stream — the combiner that makes the shuffle tractable at
+       100 TB),
+    2. one hash-partition of the partials by term (each term lands in
+       exactly one partition -> per-partition sums are EXACT),
+    3. per-partition top-k (<= k rows survive per partition),
+    4. final head over k x P rows only.
+
+    Ties broken (count desc, term asc) so the result is deterministic
+    and SQL-comparable.  Tokenization is ``str.split()`` semantics
+    (textops/hashing.split_words)."""
+    from rayspatial.textops.hashing import split_words
+    from rayspatial.util import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _off = split_words(batch.column(text_col))
+        terms, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({
+            "term": pa.array(terms.astype(str)),
+            "cnt": pa.array(counts.astype(np.int64)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_partition_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", sort=False)["cnt"].sum().reset_index()
+        out = out.sort_values(["cnt", "term"], ascending=[False, True],
+                              kind="stable")
+        return out.head(k)
+
+    survivors = hash_partitioned_agg(part, ["term"], per_partition_topk)
+
+    def final_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # terms are disjoint across partitions -> no re-reduction
+        df = df.sort_values(["cnt", "term"], ascending=[False, True],
+                            kind="stable")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return survivors.repartition(1).map_batches(
+        final_head, batch_size=None, batch_format="pyarrow"
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -168,3 +169,42 @@ def test_hash_join_bloom_prefilter_exact_and_reduces(ray_session):
     survivors = _bloom_prefilter(l_ds, r_ds, "k", 1 << 16).count()
     truly = left["k"].isin(right["k"]).sum()
     assert truly <= survivors < len(left) * 0.2
+
+
+def test_left_outer_join_both_modes(ray_session):
+    """how='left' keeps unmatched left rows with NULL right columns and
+    the output schema stays typed (no float64 NaN leak) in every
+    partition, matched or not."""
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import hash_join
+
+    rng = np.random.RandomState(5)
+    L = pd.DataFrame({"k": rng.randint(0, 40, 200),
+                      "lv": np.arange(200, dtype=np.int64)})
+    R = pd.DataFrame({"k": rng.randint(20, 60, 80),
+                      "rv": np.arange(80, dtype=np.int64) * 10,
+                      "rs": [f"s{i}" for i in range(80)]})
+    lds = rd.from_arrow(pa.Table.from_pandas(L, preserve_index=False)) \
+        .repartition(3)
+    rds = rd.from_arrow(pa.Table.from_pandas(R, preserve_index=False)) \
+        .repartition(2)
+    for how in ("inner", "left"):
+        want = L.merge(R, on="k", how=how, sort=False) \
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        for mode in ("broadcast", "shuffle"):
+            out = hash_join(lds, rds, on="k", left_cols=["k", "lv"],
+                            right_cols=["rv", "rs"], mode=mode, how=how)
+            # schema check: right value column stays int64 (nullable)
+            assert out.schema().types[2] == pa.int64(), (how, mode)
+            got = out.to_pandas().sort_values(["k", "lv", "rv"]) \
+                .reset_index(drop=True)
+            assert len(got) == len(want), (how, mode)
+            assert got["k"].tolist() == want["k"].tolist()
+            assert got["lv"].tolist() == want["lv"].tolist()
+            wrv = want["rv"].astype("float64")
+            grv = got["rv"].astype("float64")
+            assert ((wrv == grv) | (wrv.isna() & grv.isna())).all(), \
+                (how, mode)
+            if how == "left":
+                assert got["rv"].isna().sum() > 0  # unmatched rows exist

@@ -714,3 +714,23 @@ def test_assemble_labels_skips_schemaless_empty_blocks(ray_session):
     keys, vals = _assemble_labels(("regression-empty-blocks", 0), refs)
     assert keys.tolist() == [1, 3]
     assert vals.tolist() == [10, 30]
+
+
+def test_top_terms_exact_vs_python(ray_session):
+    """Corpus-wide heavy hitters match a single-process count with the
+    (count desc, term asc) tie order, across partitioned input."""
+    import collections
+
+    import ray.data as rd
+
+    from rayspatial.textops.analysis import top_terms
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 30)))
+             for _ in range(400)] + ["", "   ", "w0\tw0\nw1"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(7)
+    got = top_terms(ds, k=10).to_pandas()
+    cnt = collections.Counter(w for t in texts for w in t.split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["term"], got["cnt"])) == want
