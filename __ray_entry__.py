@@ -1233,6 +1233,24 @@ def _q_customer_orders_left(sf_dir: str):
     )
 
 
+def _q_docs_quality_band(sf_dir: str):
+    """Percentile-threshold curation (ops/quantile.quantile_band_filter):
+    drop the n_chars tails, keeping the exact [p10, p90] band — the
+    thresholds come from the shared-pass exact quantile operator (two
+    scalars to the driver) and apply in ONE streaming filter."""
+    import pyarrow as pa
+
+    from rayspatial.ops.quantile import quantile_band_filter
+    from rayspatial.util import read_parquet_sized
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return quantile_band_filter(docs, "n_chars", 10, 90).map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/quality scoring: per-doc word, unique
     word, top-word and top-bigram counts + an all-integer keep flag
@@ -1462,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
+        "docs_quality_band": _q_docs_quality_band,
     }
 
 
@@ -2011,5 +2030,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, "
             "COALESCE(o_orderkey, -1) AS o_orderkey "
             "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+        ),
+        "docs_quality_band": (
+            "WITH n AS (SELECT COUNT(*) AS c FROM documents), "
+            "r AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) "
+            "AS rn FROM documents), "
+            "t AS (SELECT "
+            "(SELECT n_chars FROM r JOIN n ON true "
+            "WHERE rn = (10 * c + 99) // 100) AS lo, "
+            "(SELECT n_chars FROM r JOIN n ON true "
+            "WHERE rn = (90 * c + 99) // 100) AS hi) "
+            "SELECT doc_id, n_chars FROM documents, t "
+            "WHERE n_chars BETWEEN t.lo AND t.hi"
         ),
     }

@@ -222,3 +222,25 @@ def grouped_quantiles(ds, group_col: str, col: str, pcts: list[int],
 
     return hash_partitioned_agg(ds, [group_col], per_partition,
                                 num_partitions=num_partitions)
+
+
+def quantile_band_filter(ds, col: str, lo_pct: int, hi_pct: int,
+                         leaf_limit: int = 200_000):
+    """Keep rows whose ``col`` lies in the exact [p_lo, p_hi] percentile
+    band — the percentile-threshold curation shape (drop the length /
+    quality-score tails before training).
+
+    Composition, no extra machinery: ``exact_quantiles`` resolves both
+    thresholds in the same shared histogram passes (driver receives
+    two scalars), then ONE streaming filter applies them — the corpus
+    is never materialized beyond exact_quantiles' own block reuse."""
+    qt = exact_quantiles(ds, col, [lo_pct, hi_pct], leaf_limit=leaf_limit)
+    vals = dict(zip(qt.column("pct").to_pylist(),
+                    qt.column("value").to_pylist()))
+    lo, hi = vals[lo_pct], vals[hi_pct]
+
+    def band(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return ds.map_batches(band, batch_format="pyarrow")

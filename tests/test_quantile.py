@@ -60,3 +60,25 @@ def test_grouped_quantiles_exact():
         sv = np.sort(v[g == grp])
         k = -(-p * len(sv) // 100)
         assert row["value"] == sv[k - 1]
+
+
+def test_quantile_band_filter_exact(ray_session):
+    """[p10, p90] band filter keeps exactly the rows between the exact
+    rank-based thresholds (ties at a threshold included)."""
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import quantile_band_filter
+
+    rng = np.random.RandomState(3)
+    v = np.concatenate([rng.randint(0, 1000, 900),
+                        np.full(50, 7), np.full(50, 993)]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"id": pa.array(np.arange(len(v))),
+                                 "v": pa.array(v)})).repartition(6)
+    got = quantile_band_filter(ds, "v", 10, 90).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    n = len(v)
+    sv = np.sort(v)
+    lo = sv[-(-10 * n // 100) - 1]
+    hi = sv[-(-90 * n // 100) - 1]
+    want = np.flatnonzero((v >= lo) & (v <= hi))
+    assert got["id"].to_numpy().tolist() == want.tolist()
