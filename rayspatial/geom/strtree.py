@@ -113,7 +113,10 @@ class STRtree:
             pb = pb + np.asarray([-expand, -expand, expand, expand])
         lb = self._leaf_bounds
         out_p, out_t = [], []
-        CHUNK = 2048
+        # bound the dense probes x leaves matrix at ~4M cells per pass:
+        # small layers (few leaves) take big probe chunks in ONE pass
+        # instead of paying 16 numpy-kernel launches per 2048 probes
+        CHUNK = int(min(max(2048, 4_000_000 // max(len(lb), 1)), 262_144))
         for s in range(0, n, CHUNK):
             pc = pb[s : s + CHUNK]
             # probes x leaves envelope test

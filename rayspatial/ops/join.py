@@ -43,6 +43,95 @@ def _loc_keep(loc: np.ndarray, predicate: str) -> np.ndarray:
     raise ValueError(f"unsupported point-join predicate: {predicate}")
 
 
+class _BoxSlabIndex:
+    """Exact point-in-boxes stabbing for an ALL-BOX layer: doubled
+    coordinate slabs on x and y with a per-slab membership bitset.  A
+    point's hit set is ``xbits[dslab_x(p)] & ybits[dslab_y(p)]`` — two
+    searchsorteds and one word-AND per point, NO candidate expansion,
+    NO refinement.  Doubled slabs (even = exactly at breakpoint j,
+    odd = strictly between j and j+1) make boundary inclusion exact:
+    box [lo, hi] occupies doubled rows 2*idx(lo) .. 2*idx(hi)
+    inclusive, so ``p == hi`` hits while ``p`` just past ``hi`` in the
+    same undoubled slab does not (the ``covers`` predicate on boxes).
+    Memory is O(n_boxes^2 / 2) bytes, so callers gate on small layers
+    (broadcast layers are small by contract)."""
+
+    MAX_ITEMS = 4096
+
+    def __init__(self, bounds: np.ndarray):
+        n = len(bounds)
+        self.n = n
+        self.words = (n + 63) // 64
+        bit = np.uint64(1) << (np.arange(n, dtype=np.uint64) % np.uint64(64))
+        word = np.arange(n) // 64
+
+        def axis(lo, hi):
+            brk = np.unique(np.concatenate([lo, hi]))
+            s0 = np.searchsorted(brk, lo)   # lo/hi ARE breakpoints
+            s1 = np.searchsorted(brk, hi)
+            bits = np.zeros((2 * len(brk) - 1, self.words), dtype=np.uint64)
+            counts = 2 * (s1 - s0) + 1
+            rows = np.repeat(2 * s0, counts) + _ragged_arange_1(counts)
+            boxes = np.repeat(np.arange(n), counts)
+            np.bitwise_or.at(bits, (rows, word[boxes]), bit[boxes])
+            return brk, bits
+
+        self.xbrk, self.xbits = axis(bounds[:, 0], bounds[:, 2])
+        self.ybrk, self.ybits = axis(bounds[:, 1], bounds[:, 3])
+
+    @staticmethod
+    def _dslab(brk: np.ndarray, v: np.ndarray):
+        """Doubled slab index per value + in-range mask."""
+        ok = (v >= brk[0]) & (v <= brk[-1])     # NaN -> False
+        i = np.clip(np.searchsorted(brk, v, side="right") - 1,
+                    0, len(brk) - 1)
+        # out-of-range values are masked by ``ok`` but must still index
+        # in-bounds (v > brk[-1] would double to one past the last row)
+        return np.minimum(2 * i + (v > brk[i]), 2 * len(brk) - 2), ok
+
+    def query_points(self, x: np.ndarray, y: np.ndarray):
+        """-> (probe_rows, item_pos) sorted by (probe, item)."""
+        dx, okx = self._dslab(self.xbrk, x)
+        dy, oky = self._dslab(self.ybrk, y)
+        band = self.xbits[dx] & self.ybits[dy]
+        ok = okx & oky
+        if not ok.all():
+            band[~ok] = 0
+        # sparse set-bit extraction: hits per point are ~0-2, so a
+        # lowest-set-bit loop over the ACTIVE points (a handful of
+        # vectorized rounds) beats a dense n x n_boxes unpack+nonzero
+        prs, its = [], []
+        for w in range(self.words):
+            v = band[:, w]
+            idx = np.flatnonzero(v)
+            v = v[idx]
+            base = np.int64(w * 64)
+            while len(idx):
+                low = v & (np.uint64(0) - v)          # lowest set bit
+                b = np.log2(low.astype(np.float64)).astype(np.int64)
+                prs.append(idx)
+                its.append(base + b)
+                v = v & (v - np.uint64(1))            # clear it
+                keep = v != 0
+                idx = idx[keep]
+                v = v[keep]
+        if not prs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        pr = np.concatenate(prs)
+        it = np.concatenate(its)
+        order = np.lexsort((it, pr))
+        return pr[order].astype(np.int64), it[order]
+
+
+def _ragged_arange_1(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    run = np.repeat(np.arange(len(counts)), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - cum[run]
+
+
 class PointInPolygonJoiner:
     """map_batches actor: point batches (lon/lat cols) x broadcast
     polygon layer -> pair rows (input cols + poly_id).
@@ -69,10 +158,32 @@ class PointInPolygonJoiner:
         self.lat_col = lat_col
         # pre-decompose every polygon once (prepared geometry analogue)
         self.decomps = [P._Decomp(ga, i) for i in range(len(ga))]
+        # all-box broadcast layers get the exact slab-bitset stab
+        # (~3x the STRtree candidate walk for point probes)
+        self.slab = None
+        if (0 < len(ga) <= _BoxSlabIndex.MAX_ITEMS
+                and self.tree._all_boxes()):
+            self.slab = _BoxSlabIndex(self.tree._geom_bounds)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column(self.lon_col).to_numpy()
         lat = batch.column(self.lat_col).to_numpy()
+        if self.slab is not None and self.predicate in (
+            "covers", "intersects", "covered_by", "contains", "within",
+            "contains_properly",
+        ):
+            probe_rows, tree_items = self.slab.query_points(lon, lat)
+            if self.predicate not in ("covers", "intersects", "covered_by"):
+                bbs = self.tree._geom_bounds[tree_items]
+                px, py = lon[probe_rows], lat[probe_rows]
+                strict = ((px > bbs[:, 0]) & (px < bbs[:, 2])
+                          & (py > bbs[:, 1]) & (py < bbs[:, 3]))
+                probe_rows = probe_rows[strict]
+                tree_items = tree_items[strict]
+            out = batch.take(pa.array(probe_rows))
+            return out.append_column(
+                "poly_id", pa.array(self.poly_ids[tree_items])
+            )
         pb = np.column_stack([lon, lat, lon, lat])
         probe_rows, tree_items = self.tree._candidates(pb)
         if not len(probe_rows):

@@ -137,3 +137,43 @@ def test_entry_smoke(ray_ds):
     df = res.to_pandas()
     assert len(df) >= 0
     assert set(df.columns) == {"cell_x", "cell_y", "poly_id", "n_points"}
+
+
+def test_slab_index_matches_tree_all_predicates(ray_ds):
+    """The all-box slab-bitset stab equals the STRtree candidate walk
+    exactly — random probes, probes ON box edges/corners, probes just
+    outside, NaN probes — for every box-supported predicate."""
+    import ray
+
+    from rayspatial.ops.join import PointInPolygonJoiner
+    from rayspatial.geom.constructive import box as mk_box
+    from rayspatial.geom.wkb import to_wkb
+
+    rng = np.random.RandomState(77)
+    x0 = rng.uniform(0, 90, 60)
+    y0 = rng.uniform(0, 90, 60)
+    w = rng.uniform(0.5, 12, 60)
+    h = rng.uniform(0.5, 12, 60)
+    ga = mk_box(x0, y0, x0 + w, y0 + h)
+    payload = {"wkb": to_wkb(ga), "ids": np.arange(60, dtype=np.int64)}
+
+    px = rng.uniform(-5, 110, 4000)
+    py = rng.uniform(-5, 110, 4000)
+    # exact edge / corner / just-outside probes
+    eps = 1e-9
+    px = np.concatenate([px, x0, x0 + w, x0 + w / 2, x0 + w + eps,
+                         [np.nan, 50.0]])
+    py = np.concatenate([py, y0, y0 + h, y0 + h / 2, y0 + h + eps,
+                         [50.0, np.nan]])
+    batch = pa.table({"lon": pa.array(px), "lat": pa.array(py),
+                      "row": pa.array(np.arange(len(px)))})
+    for pred in ("covers", "intersects", "covered_by", "contains",
+                 "within", "contains_properly"):
+        j = PointInPolygonJoiner(payload, predicate=pred)
+        assert j.slab is not None
+        got = j(batch).to_pandas()
+        j.slab = None  # force the STRtree path
+        want = j(batch).to_pandas()
+        assert got[["row", "poly_id"]].values.tolist() == \
+            want[["row", "poly_id"]].values.tolist(), pred
+        assert len(got) > 0
