@@ -125,9 +125,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from rayspatial.pipeline.flagship import flagship
 
     _consume(flagship(sf_dir, expand=expand))  # warm-up: worker startup
-    t0 = time.perf_counter()
-    _consume(flagship(sf_dir, expand=expand))
-    headline = round(time.perf_counter() - t0, 3)
+    headline = None
+    for _ in range(2):  # best-of-2: same steady-state estimator as the
+        t0 = time.perf_counter()  # per-query loop (host stall variance)
+        _consume(flagship(sf_dir, expand=expand))
+        dt = time.perf_counter() - t0
+        headline = dt if headline is None else min(headline, dt)
+    headline = round(headline, 3)
 
     timings: dict[str, float] = {"flagship_join_tiles": headline}
     for name, fn in qs.items():
