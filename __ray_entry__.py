@@ -1415,6 +1415,41 @@ def _q_curated_docs(sf_dir: str):
                   max_tokens=400, min_uniq_tokens=10)
 
 
+def _q_decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word-4-gram with
+    the benchmark subset (doc_id % 23 == 0) are dropped.  Benchmark
+    n-gram hashes broadcast once (ray.put, bounded by the eval-set
+    vocabulary); one streaming searchsorted filter over the corpus."""
+    from rayspatial.textops.decontam import decontaminate
+
+    import numpy as np
+    import pyarrow as pa
+
+    def split(want_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            is_bench = batch.column("doc_id").to_numpy() % 23 == 0
+            return batch.filter(pa.array(is_bench if want_bench else ~is_bench))
+
+        return f
+
+    docs = _docs(sf_dir, rows_per_block=512)
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(train, bench, k=4)
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Sequence packing: greedy first-fit of docs into 256-token
+    training sequences within (lang, doc_id//64) units — one token-count
+    map_batches pass + one hash shuffle; bins assigned by a rounds loop
+    vectorized across every unit in the partition."""
+    from rayspatial.textops.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir, rows_per_block=512), budget=256, window=64
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1477,6 +1512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,
         "curated_docs": _q_curated_docs,
+        "decontaminated_docs": _q_decontaminated_docs,
+        "packed_sequences": _q_packed_sequences,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
@@ -1997,6 +2034,38 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM polys p WHERE p.xmin <= c.x AND p.xmax >= c.x2 "
             "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
             "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
+        ),
+        "packed_sequences": (
+            r"WITH RECURSIVE t AS (SELECT doc_id, lang, doc_id // 64 AS win, "
+            r"CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "ord AS (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY lang, win ORDER BY doc_id) AS rn FROM t), "
+            "st AS ("
+            "SELECT lang, win, rn, doc_id, n_tokens, "
+            "CAST(0 AS BIGINT) AS bin, n_tokens AS run FROM ord WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT o.lang, o.win, o.rn, o.doc_id, o.n_tokens, "
+            "CASE WHEN s.run + o.n_tokens > 256 THEN s.bin + 1 ELSE s.bin END, "
+            "CASE WHEN s.run + o.n_tokens > 256 THEN o.n_tokens "
+            "ELSE s.run + o.n_tokens END "
+            "FROM ord o JOIN st s ON s.lang = o.lang AND s.win = o.win "
+            "AND o.rn = s.rn + 1) "
+            "SELECT doc_id, lang, win, bin, n_tokens FROM st"
+        ),
+        "decontaminated_docs": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM w), "
+            "ng AS (SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g FROM idx), "
+            "bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0), "
+            "hits AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b ON n.g = b.g "
+            "WHERE n.doc_id % 23 <> 0) "
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "WHERE d.doc_id % 23 <> 0 "
+            "AND d.doc_id NOT IN (SELECT doc_id FROM hits)"
         ),
         "curated_docs": (
             r"SELECT MIN(doc_id) AS doc_id FROM documents "

@@ -734,3 +734,128 @@ def test_top_terms_exact_vs_python(ray_session):
     cnt = collections.Counter(w for t in texts for w in t.split())
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["term"], got["cnt"])) == want
+
+
+def test_decontaminate_vs_brute(ray_session, docs_ds, docs_df):
+    """decontaminate == per-doc Python k-gram membership reference."""
+    import ray.data as rd
+
+    from rayspatial.textops.decontam import decontaminate
+
+    k = 4
+    is_bench = docs_df.doc_id % 23 == 0
+    bench_ngrams = set()
+    for t in docs_df.text[is_bench]:
+        ws = t.split()
+        for j in range(len(ws) - k + 1):
+            bench_ngrams.add(" ".join(ws[j : j + k]))
+    expect = []
+    for i, t in zip(docs_df.doc_id[~is_bench], docs_df.text[~is_bench]):
+        ws = t.split()
+        if not any(
+            " ".join(ws[j : j + k]) in bench_ngrams
+            for j in range(len(ws) - k + 1)
+        ):
+            expect.append(i)
+
+    bench_ds = rd.from_pandas(docs_df[is_bench])
+    train_ds = rd.from_pandas(docs_df[~is_bench])
+    got = decontaminate(train_ds, bench_ds, k=k).to_pandas()
+    assert sorted(got.doc_id) == sorted(expect)
+    assert list(got.columns) == ["doc_id", "n_chars"]
+    # some contamination must actually occur for the test to mean anything
+    assert len(expect) < int((~is_bench).sum())
+
+
+def test_decontaminate_edge_cases(ray_session):
+    """Short docs (< k words) always survive; empty benchmark keeps all;
+    exact copies of bench docs are dropped."""
+    import ray.data as rd
+
+    from rayspatial.textops.decontam import decontaminate
+
+    bench = pd.DataFrame({"doc_id": [100], "text": ["a b c d e"], "n_chars": [9]})
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e",        # exact copy -> dropped
+                "x a b c d y",      # contains bench 4-gram -> dropped
+                "a b c",            # < k words -> kept
+                "q w e r t y",      # clean -> kept
+            ],
+            "n_chars": [9, 11, 5, 11],
+        }
+    )
+    got = decontaminate(
+        rd.from_pandas(train), rd.from_pandas(bench), k=4
+    ).to_pandas()
+    assert sorted(got.doc_id) == [3, 4]
+
+    empty_bench = rd.from_pandas(bench.iloc[0:0])
+    got2 = decontaminate(rd.from_pandas(train), empty_bench, k=4).to_pandas()
+    assert sorted(got2.doc_id) == [1, 2, 3, 4]
+
+
+def test_pack_sequences_vs_brute(ray_session, docs_ds, docs_df):
+    """pack_sequences == sequential Python greedy per (lang, win)."""
+    from rayspatial.textops.packing import pack_sequences
+
+    budget, window = 256, 64
+    got = (
+        pack_sequences(docs_ds, budget=budget, window=window)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    df = docs_df.assign(
+        win=docs_df.doc_id // window,
+        nt=[len(t.split()) for t in docs_df.text],
+    ).sort_values("doc_id")
+    expect = {}
+    for (_, _), grp in df.groupby(["lang", "win"], sort=False):
+        b, run = 0, None
+        for r in grp.itertuples():
+            if run is None:
+                run = r.nt
+            elif run + r.nt > budget:
+                b, run = b + 1, r.nt
+            else:
+                run += r.nt
+            expect[r.doc_id] = (b, r.nt)
+    assert len(got) == len(df)
+    for r in got.itertuples():
+        assert (r.bin, r.n_tokens) == expect[r.doc_id], r.doc_id
+    # packing must actually split: some unit has more than one bin
+    assert got.bin.max() >= 1
+
+
+def test_pack_sequences_edges(ray_session):
+    """Over-budget doc gets its own bin; zero-token docs join the
+    current bin; result independent of block layout."""
+    import ray.data as rd
+
+    from rayspatial.textops.packing import pack_sequences
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "lang": ["en"] * 5,
+            "text": ["w " * 300, "a b c", "", "d e", "f " * 250],
+        }
+    )
+    for nblocks in (1, 5):
+        got = (
+            pack_sequences(
+                rd.from_pandas(docs).repartition(nblocks),
+                budget=10,
+                window=1000,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # doc0 (300 tok) own bin 0; doc1 (3) opens bin 1; doc2 (0) joins;
+        # doc3 (2) joins (3+0+2<=10); doc4 (250) overflows -> bin 2
+        assert list(got.bin) == [0, 1, 1, 1, 2]
+        assert list(got.n_tokens) == [300, 3, 0, 2, 250]
