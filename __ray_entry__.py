@@ -1450,6 +1450,65 @@ def _q_packed_sequences(sf_dir: str):
     )
 
 
+def _q_lm_scores(sf_dir: str):
+    """CCNet-style bigram-LM scoring: corpus bigram/unigram counts
+    (one hash shuffle, broadcast model) -> per-doc add-one-smoothed
+    log-likelihood in integer micro-nats (one streaming pass)."""
+    from rayspatial.textops.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(sf_dir, rows_per_block=512))
+
+
+def _q_customer_orders_full(sf_dir: str):
+    """FULL outer hash equi-join (shuffle mode): even-keyed customers
+    x per-customer order counts — unmatched rows on BOTH sides
+    (odd customers with orders appear right-only; even customers
+    without orders left-only), sentinel-coalesced for the compare."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"custkey": b.column("c_custkey")}
+        ).filter(pa.array(b.column("c_custkey").to_numpy() % 2 == 0)),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda b: pa.table({"custkey": b.column("o_custkey")}),
+        batch_format="pyarrow",
+    )
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("custkey", sort=False).size().rename("n_orders")
+        return out.reset_index().astype(np.int64)
+
+    per_cust = hash_partitioned_agg(orders, ["custkey"], cnt)
+    joined = hash_join(per_cust, customer.map_batches(
+        lambda b: b.append_column(
+            "is_cust", pa.array(np.ones(len(b), dtype=np.int64))),
+        batch_format="pyarrow",
+    ), on="custkey", left_cols=["custkey", "n_orders"],
+        right_cols=["is_cust"], mode="shuffle", how="full")
+    import pyarrow.compute as pc
+
+    return joined.map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("custkey"),
+            "n_orders": pc.fill_null(b.column("n_orders"), 0),
+            "is_cust": pc.fill_null(b.column("is_cust"), 0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1514,9 +1573,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": _q_curated_docs,
         "decontaminated_docs": _q_decontaminated_docs,
         "packed_sequences": _q_packed_sequences,
+        "lm_scores": _q_lm_scores,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
+        "customer_orders_full": _q_customer_orders_full,
         "docs_quality_band": _q_docs_quality_band,
     }
 
@@ -2035,6 +2096,28 @@ def oracle_sql() -> dict[str, str]:
             "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
             "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
         ),
+        "lm_scores": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(string_split_regex(trim(text), '\s+')) AS w, "
+            r"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord "
+            "FROM documents), "
+            "t AS (SELECT * FROM toks WHERE w <> ''), "
+            "uni AS (SELECT w, COUNT(*) AS c1 FROM t GROUP BY w), "
+            "v AS (SELECT COUNT(*) AS v FROM uni), "
+            "bg AS (SELECT doc_id, w AS w1, "
+            "lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2 FROM t), "
+            "bgn AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL), "
+            "bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgn GROUP BY w1, w2), "
+            "terms AS (SELECT n.doc_id, "
+            "CAST(round(ln((c.c12 + 1.0) / (u.c1 + v.v)) * 1000000) AS BIGINT) AS s "
+            "FROM bgn n JOIN bgc c ON c.w1 = n.w1 AND c.w2 = n.w2 "
+            "JOIN uni u ON u.w = n.w1 CROSS JOIN v), "
+            "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(s) AS BIGINT) AS lm_score_micro FROM terms GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, "
+            "COALESCE(a.lm_score_micro, 0) AS lm_score_micro "
+            "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"
+        ),
         "packed_sequences": (
             r"WITH RECURSIVE t AS (SELECT doc_id, lang, doc_id // 64 AS win, "
             r"CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -2099,6 +2182,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, "
             "COALESCE(o_orderkey, -1) AS o_orderkey "
             "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+        ),
+        "customer_orders_full": (
+            "WITH oc AS (SELECT o_custkey AS custkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1), "
+            "cu AS (SELECT c_custkey AS custkey, CAST(1 AS BIGINT) AS is_cust "
+            "FROM customer WHERE c_custkey % 2 = 0) "
+            "SELECT COALESCE(oc.custkey, cu.custkey) AS custkey, "
+            "COALESCE(oc.n_orders, 0) AS n_orders, "
+            "COALESCE(cu.is_cust, 0) AS is_cust "
+            "FROM oc FULL OUTER JOIN cu ON cu.custkey = oc.custkey"
         ),
         "docs_quality_band": (
             "WITH n AS (SELECT COUNT(*) AS c FROM documents), "

@@ -1,6 +1,6 @@
-"""Distributed hash equi-join (inner / left outer) — plain relational
-join as a Ray Data operator, with the two scale modes every 100-TB
-plan needs:
+"""Distributed hash equi-join (inner / left / right / full outer) —
+plain relational join as a Ray Data operator, with the two scale modes
+every 100-TB plan needs:
 
 - ``mode="broadcast"``: the small side is ``ray.put`` ONCE and probed
   inside a streaming ``map_batches`` over the big side (per-worker
@@ -33,10 +33,11 @@ def hash_join(left_ds, right_ds, on: str,
               how: str = "inner"):
     """Equi-join LEFT x RIGHT on ``on``.  ``left_cols`` /
     ``right_cols``: output columns from each side (key listed once, in
-    ``left_cols``).  ``how``: "inner" or "left" (unmatched left rows
-    kept with nulls in the right columns; output schema stays the
-    right side's Arrow types — no float64 NaN coercion leaking
-    between partitions).
+    ``left_cols``).  ``how``: "inner", "left", "right" or "full"
+    (unmatched rows kept with typed nulls in the other side's columns;
+    output schema keeps each side's declared Arrow types — no float64
+    NaN coercion leaking between partitions).  right/full need key
+    co-location and are shuffle-mode only.
 
     ``bloom_bits`` (shuffle mode): build a Bloom filter of the RIGHT
     side's keys (one streaming pass, per-block bitmaps OR-merged to a
@@ -45,9 +46,14 @@ def hash_join(left_ds, right_ds, on: str,
     rows that can possibly join.  False positives just ride the
     shuffle; the partition merge stays exact, so results are
     identical with or without it."""
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unknown join how: {how!r}")
     if mode == "broadcast":
+        if how in ("right", "full"):
+            # unmatched RIGHT rows would be re-emitted by every probe
+            # task (the right side is replicated); right/full outer
+            # need key co-location — use shuffle mode.
+            raise ValueError(f"how={how!r} requires mode='shuffle'")
         return _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
                                how)
     if mode == "shuffle":
@@ -191,11 +197,13 @@ def _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
 
     types = {**ltypes, **{c: rtypes[c] for c in ronly}}
 
+    pandas_how = {"full": "outer"}.get(how, how)
+
     def per_partition(df: pd.DataFrame) -> pa.Table:
         lmask = df["_side"].to_numpy() == 1
         left = df.loc[lmask, [on] + lonly]
         right = df.loc[~lmask, [on] + ronly]
-        out = left.merge(right, on=on, how=how, sort=False)
+        out = left.merge(right, on=on, how=pandas_how, sort=False)
         return _typed_table(out, left_cols + ronly, types)
 
     return hash_partitioned_agg(lt.union(rt), [on], per_partition,

@@ -208,3 +208,40 @@ def test_left_outer_join_both_modes(ray_session):
                 (how, mode)
             if how == "left":
                 assert got["rv"].isna().sum() > 0  # unmatched rows exist
+
+
+def test_right_and_full_outer_join(ray_session):
+    """how='right'/'full' (shuffle mode) match pandas merge; broadcast
+    mode rejects them."""
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import hash_join
+
+    rng = np.random.RandomState(11)
+    L = pd.DataFrame({"k": rng.randint(0, 30, 150).astype(np.int64),
+                      "lv": np.arange(150, dtype=np.int64)})
+    R = pd.DataFrame({"k": rng.randint(15, 45, 60).astype(np.int64),
+                      "rv": np.arange(60, dtype=np.int64) * 3})
+    lds = rd.from_pandas(L).repartition(3)
+    rds = rd.from_pandas(R).repartition(2)
+
+    for how, pandas_how in (("right", "right"), ("full", "outer")):
+        got = hash_join(lds, rds, "k", ["k", "lv"], ["rv"],
+                        mode="shuffle", how=how).to_pandas()
+        want = L.merge(R, on="k", how=pandas_how, sort=False)
+        key = ["k", "lv", "rv"]
+        gs = got.sort_values(key).reset_index(drop=True)[key]
+        ws = want.sort_values(key).reset_index(drop=True)[key]
+        assert len(gs) == len(ws)
+        for c in key:
+            gv = gs[c].fillna(-1).astype(np.int64)
+            wv = ws[c].fillna(-1).astype(np.int64)
+            assert (gv == wv).all(), (how, c)
+        # typed nulls, not NaN-coerced floats
+        assert got["lv"].dtype.kind in "if"
+        if how == "full":
+            assert got["rv"].isna().any() and got["lv"].isna().any()
+
+    with pytest.raises(ValueError):
+        hash_join(lds, rds, "k", ["k", "lv"], ["rv"],
+                  mode="broadcast", how="full")

@@ -859,3 +859,50 @@ def test_pack_sequences_edges(ray_session):
         # doc3 (2) joins (3+0+2<=10); doc4 (250) overflows -> bin 2
         assert list(got.bin) == [0, 1, 1, 1, 2]
         assert list(got.n_tokens) == [300, 3, 0, 2, 250]
+
+
+def test_bigram_lm_scores_vs_brute(ray_session, docs_ds, docs_df):
+    """bigram_lm_scores == per-doc Python add-one bigram LM."""
+    from collections import Counter
+
+    from rayspatial.textops.lm import bigram_lm_scores
+
+    uni, bi = Counter(), Counter()
+    for t in docs_df.text:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V = len(uni)
+
+    got = bigram_lm_scores(docs_ds).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs_df)
+    for i, t in zip(docs_df.doc_id, docs_df.text):
+        ws = t.split()
+        expect = sum(
+            int(np.round(np.log((bi[(a, b)] + 1.0) / (uni[a] + V)) * 1e6))
+            for a, b in zip(ws, ws[1:])
+        )
+        assert got.loc[i, "lm_score_micro"] == expect, i
+        assert got.loc[i, "n_bigrams"] == max(len(ws) - 1, 0)
+
+
+def test_bigram_lm_scores_short_docs(ray_session):
+    """Docs with <2 tokens score 0 with 0 bigrams."""
+    import ray.data as rd
+
+    from rayspatial.textops.lm import bigram_lm_scores
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["solo", "", "a b a b"]}
+    )
+    got = (
+        bigram_lm_scores(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got.n_bigrams) == [0, 0, 3]
+    assert got.lm_score_micro.iloc[0] == 0 and got.lm_score_micro.iloc[1] == 0
+    # model: uni a=2 b=2 solo=1 V=3; ab: c12=2 c1=5? no: uni[a]=2 -> ln(3/5)
+    ab = round(np.log((2 + 1) / (2 + 3)) * 1e6)
+    ba = round(np.log((1 + 1) / (2 + 3)) * 1e6)
+    assert got.lm_score_micro.iloc[2] == 2 * ab + ba
