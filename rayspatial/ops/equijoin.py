@@ -177,22 +177,24 @@ def _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
     lonly = [c for c in left_cols if c != on]
     ronly = [c for c in right_cols if c != on]
 
-    def tag(side: int, own: list[str], other: list[str], other_t):
+    def tag(side: int, own: list[str], other_t):
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             cols = {"_side": pa.array(np.full(n, side, dtype=np.int8)),
                     on: batch.column(on)}
-            for c in own:
-                cols[c] = batch.column(c)
-            for c in other:
-                cols[c] = pa.nulls(n, other_t[c])
+            # canonical column order on BOTH sides — mismatched orders
+            # make the union's block schemas unequal, which forces Ray
+            # into slow per-block schema unification
+            for c in lonly + ronly:
+                cols[c] = (batch.column(c) if c in own
+                           else pa.nulls(n, other_t[c]))
             return pa.table(cols)
 
         return fn
 
-    lt = left_ds.map_batches(tag(1, lonly, ronly, rtypes),
+    lt = left_ds.map_batches(tag(1, lonly, rtypes),
                              batch_format="pyarrow")
-    rt = right_ds.map_batches(tag(0, ronly, lonly, ltypes),
+    rt = right_ds.map_batches(tag(0, ronly, ltypes),
                               batch_format="pyarrow")
 
     types = {**ltypes, **{c: rtypes[c] for c in ronly}}
