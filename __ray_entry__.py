@@ -1509,6 +1509,37 @@ def _q_customer_orders_full(sf_dir: str):
     )
 
 
+def _q_host_capped_docs(sf_dir: str):
+    """Domain-contribution cap: at most 4 pages per host (host parsed
+    from the url with a vectorized Arrow regex), first-by-doc_id kept —
+    one hash shuffle, exact per-group head."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.textops.sampling import cap_per_group
+
+    pts = points_dataset(sf_dir)
+
+    def parse_host(batch: pa.Table) -> pa.Table:
+        host = pc.extract_regex(batch.column("url"), r"^https?://(?P<h>[^/]+)/")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        return pa.table({"host": host.field("h"),
+                         "doc_id": batch.column("doc_id")})
+
+    hosted = pts.map_batches(parse_host, batch_format="pyarrow")
+    return cap_per_group(hosted, "host", 4, order_col="doc_id")
+
+
+def _q_vocab(sf_dir: str):
+    """Tokenizer-vocabulary build: exact corpus term counts (bounded
+    combine), min-count filter, contiguous token ids by rank."""
+    from rayspatial.textops.analysis import build_vocab
+
+    return build_vocab(_docs(sf_dir, rows_per_block=512), min_count=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1574,6 +1605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": _q_decontaminated_docs,
         "packed_sequences": _q_packed_sequences,
         "lm_scores": _q_lm_scores,
+        "host_capped_docs": _q_host_capped_docs,
+        "vocab": _q_vocab,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
@@ -2095,6 +2128,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM polys p WHERE p.xmin <= c.x AND p.xmax >= c.x2 "
             "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
             "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
+        ),
+        "vocab": (
+            r"WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) "
+            "AS term FROM documents), "
+            "c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t "
+            "WHERE term <> '' GROUP BY term HAVING COUNT(*) >= 3) "
+            "SELECT term, cnt, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) "
+            "AS token_id FROM c"
+        ),
+        "host_capped_docs": (
+            "WITH h AS (SELECT 'site-' || CAST(doc_id % 97 AS VARCHAR) "
+            "|| '.example.com' AS host, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) "
+            "AS rn FROM documents) "
+            "SELECT host, doc_id FROM h WHERE rn <= 4"
         ),
         "lm_scores": (
             r"WITH toks AS (SELECT doc_id, "

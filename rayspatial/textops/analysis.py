@@ -324,3 +324,47 @@ def top_terms(ds, k: int = 20, text_col: str = "text"):
     return survivors.repartition(1).map_batches(
         final_head, batch_size=None, batch_format="pyarrow"
     )
+
+
+def build_vocab(ds, min_count: int = 2, text_col: str = "text"):
+    """Tokenizer-vocabulary build: corpus term counts -> drop terms
+    below ``min_count`` -> contiguous token ids by rank
+    (count desc, term asc).
+
+    Same bounded-combine shape as ``top_terms`` (per-batch distinct
+    partials, one hash shuffle for exact totals, min-count filter per
+    partition); the final rank runs over the SURVIVING vocabulary only
+    — result-bounded (a tokenizer vocab is ~1e5-1e7 rows regardless of
+    corpus size), so the single-task id assignment is the standard
+    materialize-the-vocab step, not an unbounded gather."""
+    from rayspatial.textops.hashing import split_words
+    from rayspatial.util import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _off = split_words(batch.column(text_col))
+        terms, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({
+            "term": pa.array(terms.astype(str)),
+            "cnt": pa.array(counts.astype(np.int64)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def exact_filter(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", sort=False)["cnt"].sum().reset_index()
+        return out[out["cnt"] >= min_count]
+
+    vocab = hash_partitioned_agg(part, ["term"], exact_filter)
+
+    def assign_ids(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="stable"
+        )
+        df["token_id"] = np.arange(len(df), dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return vocab.repartition(1).map_batches(
+        assign_ids, batch_size=None, batch_format="pyarrow"
+    )

@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from rayspatial.textops.hashing import hash_int64
 
-__all__ = ["stratified_sample"]
+__all__ = ["stratified_sample", "cap_per_group"]
 
 
 def stratified_sample(ds, rates: dict[str, float],
@@ -50,3 +50,24 @@ def stratified_sample(ds, rates: dict[str, float],
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(sample_batch, batch_format="pyarrow")
+
+
+def cap_per_group(ds, group_col: str, n: int, order_col: str = "doc_id",
+                  num_partitions: int | None = None):
+    """Domain-contribution capping: keep at most the FIRST ``n`` rows
+    per group (ordered by ``order_col`` ascending, deterministic).
+
+    The per-host cap every web-corpus curation pipeline applies so a
+    handful of mega-domains cannot dominate the training mix.  One
+    hash shuffle keyed by group; per-partition vectorized
+    sort + ``groupby.head(n)`` (every row of a group is co-partitioned,
+    so the cap is exact).  Output is bounded by ``n x |groups|``.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    def head_n(df):
+        df = df.sort_values([group_col, order_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(n)
+
+    return hash_partitioned_agg(ds, [group_col], head_n,
+                                num_partitions=num_partitions)

@@ -906,3 +906,44 @@ def test_bigram_lm_scores_short_docs(ray_session):
     ab = round(np.log((2 + 1) / (2 + 3)) * 1e6)
     ba = round(np.log((1 + 1) / (2 + 3)) * 1e6)
     assert got.lm_score_micro.iloc[2] == 2 * ab + ba
+
+
+def test_cap_per_group_vs_brute(ray_session, docs_ds, docs_df):
+    """cap_per_group == pandas groupby.head, partition-independent."""
+    from rayspatial.textops.sampling import cap_per_group
+
+    capped = cap_per_group(
+        docs_ds.map_batches(
+            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+        ),
+        "source",
+        3,
+        order_col="doc_id",
+    ).to_pandas()
+    want = (
+        docs_df[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .groupby("source", sort=False)
+        .head(3)
+    )
+    assert sorted(capped.doc_id) == sorted(want.doc_id)
+    assert capped.groupby("source").size().max() == 3
+
+
+def test_build_vocab_vs_brute(ray_session, docs_ds, docs_df):
+    """build_vocab == Counter + rank; ids contiguous from 0."""
+    from collections import Counter
+
+    from rayspatial.textops.analysis import build_vocab
+
+    cnt = Counter()
+    for t in docs_df.text:
+        cnt.update(t.split())
+    want = sorted(
+        ((c, w) for w, c in cnt.items() if c >= 3),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = build_vocab(docs_ds, min_count=3).to_pandas()
+    got = got.sort_values("token_id").reset_index(drop=True)
+    assert list(got.token_id) == list(range(len(want)))
+    assert [(c, w) for w, c in zip(got.term, got.cnt)] == want
