@@ -1540,6 +1540,36 @@ def _q_vocab(sf_dir: str):
     return build_vocab(_docs(sf_dir, rows_per_block=512), min_count=3)
 
 
+def _q_rolling_user_value(sf_dir: str):
+    """Time-RANGE rolling window: per event, SUM(value_cents)/COUNT
+    over the same user's trailing hour (equal-ts peers included, SQL
+    RANGE semantics) — one hash shuffle, per-partition offset-shifted
+    searchsorted (no per-user Python loop)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.analytic import rolling_time_window
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "cents": pa.array(
+                np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return rolling_time_window(
+        events, "user_id", "ts", "cents",
+        window_us=3_600_000_000, id_cols=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1607,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scores": _q_lm_scores,
         "host_capped_docs": _q_host_capped_docs,
         "vocab": _q_vocab,
+        "rolling_user_value": _q_rolling_user_value,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
@@ -2128,6 +2159,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM polys p WHERE p.xmin <= c.x AND p.xmax >= c.x2 "
             "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
             "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
+        ),
+        "rolling_user_value": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS sum_w, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_w "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ),
         "vocab": (
             r"WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) "

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["analytic_window"]
+__all__ = ["analytic_window", "rolling_time_window"]
 
 _SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
 
@@ -136,3 +136,68 @@ def analytic_window(ds, part_cols: list[str], order_cols: list[str],
 
     return hash_partitioned_agg(ds, part_cols, per_partition,
                                 num_partitions=num_partitions)
+
+
+def rolling_time_window(ds, part_col: str, ts_col: str, value_col: str,
+                        window_us: int,
+                        id_cols: list[str] | None = None,
+                        num_partitions: int | None = None):
+    """Trailing time-RANGE window aggregate: per row, SUM(value) and
+    COUNT(*) over the same partition key's rows with
+    ``ts in [row.ts - window, row.ts]`` — SQL's
+    ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`` (equal-ts
+    peers included, like RANGE frames).
+
+    ONE hash shuffle by ``part_col``; per partition: one sort, prefix
+    sums, and two vectorized ``searchsorted`` calls on a per-key
+    OFFSET-SHIFTED timestamp axis (each key's time span is relocated to
+    a disjoint numeric interval, so a single global searchsorted can
+    never cross key boundaries — no per-key Python loop).
+
+    ``value_col`` must be integer (quantize floats upstream, e.g.
+    cents) so partial sums are exact.  Output: id_cols + part_col +
+    ``sum_w`` + ``n_w``.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    id_cols = id_cols or []
+    W = np.int64(window_us)
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {c: pa.array([], type=pa.int64())
+                 for c in [*id_cols, part_col, "sum_w", "n_w"]}
+            )
+        df = df.sort_values([part_col, ts_col] + id_cols,
+                            kind="mergesort").reset_index(drop=True)
+        ts = df[ts_col].to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        keys = df[part_col].to_numpy()
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        seg = np.cumsum(new) - 1  # dense key rank within partition
+        tmin, tmax = ts.min(), ts.max()
+        span = np.int64(tmax - tmin)
+        stride = span + W + np.int64(2)
+        if int(seg[-1] + 1) * int(stride) > 2**62:
+            raise OverflowError(
+                "rolling_time_window: key-count x time-span exceeds the "
+                "shift axis; raise num_partitions or bucket timestamps"
+            )
+        shifted = (ts - tmin) + seg * stride
+        v = df[value_col].to_numpy().astype(np.int64)
+        cum = np.zeros(len(v) + 1, dtype=np.int64)
+        np.cumsum(v, out=cum[1:])
+        lo = np.searchsorted(shifted, shifted - W, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        out = {c: df[c].to_numpy() for c in id_cols}
+        out[part_col] = keys
+        out["sum_w"] = cum[hi] - cum[lo]
+        out["n_w"] = (hi - lo).astype(np.int64)
+        return pa.table({k: pa.array(val) for k, val in out.items()})
+
+    return hash_partitioned_agg(ds, [part_col], per_partition,
+                                 num_partitions=num_partitions)

@@ -125,3 +125,36 @@ def test_analytic_dtype_preserved_int64_nullable():
                           out_cols=["id"])
     schema = out.schema()
     assert schema.base_schema.field("p").type == pa.int64()
+
+
+def test_rolling_time_window_vs_pandas(ray_session):
+    """rolling_time_window == pandas per-user brute force with RANGE
+    (equal-ts peers included); partitioning-independent."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import rolling_time_window
+
+    rng = np.random.RandomState(3)
+    n = 800
+    base = np.int64(1_700_000_000_000_000)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "tsu": base + rng.randint(0, 3_600_000_000 * 5, n).astype(np.int64),
+        "cents": rng.randint(-500, 500, n).astype(np.int64),
+    })
+    # force equal-ts peers within a user
+    df.loc[1, ["user_id", "tsu"]] = df.loc[0, ["user_id", "tsu"]]
+    df["ts"] = df["tsu"].astype("datetime64[us]")
+    W = 3_600_000_000
+
+    got = rolling_time_window(
+        rd.from_pandas(df[["event_id", "user_id", "ts", "cents"]])
+        .repartition(5),
+        "user_id", "ts", "cents", window_us=W, id_cols=["event_id"],
+    ).to_pandas().set_index("event_id")
+
+    for r in df.itertuples():
+        m = (df.user_id == r.user_id) & (df.tsu >= r.tsu - W) & (df.tsu <= r.tsu)
+        assert got.loc[r.event_id, "sum_w"] == df.cents[m].sum(), r.event_id
+        assert got.loc[r.event_id, "n_w"] == int(m.sum())
