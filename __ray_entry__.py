@@ -1570,6 +1570,126 @@ def _q_rolling_user_value(sf_dir: str):
     )
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: multi-aggregate groupby over lineitem with a
+    date filter — per-batch integer partials (cents / scaled products)
+    -> one small hash combine.  All money terms are exact integers."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        keep = ship <= cutoff
+        qty = batch.column("l_quantity").to_numpy()[keep].astype(np.int64)
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc_pct = np.round(
+            batch.column("l_discount").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        # disc price in 1e-4 units: price_c * (100 - disc_pct)
+        disc_price = price_c * (100 - disc_pct)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_numpy(
+                zero_copy_only=False)[keep],
+            "l_linestatus": batch.column("l_linestatus").to_numpy(
+                zero_copy_only=False)[keep],
+            "sum_qty": qty,
+            "sum_price_cents": price_c,
+            "sum_disc_price_e4": disc_price,
+            "n_rows": np.ones(len(qty), dtype=np.int64),
+        })
+        out = df.groupby(["l_returnflag", "l_linestatus"], sort=False
+                         ).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"], sort=False
+                          ).sum().reset_index()
+
+    return hash_partitioned_agg(
+        parts, ["l_returnflag", "l_linestatus"], combine)
+
+
+def _q_orders_by_region(sf_dir: str):
+    """Multi-hop dimension enrichment: orders -> customer -> nation ->
+    region via CHAINED broadcast hash joins (each dimension ray.put
+    once), then a small groupby — the star-schema pattern where no
+    fact-table shuffle ever happens."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("o_custkey"),
+            "price_cents": pa.array(np.round(
+                b.column("o_totalprice").to_numpy() * 100).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"custkey": b.column("c_custkey"),
+                            "nationkey": b.column("c_nationkey")}),
+        batch_format="pyarrow",
+    )
+    nation = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": b.column("n_nationkey"),
+                            "regionkey": b.column("n_regionkey")}),
+        batch_format="pyarrow",
+    )
+    region = read_parquet_sized(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).map_batches(
+        lambda b: pa.table({"regionkey": b.column("r_regionkey"),
+                            "r_name": b.column("r_name")}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(orders, customer, on="custkey",
+                   left_cols=["custkey", "price_cents"],
+                   right_cols=["nationkey"], mode="broadcast")
+    j2 = hash_join(j1, nation, on="nationkey",
+                   left_cols=["nationkey", "price_cents"],
+                   right_cols=["regionkey"], mode="broadcast")
+    j3 = hash_join(j2, region, on="regionkey",
+                   left_cols=["regionkey", "price_cents"],
+                   right_cols=["r_name"], mode="broadcast")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("r_name", sort=False)["price_cents"].agg(
+            [("n_orders", "size"), ("sum_price_cents", "sum")]
+        ).reset_index()
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return hash_partitioned_agg(
+        j3.map_batches(
+            lambda b: b.select(["r_name", "price_cents"]),
+            batch_format="pyarrow"),
+        ["r_name"], agg)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1638,6 +1758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_capped_docs": _q_host_capped_docs,
         "vocab": _q_vocab,
         "rolling_user_value": _q_rolling_user_value,
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
@@ -2159,6 +2281,27 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM polys p WHERE p.xmin <= c.x AND p.xmax >= c.x2 "
             "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
             "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS sum_disc_price_e4, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_region": (
+            "SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "GROUP BY r.r_name"
         ),
         "rolling_user_value": (
             "SELECT event_id, user_id, "
