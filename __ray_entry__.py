@@ -1690,6 +1690,16 @@ def _q_orders_by_region(sf_dir: str):
         ["r_name"], agg)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Top-25 bigram collocations by PMI (min_count 5): bounded
+    partials, exact totals, two attach shuffles, integer micro-nat
+    scores."""
+    from rayspatial.textops.lm import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir, rows_per_block=512),
+                            k=25, min_count=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1759,6 +1769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab": _q_vocab,
         "rolling_user_value": _q_rolling_user_value,
         "pricing_summary": _q_pricing_summary,
+        "pmi_collocations": _q_pmi_collocations,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2281,6 +2292,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM polys p WHERE p.xmin <= c.x AND p.xmax >= c.x2 "
             "AND p.ymin <= c.y AND p.ymax >= c.y2)) "
             "SELECT SUM((x2 - x) * (y2 - y)) AS union_area FROM covered"
+        ),
+        "pmi_collocations": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(string_split_regex(trim(text), '\s+')) AS w, "
+            r"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord "
+            "FROM documents), "
+            "t AS (SELECT * FROM toks WHERE w <> ''), "
+            "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w), "
+            "n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni), "
+            "bg AS (SELECT doc_id, w AS w1, "
+            "lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2 FROM t), "
+            "bgn AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL), "
+            "n12 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bgn), "
+            "bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 "
+            "FROM bgn GROUP BY w1, w2 HAVING COUNT(*) >= 5), "
+            "scored AS (SELECT b.w1, b.w2, b.c12, "
+            "CAST(round(ln((b.c12 * n1.n * n1.n) / (n12.n * u1.c * u2.c)) "
+            "* 1000000) AS BIGINT) AS pmi_micro "
+            "FROM bgc b JOIN uni u1 ON u1.w = b.w1 "
+            "JOIN uni u2 ON u2.w = b.w2 CROSS JOIN n1 CROSS JOIN n12) "
+            "SELECT w1, w2, c12, pmi_micro FROM scored "
+            "ORDER BY pmi_micro DESC, w1, w2 LIMIT 25"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -40,7 +40,7 @@ from rayspatial.textops.hashing import (
     split_words,
 )
 
-__all__ = ["bigram_lm_scores"]
+__all__ = ["bigram_lm_scores", "pmi_collocations"]
 
 
 def _batch_ngrams(batch: pa.Table, text_col: str):
@@ -149,3 +149,143 @@ def bigram_lm_scores(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
+                     text_col: str = "text"):
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    ``PMI = ln( (c12 / N12) / ((c1 / N1) * (c2 / N1)) )`` over
+    whitespace bigrams with ``c12 >= min_count``.
+
+    The phrase-mining step (new-terminology detection, tokenizer merge
+    candidates).  Stages, all bounded:
+
+    1. per-batch partial unigram + bigram STRING counts (rows out =
+       distinct n-grams in the block),
+    2. exact totals: one hash shuffle each,
+    3. two attach passes (c1 then c2), each ONE hash shuffle of the
+       distinct-bigram table unioned with the unigram totals keyed by
+       the same word — a per-partition merge, the tfidf df-attach
+       pattern, never a driver-side lookup,
+    4. integer micro-nat PMI + min-count filter, per-partition top-k,
+       final head over k x P rows.
+
+    Ties (pmi desc, w1 asc, w2 asc) are deterministic and
+    SQL-comparable.
+    """
+    import pyarrow.compute as pc
+
+    from rayspatial.util import hash_partitioned_agg
+
+    # ---- totals -----------------------------------------------------------
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        flat, off = split_words(batch.column(text_col))
+        counts = np.diff(off)
+        m = np.maximum(counts - 1, 0)
+        words = flat.to_numpy(zero_copy_only=False)
+        ku, cu = np.unique(words, return_counts=True)
+        rows = {"w1": ku.astype(str), "w2": np.full(len(ku), "", dtype=object),
+                "cnt": cu.astype(np.int64), "kind": np.zeros(len(ku), np.int8)}
+        if m.sum():
+            doc_of = np.repeat(np.arange(len(m)), m)
+            starts = off[:-1][doc_of] + _ragged_arange(m)
+            w1 = flat.take(pa.array(starts)).to_numpy(zero_copy_only=False)
+            w2 = flat.take(pa.array(starts + 1)).to_numpy(zero_copy_only=False)
+            big = np.char.add(np.char.add(w1.astype(str), "\x1f"),
+                              w2.astype(str))
+            kb, cb = np.unique(big, return_counts=True)
+            sp = np.char.partition(kb, "\x1f")
+            rows = {
+                "w1": np.r_[rows["w1"], sp[:, 0]],
+                "w2": np.r_[rows["w2"], sp[:, 2]],
+                "cnt": np.r_[rows["cnt"], cb.astype(np.int64)],
+                "kind": np.r_[rows["kind"], np.ones(len(kb), np.int8)],
+            }
+        return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["kind", "w1", "w2"], sort=False)["cnt"]
+                .sum().reset_index())
+
+    tot = hash_partitioned_agg(partials, ["kind", "w1", "w2"], totals)
+
+    # ---- corpus scalars (tiny gather: 1 row per block) ---------------------
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        _, off = split_words(batch.column(text_col))
+        counts = np.diff(off)
+        return pa.table({
+            "n1": pa.array([int(counts.sum())]),
+            "n12": pa.array([int(np.maximum(counts - 1, 0).sum())]),
+        })
+
+    sc = docs_ds.map_batches(scalar_partial, batch_format="pyarrow").take_all()
+    N1 = sum(r["n1"] for r in sc)
+    N12 = sum(r["n12"] for r in sc)
+
+    # ---- attach c1 then c2 -------------------------------------------------
+    def attach(word_col: str, out_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            uni = df[df["kind"] == 0]
+            lut = dict(zip(uni["w1"], uni["cnt"]))
+            bi = df[df["kind"] == 1].copy()
+            bi[out_col] = bi[word_col].map(lut).astype(np.int64)
+            keep_uni = uni if out_col == "c1" else uni.iloc[0:0]
+            return pd.concat([keep_uni, bi], ignore_index=True)
+
+        return fn
+
+    # pass 1: key by w1 (unigram rows already keyed w1); bigrams gain c1,
+    # unigram rows ride along for pass 2
+    p1 = hash_partitioned_agg(tot, ["w1"], attach("w1", "c1"))
+
+    # pass 2: key bigrams by w2; re-key unigram rows onto w2's axis
+    def rekey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_uni = df["kind"] == 0
+        df.loc[is_uni, "w2"] = df.loc[is_uni, "w1"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    p2 = hash_partitioned_agg(
+        p1.map_batches(rekey, batch_format="pyarrow"),
+        ["w2"], attach("w2", "c2"))
+
+    # ---- PMI + bounded top-k ----------------------------------------------
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bi = df[(df["kind"] == 1) & (df["cnt"] >= min_count)].copy()
+        if not len(bi):
+            return pd.DataFrame({
+                "w1": pd.Series(dtype=str), "w2": pd.Series(dtype=str),
+                "c12": pd.Series(dtype=np.int64),
+                "pmi_micro": pd.Series(dtype=np.int64)})
+        # exact integer products first, ONE int64->float64 conversion —
+        # the same rounding path as SQL's BIGINT arithmetic + float
+        # division (guard: fits int64 up to N1 ~ 3e6 tokens x c12 1e3;
+        # quantize counts upstream beyond that)
+        num = (bi["cnt"].to_numpy(np.int64) * np.int64(N1) * np.int64(N1)
+               ).astype(np.float64)
+        den = (np.int64(N12) * bi["c1"].to_numpy(np.int64)
+               * bi["c2"].to_numpy(np.int64)).astype(np.float64)
+        bi["pmi_micro"] = np.round(np.log(num / den) * 1e6).astype(np.int64)
+        bi = bi.rename(columns={"cnt": "c12"})
+        bi = bi.sort_values(["pmi_micro", "w1", "w2"],
+                            ascending=[False, True, True], kind="stable")
+        return bi.head(k)[["w1", "w2", "c12", "pmi_micro"]]
+
+    # score inside the pass-2 partitions (bigrams are fully attached
+    # there), then one result-bounded head
+    scored = hash_partitioned_agg(
+        p2, ["w1", "w2"],
+        lambda df: score_topk(df))
+
+    def final_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["pmi_micro", "w1", "w2"], ascending=[False, True, True],
+            kind="stable")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return scored.repartition(1).map_batches(
+        final_head, batch_size=None, batch_format="pyarrow")

@@ -947,3 +947,33 @@ def test_build_vocab_vs_brute(ray_session, docs_ds, docs_df):
     got = got.sort_values("token_id").reset_index(drop=True)
     assert list(got.token_id) == list(range(len(want)))
     assert [(c, w) for w, c in zip(got.term, got.cnt)] == want
+
+
+def test_pmi_collocations_vs_brute(ray_session, docs_ds, docs_df):
+    """pmi_collocations == Counter brute force with the same integer
+    quantization and tie order."""
+    from collections import Counter
+
+    from rayspatial.textops.lm import pmi_collocations
+
+    uni, bi = Counter(), Counter()
+    n1 = n12 = 0
+    for t in docs_df.text:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        n1 += len(ws)
+        n12 += max(len(ws) - 1, 0)
+    cand = []
+    for (a, b), c12 in bi.items():
+        if c12 >= 5:
+            num = float(c12 * n1 * n1)
+            den = float(n12 * uni[a] * uni[b])
+            cand.append((int(np.round(np.log(num / den) * 1e6)), a, b, c12))
+    cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = cand[:25]
+
+    got = pmi_collocations(docs_ds, k=25, min_count=5).to_pandas()
+    assert len(got) == len(want)
+    for row, (pmi, a, b, c12) in zip(got.itertuples(), want):
+        assert (row.w1, row.w2, row.c12, row.pmi_micro) == (a, b, c12, pmi)
