@@ -1700,6 +1700,19 @@ def _q_pmi_collocations(sf_dir: str):
                             k=25, min_count=5)
 
 
+def _q_emb_pca(sf_dir: str):
+    """Distributed PCA: integer-exact moment sums (order-independent),
+    driver eigen on the (d, d) covariance, broadcast projection to 8
+    components in integer 1e-6 units.  Rows-only driver check
+    (eigenbasis not SQL-expressible); bit-equality vs a single-process
+    reference is asserted in pytest."""
+    from rayspatial.textops.pca import pca_fit, pca_project
+
+    embs = _embs(sf_dir)
+    mean_q, comps, _ = pca_fit(embs, n_components=8)
+    return pca_project(_embs(sf_dir), mean_q, comps)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1770,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": _q_rolling_user_value,
         "pricing_summary": _q_pricing_summary,
         "pmi_collocations": _q_pmi_collocations,
+        "emb_pca": _q_emb_pca,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,

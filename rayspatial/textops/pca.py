@@ -1,0 +1,106 @@
+"""Distributed PCA over an embedding column: exact second moments via
+integer-quantized partial sums, eigendecomposition on the driver
+(d x d only), projection broadcast back through one streaming pass.
+
+The embedding-whitening / dimensionality-reduction step run before
+large-scale clustering or ANN indexing.  Scale shape:
+
+1. moments pass — per-batch partials ``(n, sum_x, sum_xxT)`` over
+   embeddings quantized to integer 1e6 units; integer sums are
+   ORDER-INDEPENDENT, so the accumulated moments (and therefore the
+   fitted components) are bit-identical regardless of partitioning,
+   worker count or execution order — the determinism float partial
+   sums cannot give.  Gather is d^2-bounded (one small row per block).
+2. driver eigen — covariance from the exact moments, ``eigh`` on the
+   (d, d) matrix, top-q components, sign-fixed (largest-|.|
+   coordinate positive) so the basis itself is deterministic.
+3. project pass — one map_batches: ``(x - mean) @ components.T``
+   against the ``ray.put`` projection; output quantized to integer
+   1e6 units so downstream compares are exact.
+
+int64 headroom: |q(x)| <= 1e6 ==> each product <= 1e12; a single
+batch of 2^15 rows sums to <= 3.3e16 per cell and the per-block
+partials are summed as Python ints on the driver (arbitrary
+precision), so overflow needs a SINGLE block of ~9e6 rows — far above
+any sane block size; documented here as the operating envelope.
+
+No reference equivalent (pygeos is geometry-only); driver-brief
+training-data family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayspatial.textops.ann import _emb_matrix
+
+__all__ = ["pca_fit", "pca_project"]
+
+_Q = 1_000_000  # quantization: 1e-6 embedding units
+
+
+def pca_fit(ds, n_components: int, col: str = "embedding"):
+    """-> (mean_q (d,), components (q, d) float64, eigvals_desc (q,)).
+
+    Moments are exact integer sums of 1e6-quantized embeddings —
+    deterministic under any partitioning."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.round(_emb_matrix(batch, col) * _Q).astype(np.int64)
+        s1 = m.sum(axis=0)
+        s2 = m.T @ m  # (d, d) int64
+        return pa.table({
+            "n": pa.array([len(m)]),
+            "s1": pa.array([s1.tobytes()]),
+            "s2": pa.array([s2.tobytes()]),
+            "d": pa.array([m.shape[1]]),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("pca_fit: empty dataset")
+    d = rows[0]["d"]
+    n = 0
+    s1 = np.zeros(d, dtype=object)  # python-int cells: no overflow
+    s2 = np.zeros((d, d), dtype=object)
+    for r in rows:
+        n += r["n"]
+        s1 = s1 + np.frombuffer(r["s1"], dtype=np.int64).astype(object)
+        s2 = s2 + np.frombuffer(r["s2"], dtype=np.int64).reshape(d, d).astype(object)
+    mean_q = s1.astype(np.float64) / n                     # in q-units
+    cov = (s2.astype(np.float64) - np.outer(mean_q, s1.astype(np.float64))) / n
+    w, v = np.linalg.eigh(cov)                             # ascending
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T                                  # (q, d)
+    # deterministic sign: largest-|coeff| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean_q, comps, w[order]
+
+
+def pca_project(ds, mean_q: np.ndarray, components: np.ndarray,
+                col: str = "embedding", id_col: str = "vec_id"):
+    """-> Dataset (vec_id, pc list<int64>): centered projections in
+    integer 1e-6 units (one streaming pass against the broadcast
+    basis)."""
+    import ray
+
+    ref = ray.put((np.asarray(mean_q, dtype=np.float64),
+                   np.asarray(components, dtype=np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean_q_, comps = ray.get(ref)
+        m = np.round(_emb_matrix(batch, col) * _Q).astype(np.float64)
+        proj = (m - mean_q_) @ comps.T                     # q-units
+        pc_q = np.round(proj).astype(np.int64)
+        n, q = pc_q.shape
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * q, q, dtype=np.int32)),
+            pa.array(pc_q.reshape(-1)),
+        )
+        return pa.table({id_col: batch.column(id_col), "pc": lists})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -977,3 +977,44 @@ def test_pmi_collocations_vs_brute(ray_session, docs_ds, docs_df):
     assert len(got) == len(want)
     for row, (pmi, a, b, c12) in zip(got.itertuples(), want):
         assert (row.w1, row.w2, row.c12, row.pmi_micro) == (a, b, c12, pmi)
+
+
+def test_pca_distributed_matches_serial(ray_session, embs_df):
+    """Distributed PCA == single-process reference on the same
+    quantized moments, bit-exact, and partitioning-independent."""
+    import ray.data as rd
+
+    from rayspatial.textops.pca import pca_fit, pca_project
+
+    Q = 1_000_000
+    m = np.round(
+        np.stack(embs_df.embedding.to_numpy()).astype(np.float64) * Q
+    ).astype(np.int64)
+    n, d = m.shape
+    s1 = m.sum(axis=0)
+    mean_q = s1 / n
+    cov = (m.T.astype(np.float64) @ m.astype(np.float64)
+           - np.outer(mean_q, s1)) / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    comps = v[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    want = np.round((m - mean_q) @ comps.T).astype(np.int64)
+
+    tab = pa.table({
+        "vec_id": pa.array(embs_df.vec_id.to_numpy()),
+        "embedding": pa.array(embs_df.embedding.to_list(),
+                              type=pa.list_(pa.float32())),
+    })
+    for nblocks in (2, 7):
+        ds = rd.from_arrow(tab).repartition(nblocks)
+        mq, c, _ = pca_fit(ds, n_components=8)
+        assert np.array_equal(mq, mean_q) and np.allclose(c, comps, atol=0)
+        got = pca_project(ds, mq, c).to_pandas().set_index("vec_id")
+        for vid, row in zip(embs_df.vec_id, want):
+            assert np.array_equal(np.asarray(got.loc[vid, "pc"]), row)
+    # variance must concentrate: top-8 explain more than 8/64 uniformly
+    assert (np.sort(w)[::-1][:8].sum() / w.sum()) > 8 / 64
