@@ -161,6 +161,20 @@ def _q_pip_join_shuffled(sf_dir: str):
     return pairs.select_columns(["doc_id", "poly_id"])
 
 
+def _q_pip_join_subdivided(sf_dir: str):
+    """Shuffle PIP join over the SUBDIVIDED layer (ST_Subdivide path):
+    the task for cell c holds clip(polygon, cell_rect(c)) only — the
+    scale shape for continent-sized polygons."""
+    from rayspatial.ops.join import join_points_polygons_subdivided
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    pairs = join_points_polygons_subdivided(
+        points_dataset(sf_dir), polygon_geoms(), predicate="covers"
+    )
+    return pairs.select_columns(["doc_id", "poly_id"])
+
+
 def _q_flagship(sf_dir: str):
     from rayspatial.pipeline.flagship import flagship
 
@@ -1719,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": _q_tile_counts,
         "pip_join": _q_pip_join,
         "pip_join_shuffled": _q_pip_join_shuffled,
+        "pip_join_subdivided": _q_pip_join_subdivided,
         "flagship_join_tiles": _q_flagship,
         "knn_join": _q_knn_join,
         "nearest_poly": _q_nearest_poly,
@@ -1854,6 +1869,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, poly_id FROM pts JOIN polys ON {join_cond}"
         ),
         "pip_join_shuffled": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE} "
+            f"SELECT doc_id, poly_id FROM pts JOIN polys ON {join_cond}"
+        ),
+        "pip_join_subdivided": (
             f"WITH {_PTS_CTE}, {_POLYS_CTE} "
             f"SELECT doc_id, poly_id FROM pts JOIN polys ON {join_cond}"
         ),

@@ -405,3 +405,121 @@ def join_points_polygons_shuffled(
 
     ds = points_ds.map_batches(add_cell, batch_format="pyarrow")
     return ds.groupby(["_pcell", "_salt"]).map_groups(join_group, batch_format="pyarrow")
+
+
+def subdivide_polygons(polygons: GeomArray, poly_ids: np.ndarray,
+                       res: int) -> dict[int, dict]:
+    """ST_Subdivide-style cell decomposition of a polygon layer:
+    each polygon is CLIPPED to every res-cell rectangle its envelope
+    touches; empty clips (envelope-only overlap) are dropped.
+
+    -> {cell: {"wkb": [piece...], "ids": int64[...]}} — the shuffle
+    payload where a task holding cell c receives only the GEOMETRY
+    INSIDE c, never a continent-sized polygon.  Loop count =
+    #cells-touched (layer-extent bounded); each cell's clip is one
+    vectorized ``clip_by_rect`` call over its polygons.
+    """
+    from rayspatial.geom.constructive import clip_by_rect
+    from rayspatial.geom.predicates import is_empty
+    from rayspatial.geom.setops import _slice_rows
+    from rayspatial.geom.wkb import to_wkb
+
+    bounds = polygons.bounds()
+    cell_to_polys: dict[int, list[int]] = {}
+    for i in range(len(polygons)):
+        if np.isnan(bounds[i, 0]):
+            continue
+        for c in cellmod.cells_covering_box(*bounds[i], res):
+            cell_to_polys.setdefault(int(c), []).append(i)
+    out: dict[int, dict] = {}
+    for c, plist in cell_to_polys.items():
+        xmin, ymin, xmax, ymax = (
+            float(v[0]) for v in cellmod.cell_bounds(np.asarray([c]))
+        )
+        sub = _slice_rows(polygons, plist)
+        pieces = clip_by_rect(sub, xmin, ymin, xmax, ymax)
+        keep = ~is_empty(pieces)
+        if not keep.any():
+            continue
+        kept = np.flatnonzero(keep)
+        pw = to_wkb(_slice_rows(pieces, list(kept)))
+        out[int(c)] = {
+            "wkb": list(pw),
+            "ids": np.asarray(poly_ids)[np.asarray(plist)[kept]],
+        }
+    return out
+
+
+def join_points_polygons_subdivided(
+    points_ds,
+    polygons: GeomArray,
+    poly_ids: np.ndarray | None = None,
+    predicate: str = "covers",
+    partition_res: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Shuffle-mode PIP join over a SUBDIVIDED polygon layer: the task
+    for cell c joins against clip(polygon, cell_rect(c)) pieces only.
+
+    vs ``join_points_polygons_shuffled`` (full-polygon replication):
+    per-task geometry is cell-bounded no matter how large an input
+    polygon is, and envelope-only replication disappears (empty clips
+    are dropped at subdivision).  A point lives in exactly one cell, so
+    pairs stay unique with no dedup.
+
+    Boundary-inclusive predicates only ('covers' / 'intersects'): a
+    point on an INTERNAL clip edge lies on the piece's boundary, so the
+    boundary-exclusive 'contains' would miss interior points there —
+    callers needing 'contains' must verify matches against the full
+    polygon (use the replicated join instead).
+    """
+    import ray
+
+    if predicate not in ("covers", "intersects"):
+        raise ValueError(
+            "subdivided join supports boundary-inclusive predicates "
+            "('covers'/'intersects') only; internal clip edges break "
+            "'contains' semantics"
+        )
+    if poly_ids is None:
+        poly_ids = np.arange(len(polygons), dtype=np.int64)
+    payload_ref = ray.put(subdivide_polygons(polygons, poly_ids, partition_res))
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        pcell = cellmod.cell_encode(lon, lat, partition_res)
+        return batch.append_column("_pcell", pa.array(pcell))
+
+    def join_group(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        empty = batch.drop_columns(["_pcell"]).slice(0, 0).append_column(
+            "poly_id", pa.array([], type=pa.int64())
+        )
+        if batch.num_rows == 0:
+            return empty
+        c = int(batch.column("_pcell")[0].as_py())
+        ckey = (payload_ref.hex() if hasattr(payload_ref, "hex")
+                else id(payload_ref), c, predicate, "sub")
+        joiner = _JOINER_CACHE.get(ckey)
+        if joiner is None:
+            cellmap = _ray.get(payload_ref)
+            entry = cellmap.get(c)
+            if entry is None:
+                _JOINER_CACHE[ckey] = False
+                return empty
+            if len(_JOINER_CACHE) > 256:
+                _JOINER_CACHE.clear()
+            joiner = PointInPolygonJoiner(
+                {"wkb": entry["wkb"], "ids": entry["ids"]},
+                predicate, lon_col, lat_col,
+            )
+            _JOINER_CACHE[ckey] = joiner
+        elif joiner is False:
+            return empty
+        return joiner(batch.drop_columns(["_pcell"]))
+
+    ds = points_ds.map_batches(add_cell, batch_format="pyarrow")
+    return ds.groupby("_pcell").map_groups(join_group, batch_format="pyarrow")

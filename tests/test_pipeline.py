@@ -177,3 +177,53 @@ def test_slab_index_matches_tree_all_predicates(ray_ds):
         assert got[["row", "poly_id"]].values.tolist() == \
             want[["row", "poly_id"]].values.tolist(), pred
         assert len(got) > 0
+
+
+def test_join_subdivided_equals_broadcast(ray_ds):
+    """Subdivided (clip-to-cell) shuffle join == broadcast join on the
+    same layer, including a non-rectangular polygon spanning cells and
+    a point sitting exactly on an internal cell edge."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayspatial import geom as g
+    from rayspatial.ops.join import (
+        join_points_polygons,
+        join_points_polygons_subdivided,
+    )
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    a = (
+        join_points_polygons(points_dataset(SF), polygon_geoms(), predicate="covers")
+        .select_columns(["doc_id", "poly_id"])
+        .to_pandas()
+    )
+    b = (
+        join_points_polygons_subdivided(
+            points_dataset(SF), polygon_geoms(), predicate="covers")
+        .select_columns(["doc_id", "poly_id"])
+        .to_pandas()
+    )
+    assert set(zip(a["doc_id"], a["poly_id"])) == set(zip(b["doc_id"], b["poly_id"]))
+
+    # crafted: triangle spanning several res-4 cells (cell width 22.5)
+    tri = g.from_wkt(["POLYGON ((-30 -10, 40 -10, 5 35, -30 -10))"])
+    # res-4 internal cell edge at lon=0 (grid origin): point ON the edge
+    # and inside the triangle must still match under 'covers'
+    pts = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lon": np.array([0.0, -20.0, 30.0, 5.0, -40.0, 0.0]),
+        "lat": np.array([0.0, -5.0, -5.0, 20.0, 0.0, 40.0]),
+    })
+    pts_ds = rd.from_pandas(pts).repartition(2)
+    got = join_points_polygons_subdivided(
+        pts_ds, tri, predicate="covers"
+    ).select_columns(["doc_id", "poly_id"]).to_pandas()
+    want = join_points_polygons(
+        rd.from_pandas(pts), tri, predicate="covers"
+    ).select_columns(["doc_id", "poly_id"]).to_pandas()
+    assert set(got.doc_id) == set(want.doc_id) == {0, 1, 2, 3}
+
+    with pytest.raises(ValueError):
+        join_points_polygons_subdivided(pts_ds, tri, predicate="contains")
