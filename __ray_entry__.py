@@ -1727,6 +1727,17 @@ def _q_emb_pca(sf_dir: str):
     return pca_project(_embs(sf_dir), mean_q, comps)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """EXACT top-25 terms via Misra-Gries sketch-then-verify: <= m
+    summary rows leave each block (vs every distinct term in
+    top_terms), then one exact re-count restricted to the provably
+    sufficient candidate set.  Shares the top_terms oracle."""
+    from rayspatial.textops.analysis import heavy_hitters_topk
+
+    return heavy_hitters_topk(
+        _docs(sf_dir, rows_per_block=512), k=25, m=512)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1799,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "pmi_collocations": _q_pmi_collocations,
         "emb_pca": _q_emb_pca,
+        "heavy_hitters": _q_heavy_hitters,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2471,6 +2483,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"
         ),
         "top_terms": (
+            r"SELECT term, COUNT(*)::BIGINT AS cnt FROM ("
+            r"SELECT unnest(string_split_regex(trim(text), '\s+')) AS term "
+            r"FROM documents) WHERE term <> '' "
+            r"GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 25"
+        ),
+        "heavy_hitters": (
             r"SELECT term, COUNT(*)::BIGINT AS cnt FROM ("
             r"SELECT unnest(string_split_regex(trim(text), '\s+')) AS term "
             r"FROM documents) WHERE term <> '' "

@@ -368,3 +368,99 @@ def build_vocab(ds, min_count: int = 2, text_col: str = "text"):
     return vocab.repartition(1).map_batches(
         assign_ids, batch_size=None, batch_format="pyarrow"
     )
+
+
+def heavy_hitters_topk(ds, k: int = 25, m: int = 512, text_col: str = "text"):
+    """EXACT corpus top-``k`` terms via sketch-then-verify: per-block
+    Misra-Gries summaries (``m`` counters) -> merged summary -> a
+    provably sufficient candidate set -> exact re-count of CANDIDATE
+    terms only.
+
+    Why it matters at 100 TB: ``top_terms`` shuffles every distinct
+    term of every block; this path shuffles at most ``m`` rows per
+    block regardless of vocabulary, then one candidate-filtered count
+    pass.  Exactness argument (MG guarantee: summary count >=
+    true - N/m per stream of N tokens, summed over blocks):
+
+    - every true top-k term t has merged(t) >= f(t) - N/m,
+    - at least k terms have merged >= f_k - N/m, so the k-th largest
+      merged value >= f_k - N/m and also <= f_k,
+    - therefore threshold = (k-th largest merged) - N/m <= f_k - N/m
+      <= merged(t): every true top-k term is a candidate.
+
+    The exact re-count then orders candidates correctly; ties
+    (count desc, term asc) deterministic.  Same output schema/oracle
+    as ``top_terms``.
+    """
+    import ray
+
+    from rayspatial.textops.hashing import split_words
+
+    # ---- pass 1: per-block MG summaries + token counts ---------------------
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        flat, _off = split_words(batch.column(text_col))
+        words = flat.to_numpy(zero_copy_only=False)
+        terms, counts = np.unique(words, return_counts=True)
+        n_tok = int(counts.sum())
+        if len(terms) > m:
+            # batch-level MG: subtract the (m+1)-th largest count,
+            # keep strictly positive survivors (<= m of them)
+            cut = np.partition(counts, -(m + 1))[-(m + 1)]
+            keep = counts > cut
+            terms, counts = terms[keep], counts[keep] - cut
+        # flag row carries the block's token count (a typed flag, not a
+        # sentinel string — numpy fixed-width unicode truncates at NUL)
+        return pa.table({
+            "term": pa.array(list(terms.astype(str)) + [""]),
+            "mg": pa.array(np.r_[counts.astype(np.int64),
+                                 [np.int64(n_tok)]]),
+            "is_tok_total": pa.array(np.r_[np.zeros(len(terms), np.int8),
+                                           [np.int8(1)]]),
+        })
+
+    summaries = ds.map_batches(mg_partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    sdf = pd.DataFrame(summaries)
+    is_sent = sdf["is_tok_total"] == 1
+    n_total = int(sdf.loc[is_sent, "mg"].sum())
+    merged = sdf[~is_sent].groupby("term", sort=False)["mg"].sum()
+    if not len(merged):
+        raise ValueError("heavy_hitters_topk: empty vocabulary")
+    slack = n_total // m
+    kth = (np.sort(merged.to_numpy())[::-1][min(k, len(merged)) - 1])
+    cand = merged.index[merged.to_numpy() >= kth - slack]
+    cand_ref = ray.put(np.sort(np.asarray(list(cand), dtype=str)))
+
+    # ---- pass 2: exact re-count of candidates only -------------------------
+    from rayspatial.util import hash_partitioned_agg
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cands = _ray.get(cand_ref)
+        flat, _off = split_words(batch.column(text_col))
+        words = flat.to_numpy(zero_copy_only=False)
+        terms, counts = np.unique(words, return_counts=True)
+        pos = np.searchsorted(cands, terms)
+        pos[pos == len(cands)] = 0
+        hit = cands[pos] == terms
+        return pa.table({
+            "term": pa.array(terms[hit].astype(str)),
+            "cnt": pa.array(counts[hit].astype(np.int64)),
+        })
+
+    part = ds.map_batches(exact_partial, batch_format="pyarrow")
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False)["cnt"].sum().reset_index()
+
+    exact = hash_partitioned_agg(part, ["term"], totals)
+
+    def head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return exact.repartition(1).map_batches(
+        head, batch_size=None, batch_format="pyarrow")

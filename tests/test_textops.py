@@ -1018,3 +1018,15 @@ def test_pca_distributed_matches_serial(ray_session, embs_df):
             assert np.array_equal(np.asarray(got.loc[vid, "pc"]), row)
     # variance must concentrate: top-8 explain more than 8/64 uniformly
     assert (np.sort(w)[::-1][:8].sum() / w.sum()) > 8 / 64
+
+
+def test_heavy_hitters_exact_vs_top_terms(ray_session, docs_ds):
+    """Sketch-then-verify top-k == the exact top_terms result, even
+    with tiny MG summaries (m=16 forces real truncation)."""
+    from rayspatial.textops.analysis import heavy_hitters_topk, top_terms
+
+    want = top_terms(docs_ds, k=10).to_pandas()
+    for m in (16, 512):
+        got = heavy_hitters_topk(docs_ds, k=10, m=m).to_pandas()
+        assert list(got.term) == list(want.term), m
+        assert list(got.cnt) == list(want.cnt), m
