@@ -1738,6 +1738,36 @@ def _q_heavy_hitters(sf_dir: str):
         _docs(sf_dir, rows_per_block=512), k=25, m=512)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental curation: the 'old corpus' (doc_id % 3 != 0) is
+    materialized ONCE as a bucket-partitioned content-hash index under
+    /tmp; the 'new shard' (doc_id % 3 == 0) dedups against it reading
+    only its buckets — no old-corpus re-scan."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.textops.dedup import build_hash_index, dedup_against_index
+
+    def split(rem_keep: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            old = batch.column("doc_id").to_numpy() % 3 != 0
+            return batch.filter(pa.array(old if rem_keep else ~old))
+
+        return f
+
+    docs = _docs(sf_dir, rows_per_block=512)
+    idx = "/tmp/rayspatial_hidx_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:10]
+    if not os.path.isdir(idx):
+        build_hash_index(
+            docs.map_batches(split(True), batch_format="pyarrow"), idx)
+    shard = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup_against_index(shard, idx)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1811,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "emb_pca": _q_emb_pca,
         "heavy_hitters": _q_heavy_hitters,
+        "incremental_dedup": _q_incremental_dedup,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2398,6 +2429,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, cnt, "
             "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) "
             "AS token_id FROM c"
+        ),
+        "incremental_dedup": (
+            "WITH shard AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 3 = 0), "
+            "old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0), "
+            "dedup AS (SELECT MIN(doc_id) AS doc_id, text FROM shard "
+            "GROUP BY text) "
+            "SELECT d.doc_id FROM dedup d "
+            "LEFT JOIN old o ON o.text = d.text WHERE o.text IS NULL"
         ),
         "host_capped_docs": (
             "WITH h AS (SELECT 'site-' || CAST(doc_id % 97 AS VARCHAR) "

@@ -419,3 +419,114 @@ def connected_duplicate_groups(pairs_df: pd.DataFrame) -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted hash index
+# ---------------------------------------------------------------------------
+
+N_HASH_BUCKETS = 64
+
+
+def build_hash_index(ds, index_dir: str, key_col: str = "text"):
+    """Materialize the corpus content-hash index: (h1, h2) pairs,
+    Hive-partitioned by ``bucket = h1 mod 64`` — the artifact an
+    INCREMENTAL curation run dedups new shards against without
+    re-reading the old corpus.
+
+    24 bytes/row regardless of document size; per-bucket files mean a
+    new shard's bucket b only ever opens ``bucket=<b>/`` (read-time
+    skipping, the ivf_build_index pattern)."""
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        from rayspatial.textops.hashing import rolling_fingerprint
+
+        h1 = hash_strings(batch.column(key_col)).view(np.int64)
+        h2 = rolling_fingerprint(batch.column(key_col))
+        return pa.table({
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+            "bucket": pa.array(
+                (h1.view(np.uint64) % np.uint64(N_HASH_BUCKETS))
+                .astype(np.int64)),
+        })
+
+    ds.map_batches(to_hashes, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+
+
+_INDEX_BUCKET_CACHE: dict = {}
+
+
+def dedup_against_index(new_ds, index_dir: str, key_col: str = "text",
+                        id_col: str = "doc_id"):
+    """-> surviving rows of ``new_ds``: docs whose content hash does
+    NOT appear in the persisted index, deduplicated within the shard
+    (min id per distinct text).
+
+    One hash shuffle of (hash, id) rows keyed by the index bucket;
+    each group task reads ONLY its own ``bucket=<b>/`` partition
+    (cached per worker — a shard touches each bucket once per worker,
+    not once per group)."""
+    import pyarrow.parquet as pq
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        from rayspatial.textops.hashing import rolling_fingerprint
+
+        h1 = hash_strings(batch.column(key_col)).view(np.int64)
+        h2 = rolling_fingerprint(batch.column(key_col))
+        return pa.table({
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+            id_col: batch.column(id_col),
+            "bucket": pa.array(
+                (h1.view(np.uint64) % np.uint64(N_HASH_BUCKETS))
+                .astype(np.int64)),
+        })
+
+    hashed = new_ds.map_batches(to_hashes, batch_format="pyarrow")
+
+    def anti_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[id_col]]
+        b = int(df["bucket"].iloc[0])
+        key = (index_dir, b)
+        idx = _INDEX_BUCKET_CACHE.get(key)
+        if idx is None:
+            import os
+
+            part = os.path.join(index_dir, f"bucket={b}")
+            if os.path.isdir(part):
+                t = pq.read_table(part, columns=["h1", "h2"])
+                a1 = t.column("h1").to_numpy()
+                a2 = t.column("h2").to_numpy()
+                o = np.lexsort((a2, a1))
+                idx = (a1[o], a2[o])
+            else:
+                idx = (np.empty(0, np.int64), np.empty(0, np.int64))
+            if len(_INDEX_BUCKET_CACHE) > 2 * N_HASH_BUCKETS:
+                _INDEX_BUCKET_CACHE.clear()
+            _INDEX_BUCKET_CACHE[key] = idx
+        ih1, ih2 = idx
+        # within-shard dedup first (min id per distinct hash), then
+        # drop anything already in the index — vectorized 128-bit
+        # membership: searchsorted on h1, h2 verified in the (almost
+        # always singleton) equal-h1 span
+        df = df.sort_values(id_col, kind="mergesort")
+        df = df.drop_duplicates(["h1", "h2"], keep="first")
+        h1 = df["h1"].to_numpy()
+        h2 = df["h2"].to_numpy()
+        seen = np.zeros(len(df), dtype=bool)
+        if len(ih1):
+            lo = np.searchsorted(ih1, h1, side="left")
+            hi = np.searchsorted(ih1, h1, side="right")
+            one = hi - lo == 1
+            seen[one] = ih2[lo[one]] == h2[one]
+            for i in np.flatnonzero(hi - lo > 1):  # h1 collisions: rare
+                seen[i] = h2[i] in ih2[lo[i]:hi[i]]
+        return df.loc[~seen, [id_col]]
+
+    return (
+        hashed.groupby("bucket")
+        .map_groups(anti_filter, batch_format="pandas")
+    )

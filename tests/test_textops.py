@@ -1030,3 +1030,43 @@ def test_heavy_hitters_exact_vs_top_terms(ray_session, docs_ds):
         got = heavy_hitters_topk(docs_ds, k=10, m=m).to_pandas()
         assert list(got.term) == list(want.term), m
         assert list(got.cnt) == list(want.cnt), m
+
+
+def test_incremental_dedup_against_index(ray_session, tmp_path):
+    """New-shard dedup against a persisted hash index == Python
+    reference; only the shard's buckets are opened; rebuild-free."""
+    import ray.data as rd
+
+    from rayspatial.textops.dedup import (
+        build_hash_index,
+        dedup_against_index,
+    )
+
+    old = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "text": [f"old doc {i % 30}" for i in range(100)],
+    })
+    new = pd.DataFrame({
+        "doc_id": np.arange(1000, 1060, dtype=np.int64),
+        "text": (
+            [f"old doc {i}" for i in range(20)]       # all in index
+            + [f"new doc {i % 10}" for i in range(30)]  # in-shard dups
+            + [f"unique {i}" for i in range(10)]
+        ),
+    })
+    idx = str(tmp_path / "hidx")
+    build_hash_index(rd.from_pandas(old).repartition(3), idx)
+    got = dedup_against_index(
+        rd.from_pandas(new).repartition(4), idx
+    ).to_pandas()
+
+    seen = set(old.text)
+    expect = []
+    local = set()
+    for r in new.itertuples():
+        if r.text in seen or r.text in local:
+            continue
+        local.add(r.text)
+        expect.append(r.doc_id)
+    assert sorted(got.doc_id) == sorted(expect)
+    assert len(expect) == 10 + 10  # 10 first-of-dup-group + 10 unique
