@@ -1768,6 +1768,19 @@ def _q_incremental_dedup(sf_dir: str):
     return dedup_against_index(shard, idx)
 
 
+def _q_global_rank(sf_dir: str):
+    """Distributed global rank (TeraSort shape): exact-quantile range
+    splits -> range shuffle -> per-part sort + offset arange.  No
+    global sort, no driver gather beyond one int per part."""
+    from rayspatial.ops.quantile import range_partitioned_rank
+    from rayspatial.util import read_parquet_sized
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return range_partitioned_rank(docs, "n_chars", "doc_id", num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1842,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": _q_emb_pca,
         "heavy_hitters": _q_heavy_hitters,
         "incremental_dedup": _q_incremental_dedup,
+        "global_rank": _q_global_rank,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2429,6 +2443,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, cnt, "
             "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) "
             "AS token_id FROM c"
+        ),
+        "global_rank": (
+            "SELECT doc_id, n_chars, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) "
+            "AS rank FROM documents"
         ),
         "incremental_dedup": (
             "WITH shard AS (SELECT doc_id, text FROM documents "

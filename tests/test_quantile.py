@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -82,3 +83,28 @@ def test_quantile_band_filter_exact(ray_session):
     hi = sv[-(-90 * n // 100) - 1]
     want = np.flatnonzero((v >= lo) & (v <= hi))
     assert got["id"].to_numpy().tolist() == want.tolist()
+
+
+def test_range_partitioned_rank_exact(ray_session):
+    """Global rank == argsort reference, under heavy key ties and
+    multiple block layouts (ties must never straddle a range split)."""
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import range_partitioned_rank
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(n).astype(np.int64),
+        "n_chars": rng.randint(0, 40, n).astype(np.int64),  # heavy ties
+    })
+    order = np.lexsort((df.doc_id.to_numpy(), df.n_chars.to_numpy()))
+    want = {int(df.doc_id.iloc[i]): r for r, i in enumerate(order)}
+    for nblocks, parts in ((3, 8), (11, 16)):
+        got = range_partitioned_rank(
+            rd.from_pandas(df).repartition(nblocks),
+            "n_chars", "doc_id", num_parts=parts,
+        ).to_pandas()
+        assert len(got) == n
+        for r in got.itertuples():
+            assert want[int(r.doc_id)] == int(r.rank)
