@@ -1720,11 +1720,33 @@ def _q_emb_pca(sf_dir: str):
     components in integer 1e-6 units.  Rows-only driver check
     (eigenbasis not SQL-expressible); bit-equality vs a single-process
     reference is asserted in pytest."""
+    import numpy as np
+    import pyarrow as pa
+
     from rayspatial.textops.pca import pca_fit, pca_project
 
     embs = _embs(sf_dir)
     mean_q, comps, _ = pca_fit(embs, n_components=8)
-    return pca_project(_embs(sf_dir), mean_q, comps)
+    proj = pca_project(_embs(sf_dir), mean_q, comps)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # scalar rows (vec_id, component, value_q): driver hashers
+        # don't take list columns
+        pc = batch.column("pc")
+        if isinstance(pc, pa.ChunkedArray):
+            pc = pc.combine_chunks()
+        flat = pc.flatten().to_numpy(zero_copy_only=False)
+        n = len(batch)
+        q = len(flat) // max(n, 1) if n else 0
+        return pa.table({
+            "vec_id": pa.array(np.repeat(
+                batch.column("vec_id").to_numpy(), q)),
+            "component": pa.array(np.tile(
+                np.arange(q, dtype=np.int64), n)),
+            "value_q": pa.array(flat),
+        })
+
+    return proj.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_heavy_hitters(sf_dir: str):
