@@ -191,12 +191,12 @@ def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
         if m.sum():
             doc_of = np.repeat(np.arange(len(m)), m)
             starts = off[:-1][doc_of] + _ragged_arange(m)
-            w1 = flat.take(pa.array(starts)).to_numpy(zero_copy_only=False)
-            w2 = flat.take(pa.array(starts + 1)).to_numpy(zero_copy_only=False)
-            big = np.char.add(np.char.add(w1.astype(str), "\x1f"),
-                              w2.astype(str))
+            w1a = flat.take(pa.array(starts))
+            w2a = flat.take(pa.array(starts + 1))
+            big = _pc.binary_join_element_wise(
+                w1a, w2a, "\x1f").to_numpy(zero_copy_only=False)
             kb, cb = np.unique(big, return_counts=True)
-            sp = np.char.partition(kb, "\x1f")
+            sp = np.char.partition(kb.astype(str), "\x1f")  # distinct only
             rows = {
                 "w1": np.r_[rows["w1"], sp[:, 0]],
                 "w2": np.r_[rows["w2"], sp[:, 2]],
