@@ -162,12 +162,12 @@ def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
 
     1. per-batch partial unigram + bigram STRING counts (rows out =
        distinct n-grams in the block),
-    2. exact totals: one hash shuffle each,
-    3. two attach passes (c1 then c2), each ONE hash shuffle of the
-       distinct-bigram table unioned with the unigram totals keyed by
-       the same word — a per-partition merge, the tfidf df-attach
-       pattern, never a driver-side lookup,
-    4. integer micro-nat PMI + min-count filter, per-partition top-k,
+    2. TWO shuffles total: pass 1 keys everything by w1 — exact
+       totals and the c1 attach share that one exchange (all (w1, *)
+       partials co-partition); pass 2 re-keys by w2, attaches c2, and
+       scores + top-ks in place (the tfidf df-attach pattern, never a
+       driver-side lookup),
+    3. integer micro-nat PMI + min-count filter, per-partition top-k,
        final head over k x P rows.
 
     Ties (pmi desc, w1 asc, w2 asc) are deterministic and
@@ -207,12 +207,6 @@ def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
 
     partials = docs_ds.map_batches(partial, batch_format="pyarrow")
 
-    def totals(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["kind", "w1", "w2"], sort=False)["cnt"]
-                .sum().reset_index())
-
-    tot = hash_partitioned_agg(partials, ["kind", "w1", "w2"], totals)
-
     # ---- corpus scalars (tiny gather: 1 row per block) ---------------------
     def scalar_partial(batch: pa.Table) -> pa.Table:
         _, off = split_words(batch.column(text_col))
@@ -226,36 +220,9 @@ def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
     N1 = sum(r["n1"] for r in sc)
     N12 = sum(r["n12"] for r in sc)
 
-    # ---- attach c1 then c2 -------------------------------------------------
-    def attach(word_col: str, out_col: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            uni = df[df["kind"] == 0]
-            lut = dict(zip(uni["w1"], uni["cnt"]))
-            bi = df[df["kind"] == 1].copy()
-            bi[out_col] = bi[word_col].map(lut).astype(np.int64)
-            keep_uni = uni if out_col == "c1" else uni.iloc[0:0]
-            return pd.concat([keep_uni, bi], ignore_index=True)
-
-        return fn
-
-    # pass 1: key by w1 (unigram rows already keyed w1); bigrams gain c1,
-    # unigram rows ride along for pass 2
-    p1 = hash_partitioned_agg(tot, ["w1"], attach("w1", "c1"))
-
-    # pass 2: key bigrams by w2; re-key unigram rows onto w2's axis
-    def rekey(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        is_uni = df["kind"] == 0
-        df.loc[is_uni, "w2"] = df.loc[is_uni, "w1"]
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    p2 = hash_partitioned_agg(
-        p1.map_batches(rekey, batch_format="pyarrow"),
-        ["w2"], attach("w2", "c2"))
-
-    # ---- PMI + bounded top-k ----------------------------------------------
+    # ---- PMI + per-partition top-k (runs inside pass 2) ---------------------
     def score_topk(df: pd.DataFrame) -> pd.DataFrame:
-        bi = df[(df["kind"] == 1) & (df["cnt"] >= min_count)].copy()
+        bi = df[df["cnt"] >= min_count].copy()
         if not len(bi):
             return pd.DataFrame({
                 "w1": pd.Series(dtype=str), "w2": pd.Series(dtype=str),
@@ -275,11 +242,38 @@ def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
                             ascending=[False, True, True], kind="stable")
         return bi.head(k)[["w1", "w2", "c12", "pmi_micro"]]
 
-    # score inside the pass-2 partitions (bigrams are fully attached
-    # there), then one result-bounded head
-    scored = hash_partitioned_agg(
-        p2, ["w1", "w2"],
-        lambda df: score_topk(df))
+    # ---- pass 1: ONE shuffle by w1 does totals + c1 attach ------------------
+    # all partial rows of (w1, *) — bigram partials AND the w1 unigram
+    # partials — co-partition by w1, so exact totals and the c1 attach
+    # happen in the same exchange (no separate totals shuffle)
+    def total_attach_c1(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(["kind", "w1", "w2"], sort=False)["cnt"]
+               .sum().reset_index())
+        uni = tot[tot["kind"] == 0]
+        lut = dict(zip(uni["w1"], uni["cnt"]))
+        bi = tot[tot["kind"] == 1].copy()
+        bi["c1"] = bi["w1"].map(lut).astype(np.int64)
+        return pd.concat([uni, bi], ignore_index=True)
+
+    p1 = hash_partitioned_agg(partials, ["w1"], total_attach_c1)
+
+    # ---- pass 2: re-key unigram rows onto the w2 axis, attach c2 -----------
+    def rekey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_uni = df["kind"] == 0
+        df.loc[is_uni, "w2"] = df.loc[is_uni, "w1"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def attach_c2(df: pd.DataFrame) -> pd.DataFrame:
+        uni = df[df["kind"] == 0]
+        lut = dict(zip(uni["w2"], uni["cnt"]))
+        bi = df[df["kind"] == 1].copy()
+        bi["c2"] = bi["w2"].map(lut).astype(np.int64)
+        return score_topk(bi)
+
+    p2 = hash_partitioned_agg(
+        p1.map_batches(rekey, batch_format="pyarrow"),
+        ["w2"], attach_c2)
 
     def final_head(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(
@@ -287,5 +281,5 @@ def pmi_collocations(docs_ds, k: int = 25, min_count: int = 5,
             kind="stable")
         return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
-    return scored.repartition(1).map_batches(
+    return p2.repartition(1).map_batches(
         final_head, batch_size=None, batch_format="pyarrow")
