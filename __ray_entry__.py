@@ -1803,6 +1803,15 @@ def _q_global_rank(sf_dir: str):
     return range_partitioned_rank(docs, "n_chars", "doc_id", num_parts=16)
 
 
+def _q_emb_int8(sf_dir: str):
+    """Per-dimension int8 scalar quantization of the embedding table —
+    all-integer math (1e-6 lattice, integer min/max, floor division)
+    so the SQL oracle reproduces every byte."""
+    from rayspatial.textops.pca import quantize_int8
+
+    return quantize_int8(_embs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1878,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "incremental_dedup": _q_incremental_dedup,
         "global_rank": _q_global_rank,
+        "emb_int8": _q_emb_int8,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2465,6 +2475,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, cnt, "
             "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) "
             "AS token_id FROM c"
+        ),
+        "emb_int8": (
+            "WITH e AS (SELECT vec_id, unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+            "xq AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim, "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v FROM e), "
+            "mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM xq GROUP BY dim) "
+            "SELECT xq.vec_id, xq.dim, "
+            "CAST(CASE WHEN mm.mx = mm.mn THEN 0 "
+            "ELSE (xq.v - mm.mn) * 255 // (mm.mx - mm.mn) END AS BIGINT) AS q "
+            "FROM xq JOIN mm ON mm.dim = xq.dim"
         ),
         "global_rank": (
             "SELECT doc_id, n_chars, "

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from rayspatial.textops.ann import _emb_matrix
 
-__all__ = ["pca_fit", "pca_project"]
+__all__ = ["pca_fit", "pca_project", "quantize_int8"]
 
 _Q = 1_000_000  # quantization: 1e-6 embedding units
 
@@ -104,3 +104,53 @@ def pca_project(ds, mean_q: np.ndarray, components: np.ndarray,
         return pa.table({id_col: batch.column(id_col), "pc": lists})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def quantize_int8(ds, col: str = "embedding", id_col: str = "vec_id"):
+    """Per-dimension int8 scalar quantization of an embedding column —
+    the 4x storage/bandwidth cut ANN indexes take before sharding.
+
+    All-integer math end to end: embeddings are first quantized to
+    exact 1e-6 integer units (same lattice as pca.py), per-dimension
+    integer min/max come from one bounded aggregate pass (one (d,)
+    row per block), and the code is
+    ``q = (x_q - min_q) * 255 // (max_q - min_q)`` — floor division on
+    integers, so a SQL oracle reproduces every byte.  Constant
+    dimensions map to 0.  Output rows are exploded scalars
+    (vec_id, dim, q) for driver-hash friendliness.
+    """
+    import ray
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        m = np.round(_emb_matrix(batch, col) * _Q).astype(np.int64)
+        return pa.table({
+            "mn": pa.array([m.min(axis=0).tobytes()]),
+            "mx": pa.array([m.max(axis=0).tobytes()]),
+        })
+
+    rows = ds.map_batches(minmax_partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("quantize_int8: empty dataset")
+    mn = np.frombuffer(rows[0]["mn"], dtype=np.int64).copy()
+    mx = np.frombuffer(rows[0]["mx"], dtype=np.int64).copy()
+    for r in rows[1:]:
+        mn = np.minimum(mn, np.frombuffer(r["mn"], dtype=np.int64))
+        mx = np.maximum(mx, np.frombuffer(r["mx"], dtype=np.int64))
+    span = mx - mn
+    ref = ray.put((mn, span))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mn_, span_ = ray.get(ref)
+        m = np.round(_emb_matrix(batch, col) * _Q).astype(np.int64)
+        safe = np.where(span_ == 0, 1, span_)
+        q = (m - mn_) * 255 // safe
+        q[:, span_ == 0] = 0
+        n, d = q.shape
+        return pa.table({
+            id_col: pa.array(np.repeat(
+                batch.column(id_col).to_numpy(), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")

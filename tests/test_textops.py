@@ -1070,3 +1070,33 @@ def test_incremental_dedup_against_index(ray_session, tmp_path):
         expect.append(r.doc_id)
     assert sorted(got.doc_id) == sorted(expect)
     assert len(expect) == 10 + 10  # 10 first-of-dup-group + 10 unique
+
+
+def test_quantize_int8_vs_brute(ray_session, embs_df):
+    """quantize_int8 == single-process integer reference; q in [0,255];
+    partitioning-independent."""
+    import ray.data as rd
+
+    from rayspatial.textops.pca import quantize_int8
+
+    Q = 1_000_000
+    m = np.round(
+        np.stack(embs_df.embedding.to_numpy()).astype(np.float64) * Q
+    ).astype(np.int64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    span = np.where(mx - mn == 0, 1, mx - mn)
+    want = (m - mn) * 255 // span
+    want[:, mx - mn == 0] = 0
+
+    tab = pa.table({
+        "vec_id": pa.array(embs_df.vec_id.to_numpy()),
+        "embedding": pa.array(embs_df.embedding.to_list(),
+                              type=pa.list_(pa.float32())),
+    })
+    got = quantize_int8(
+        rd.from_arrow(tab).repartition(5)
+    ).to_pandas()
+    assert got.q.between(0, 255).all()
+    piv = got.pivot(index="vec_id", columns="dim", values="q")
+    piv = piv.loc[embs_df.vec_id.to_numpy()]
+    assert np.array_equal(piv.to_numpy(), want)
