@@ -1812,6 +1812,20 @@ def _q_emb_int8(sf_dir: str):
     return quantize_int8(_embs(sf_dir))
 
 
+def _q_funnel(sf_dir: str):
+    """Conversion funnel signup -> click -> purchase: per user the
+    earliest strictly ordered chain (one hash shuffle, per-step masked
+    vectorized groupby-min)."""
+    from rayspatial.ops.analytic import funnel
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel(events, ["signup", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1888,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "global_rank": _q_global_rank,
         "emb_int8": _q_emb_int8,
+        "funnel": _q_funnel,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2475,6 +2490,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, cnt, "
             "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) "
             "AS token_id FROM c"
+        ),
+        "funnel": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s0 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT u.user_id, "
+            "CAST(CAST(s0.user_id IS NOT NULL AS INT) "
+            "+ CAST(s1.user_id IS NOT NULL AS INT) "
+            "+ CAST(s2.user_id IS NOT NULL AS INT) AS BIGINT) "
+            "AS steps_completed, "
+            "COALESCE(CAST(epoch_us(s0.t) AS BIGINT), -1) AS t0, "
+            "COALESCE(CAST(epoch_us(s1.t) AS BIGINT), -1) AS t1, "
+            "COALESCE(CAST(epoch_us(s2.t) AS BIGINT), -1) AS t2 "
+            "FROM u LEFT JOIN s0 ON s0.user_id = u.user_id "
+            "LEFT JOIN s1 ON s1.user_id = u.user_id "
+            "LEFT JOIN s2 ON s2.user_id = u.user_id"
         ),
         "emb_int8": (
             "WITH e AS (SELECT vec_id, unnest(embedding) AS x, "

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["analytic_window", "rolling_time_window"]
+__all__ = ["analytic_window", "rolling_time_window", "funnel"]
 
 _SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
 
@@ -200,4 +200,58 @@ def rolling_time_window(ds, part_col: str, ts_col: str, value_col: str,
         return pa.table({k: pa.array(val) for k, val in out.items()})
 
     return hash_partitioned_agg(ds, [part_col], per_partition,
+                                 num_partitions=num_partitions)
+
+
+def funnel(ds, steps: list[str], user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           num_partitions: int | None = None):
+    """Conversion-funnel analysis: per user, the earliest strictly
+    ordered completion chain through ``steps`` — ``t_k`` is the MIN
+    timestamp of step k occurring strictly AFTER ``t_{k-1}``.
+
+    ONE hash shuffle by user; per partition each step is one masked
+    vectorized groupby-min (loop count = len(steps), never rows).
+    Output: (user, steps_completed, t_0..t_{k-1} as epoch micros,
+    -1 where the funnel stalled).
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    tcols = [f"t{i}" for i in range(len(steps))]
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        out_cols = [user_col, "steps_completed", *tcols]
+        if not len(df):
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in out_cols})
+        ts = df[ts_col].to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": df[user_col].to_numpy(),
+            "t": ts,
+            "k": df[type_col].to_numpy(),
+        })
+        users = pd.unique(df["u"])
+        prev = pd.Series(np.int64(-(2 ** 62)), index=users)  # -inf
+        reached = pd.Series(np.zeros(len(users), np.int64), index=users)
+        tvals = []
+        for i, step in enumerate(steps):
+            sub = df[df["k"] == step]
+            cand = sub[sub["t"].to_numpy()
+                       > prev.reindex(sub["u"]).to_numpy()]
+            tk = cand.groupby("u")["t"].min()
+            tk = tk.reindex(users)  # NaN where stalled
+            done = tk.notna()
+            reached[done & (reached == i)] += 1
+            # once stalled, later steps must stall too: prev -> +inf
+            prev = tk.fillna(np.int64(2 ** 62)).astype(np.int64)
+            tvals.append(tk.fillna(-1).astype(np.int64))
+        out = {user_col: pa.array(users),
+               "steps_completed": pa.array(reached.to_numpy())}
+        for c, tv in zip(tcols, tvals):
+            out[c] = pa.array(tv.to_numpy())
+        return pa.table(out)
+
+    return hash_partitioned_agg(ds, [user_col], per_partition,
                                  num_partitions=num_partitions)

@@ -158,3 +158,47 @@ def test_rolling_time_window_vs_pandas(ray_session):
         m = (df.user_id == r.user_id) & (df.tsu >= r.tsu - W) & (df.tsu <= r.tsu)
         assert got.loc[r.event_id, "sum_w"] == df.cents[m].sum(), r.event_id
         assert got.loc[r.event_id, "n_w"] == int(m.sum())
+
+
+def test_funnel_vs_brute(ray_session):
+    """funnel == per-user Python chain walk, including stall-at-step-1,
+    equal timestamps (strict > required) and block independence."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import funnel
+
+    rng = np.random.RandomState(17)
+    n = 1200
+    base = np.int64(1_700_000_000_000_000)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        "tsu": base + rng.randint(0, 10_000_000, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b", "c", "x"], n),
+    })
+    # force an equal-timestamp a->b pair for one user (must NOT chain)
+    df.loc[0, ["user_id", "tsu", "event_type"]] = [999, base, "a"]
+    df.loc[1, ["user_id", "tsu", "event_type"]] = [999, base, "b"]
+    df["ts"] = df["tsu"].astype("datetime64[us]")
+
+    got = funnel(
+        rd.from_pandas(df[["user_id", "ts", "event_type"]]).repartition(4),
+        ["a", "b", "c"],
+    ).to_pandas().set_index("user_id")
+
+    for u, g in df.groupby("user_id"):
+        prev = -1 << 62
+        ts_exp = []
+        for step in ("a", "b", "c"):
+            cand = g[(g.event_type == step) & (g.tsu > prev)]
+            if len(cand):
+                prev = int(cand.tsu.min())
+                ts_exp.append(prev)
+            else:
+                prev = 1 << 62
+                ts_exp.append(-1)
+        done = sum(1 for _ in __import__("itertools").takewhile(
+            lambda t: t != -1, ts_exp))
+        row = got.loc[u]
+        assert int(row.steps_completed) == done, u
+        assert [int(row.t0), int(row.t1), int(row.t2)] == ts_exp, u
+    assert int(got.loc[999].steps_completed) == 1  # equal-ts b not after a
