@@ -1781,8 +1781,10 @@ def _q_incremental_dedup(sf_dir: str):
         return f
 
     docs = _docs(sf_dir, rows_per_block=512)
+    st = os.stat(f"{sf_dir}/documents.parquet")
     idx = "/tmp/rayspatial_hidx_" + hashlib.md5(
-        sf_dir.encode()).hexdigest()[:10]
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     if not os.path.isdir(idx):
         build_hash_index(
             docs.map_batches(split(True), batch_format="pyarrow"), idx)
