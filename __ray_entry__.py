@@ -1317,8 +1317,9 @@ def _q_ivf_topk_indexed(sf_dir: str):
     )
     from rayspatial.util import read_parquet_sized
 
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
     idx = "/tmp/rayspatial_ivf_" + hashlib.md5(
-        sf_dir.encode()
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:10]
     if not os.path.exists(os.path.join(idx, "centroids.npy")):
         ivf_build_index(
