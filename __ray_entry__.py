@@ -1829,6 +1829,46 @@ def _q_funnel(sf_dir: str):
     return funnel(events, ["signup", "click", "purchase"])
 
 
+def _q_zonal_majority(sf_dir: str):
+    """Zonal majority: dominant page language per polygon — PIP join
+    pairs + broadcast lang attach + one bounded (poly, lang) count
+    shuffle + per-poly argmax (count desc, lang asc)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.ops.join import join_points_polygons
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    pairs = join_points_polygons(
+        points_dataset(sf_dir), polygon_geoms(), predicate="covers"
+    ).map_batches(
+        lambda b: b.select(["doc_id", "poly_id"]), batch_format="pyarrow")
+    langs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    withlang = hash_join(pairs, langs, on="doc_id",
+                         left_cols=["doc_id", "poly_id"],
+                         right_cols=["lang"], mode="broadcast")
+
+    def majority(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (df.groupby(["poly_id", "lang"], sort=False)
+               .size().reset_index(name="n"))
+        cnt["n"] = cnt["n"].astype(np.int64)
+        cnt = cnt.sort_values(["poly_id", "n", "lang"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return cnt.groupby("poly_id", sort=False).head(1)
+
+    return hash_partitioned_agg(
+        withlang.map_batches(
+            lambda b: b.select(["poly_id", "lang"]),
+            batch_format="pyarrow"),
+        ["poly_id"], majority)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1906,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "emb_int8": _q_emb_int8,
         "funnel": _q_funnel,
+        "zonal_majority": _q_zonal_majority,
         "orders_by_region": _q_orders_by_region,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
@@ -2493,6 +2534,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, cnt, "
             "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) "
             "AS token_id FROM c"
+        ),
+        "zonal_majority": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE}, "
+            "cnt AS (SELECT poly_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM pts JOIN polys ON lon >= xmin AND lon <= xmax "
+            "AND lat >= ymin AND lat <= ymax "
+            "JOIN documents d ON d.doc_id = pts.doc_id "
+            "GROUP BY poly_id, d.lang), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY poly_id "
+            "ORDER BY n DESC, lang) AS rn FROM cnt) "
+            "SELECT poly_id, lang, n FROM r WHERE rn = 1"
         ),
         "funnel": (
             "WITH u AS (SELECT DISTINCT user_id FROM events), "
