@@ -191,3 +191,36 @@ def test_poly_intersection_area_never_exceeds_operands(
             assert ob[1] >= max(ay, by_) - 1e-9
             assert ob[2] <= min(ax + aw, bx + bw) + 1e-9
             assert ob[3] <= min(ay + ah, by_ + bh) + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=120, deadline=None)
+def test_greedy_bins_matches_sequential(tokens, budget, n_units):
+    """_greedy_bins (rounds-vectorized) == per-unit sequential greedy."""
+    import numpy as np
+
+    from rayspatial.textops.packing import _greedy_bins
+
+    nt = np.asarray(tokens, dtype=np.int64)
+    cuts = sorted({0, len(nt)} | set(
+        int(x) % (len(nt) + 1) for x in range(0, n_units)))
+    unit_starts = np.asarray(cuts, dtype=np.int64)
+    got = _greedy_bins(nt, unit_starts, budget)
+
+    expect = np.zeros(len(nt), dtype=np.int64)
+    for a, b in zip(unit_starts[:-1], unit_starts[1:]):
+        run, binno = None, 0
+        for i in range(a, b):
+            if run is None:
+                run = nt[i]
+            elif run + nt[i] > budget:
+                binno += 1
+                run = nt[i]
+            else:
+                run += nt[i]
+            expect[i] = binno
+    assert np.array_equal(got, expect)
