@@ -379,7 +379,10 @@ def heavy_hitters_topk(ds, k: int = 25, m: int = 512, text_col: str = "text"):
     Why it matters at 100 TB: ``top_terms`` shuffles every distinct
     term of every block; this path shuffles at most ``m`` rows per
     block regardless of vocabulary, then one candidate-filtered count
-    pass.  Exactness argument (MG guarantee: summary count >=
+    pass.  The summary merge itself is a hash shuffle (m x blocks rows
+    never hit the driver); the only gathers are per-partition top-k
+    shortlists and the within-slack candidate set, both bounded.
+    Exactness argument (MG guarantee: summary count >=
     true - N/m per stream of N tokens, summed over blocks):
 
     - every true top-k term t has merged(t) >= f(t) - N/m,
@@ -418,19 +421,54 @@ def heavy_hitters_topk(ds, k: int = 25, m: int = 512, text_col: str = "text"):
                                            [np.int8(1)]]),
         })
 
-    summaries = ds.map_batches(mg_partial, batch_format="pyarrow").take_all()
-    import pandas as pd
+    from rayspatial.util import hash_partitioned_agg
 
-    sdf = pd.DataFrame(summaries)
-    is_sent = sdf["is_tok_total"] == 1
-    n_total = int(sdf.loc[is_sent, "mg"].sum())
-    merged = sdf[~is_sent].groupby("term", sort=False)["mg"].sum()
-    if not len(merged):
+    summ = ds.map_batches(mg_partial, batch_format="pyarrow")
+
+    # ---- merge summaries via ONE hash shuffle (never the driver: the
+    # summary table is m x blocks rows, unbounded at corpus scale) ----
+    def merge_totals(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["is_tok_total", "term"], sort=False)["mg"]
+                .sum().reset_index())
+
+    merged = hash_partitioned_agg(
+        summ, ["is_tok_total", "term"], merge_totals).materialize()
+
+    # ---- bounded gather #1: per-partition top-k + the token total ----
+    def shortlist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        flags = df[df["is_tok_total"] == 1]
+        top = df[df["is_tok_total"] == 0].nlargest(k, "mg", keep="all")
+        return pa.Table.from_pandas(
+            pd.concat([flags, top.head(k)], ignore_index=True),
+            preserve_index=False)
+
+    short = merged.map_batches(
+        shortlist, batch_size=None, batch_format="pyarrow").take_all()
+    sdf = pd.DataFrame(short)
+    n_total = int(sdf.loc[sdf["is_tok_total"] == 1, "mg"].sum())
+    tops = np.sort(sdf.loc[sdf["is_tok_total"] == 0, "mg"].to_numpy())[::-1]
+    if not len(tops):
         raise ValueError("heavy_hitters_topk: empty vocabulary")
+    # global top-k is contained in the union of per-partition top-k,
+    # so the k-th largest gathered value IS the global k-th largest
+    kth = tops[min(k, len(tops)) - 1]
     slack = n_total // m
-    kth = (np.sort(merged.to_numpy())[::-1][min(k, len(merged)) - 1])
-    cand = merged.index[merged.to_numpy() >= kth - slack]
-    cand_ref = ray.put(np.sort(np.asarray(list(cand), dtype=str)))
+    thresh_ref = ray.put(np.int64(kth - slack))
+
+    # ---- bounded gather #2: candidates = merged >= threshold ----------
+    def cand_filter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        thresh = int(_ray.get(thresh_ref))
+        df = batch.to_pandas()
+        out = df[(df["is_tok_total"] == 0) & (df["mg"] >= thresh)]
+        return pa.Table.from_pandas(out[["term"]], preserve_index=False)
+
+    cand_rows = merged.map_batches(
+        cand_filter, batch_size=None, batch_format="pyarrow").take_all()
+    cand = [r["term"] for r in cand_rows]
+    cand_ref = ray.put(np.sort(np.asarray(cand, dtype=str)))
 
     # ---- pass 2: exact re-count of candidates only -------------------------
     from rayspatial.util import hash_partitioned_agg
