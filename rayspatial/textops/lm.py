@@ -62,10 +62,16 @@ def _batch_ngrams(batch: pa.Table, text_col: str):
     return flat, off, hash_strings(bigram), hash_strings(w1), m
 
 
-def _corpus_counts(docs_ds, text_col: str):
+def _corpus_counts(docs_ds, text_col: str, min_model_count: int = 1):
     """-> (sorted uni hashes, uni counts, sorted bi hashes, bi counts,
     V) — exact corpus totals, one hash shuffle, driver gather bounded
-    by vocabulary size."""
+    by vocabulary size.
+
+    ``min_model_count`` > 1 is the open-web scale knob: bigrams below
+    the threshold are pruned from the broadcast model (per-partition,
+    after exact totals — deterministic) and score through the +1
+    smoothing path instead, bounding the model by the HEAD of the
+    bigram distribution rather than its unbounded tail."""
     from rayspatial.util import hash_partitioned_agg
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -86,9 +92,12 @@ def _corpus_counts(docs_ds, text_col: str):
     partials = docs_ds.map_batches(partial, batch_format="pyarrow")
 
     def total(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby(["kind", "h"], sort=False)["cnt"].sum().reset_index()
-        )
+        out = df.groupby(["kind", "h"], sort=False)["cnt"].sum().reset_index()
+        if min_model_count > 1:
+            # prune the bigram tail from the broadcast model (unigrams
+            # always kept: V and c1 must stay exact)
+            out = out[(out["kind"] == 0) | (out["cnt"] >= min_model_count)]
+        return out
 
     rows = hash_partitioned_agg(partials, ["kind", "h"], total).take_all()
     kind = np.fromiter((r["kind"] for r in rows), dtype=np.int64)
@@ -116,13 +125,16 @@ def _lookup(sorted_keys: np.ndarray, counts: np.ndarray, keys: np.ndarray) -> np
     return out
 
 
-def bigram_lm_scores(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+def bigram_lm_scores(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                     min_model_count: int = 1):
     """-> Dataset (doc_id, n_bigrams, lm_score_micro): add-one-smoothed
     bigram log-likelihood in integer micro-nats (0 for docs with fewer
-    than two tokens)."""
+    than two tokens).  ``min_model_count``: see ``_corpus_counts`` —
+    the broadcast-model size knob for open-web corpora."""
     import ray
 
-    uh, uc, bh, bc, vocab = _corpus_counts(docs_ds, text_col)
+    uh, uc, bh, bc, vocab = _corpus_counts(docs_ds, text_col,
+                                           min_model_count)
     model_ref = ray.put((uh, uc, bh, bc, vocab))
 
     def score(batch: pa.Table) -> pa.Table:

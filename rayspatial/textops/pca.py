@@ -57,17 +57,51 @@ def pca_fit(ds, n_components: int, col: str = "embedding"):
             "d": pa.array([m.shape[1]]),
         })
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def combine(batch: pa.Table) -> pa.Table:
+        # second-level combine: one moments row per REDUCE TASK, so the
+        # driver gather is task-count-bounded, not block-count-bounded.
+        # Accumulation and serialization use arbitrary-precision Python
+        # ints (pickle payload) — the int64 headroom argument only has
+        # to hold within a single map block, never across the combine.
+        import pickle
+
+        if not len(batch):
+            return pa.table({"moments": pa.array([], type=pa.binary())})
+        d_ = batch.column("d")[0].as_py()
+        n_ = 0
+        cs1 = np.zeros(d_, dtype=object)
+        cs2 = np.zeros((d_, d_), dtype=object)
+        for i in range(len(batch)):
+            n_ += batch.column("n")[i].as_py()
+            cs1 = cs1 + np.frombuffer(
+                batch.column("s1")[i].as_py(), dtype=np.int64).astype(object)
+            cs2 = cs2 + np.frombuffer(
+                batch.column("s2")[i].as_py(), dtype=np.int64
+            ).reshape(d_, d_).astype(object)
+        payload = pickle.dumps(
+            (n_, [int(v) for v in cs1],
+             [int(v) for v in cs2.reshape(-1)], d_))
+        return pa.table({"moments": pa.array([payload])})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(combine, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
     if not rows:
         raise ValueError("pca_fit: empty dataset")
-    d = rows[0]["d"]
+    import pickle
+
     n = 0
-    s1 = np.zeros(d, dtype=object)  # python-int cells: no overflow
-    s2 = np.zeros((d, d), dtype=object)
+    s1 = s2 = None
     for r in rows:
-        n += r["n"]
-        s1 = s1 + np.frombuffer(r["s1"], dtype=np.int64).astype(object)
-        s2 = s2 + np.frombuffer(r["s2"], dtype=np.int64).reshape(d, d).astype(object)
+        n_, l1, l2, d = pickle.loads(r["moments"])
+        a1 = np.asarray(l1, dtype=object)
+        a2 = np.asarray(l2, dtype=object).reshape(d, d)
+        n += n_
+        s1 = a1 if s1 is None else s1 + a1
+        s2 = a2 if s2 is None else s2 + a2
     mean_q = s1.astype(np.float64) / n                     # in q-units
     cov = (s2.astype(np.float64) - np.outer(mean_q, s1.astype(np.float64))) / n
     w, v = np.linalg.eigh(cov)                             # ascending
@@ -128,7 +162,25 @@ def quantize_int8(ds, col: str = "embedding", id_col: str = "vec_id"):
             "mx": pa.array([m.max(axis=0).tobytes()]),
         })
 
-    rows = ds.map_batches(minmax_partial, batch_format="pyarrow").take_all()
+    def minmax_combine(batch: pa.Table) -> pa.Table:
+        # second-level combine: driver gather is task-count-bounded
+        if not len(batch):
+            return batch
+        mn_ = mx_ = None
+        for i in range(len(batch)):
+            a = np.frombuffer(batch.column("mn")[i].as_py(), dtype=np.int64)
+            b = np.frombuffer(batch.column("mx")[i].as_py(), dtype=np.int64)
+            mn_ = a if mn_ is None else np.minimum(mn_, a)
+            mx_ = b if mx_ is None else np.maximum(mx_, b)
+        return pa.table({"mn": pa.array([mn_.tobytes()]),
+                         "mx": pa.array([mx_.tobytes()])})
+
+    rows = (
+        ds.map_batches(minmax_partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(minmax_combine, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
     if not rows:
         raise ValueError("quantize_int8: empty dataset")
     mn = np.frombuffer(rows[0]["mn"], dtype=np.int64).copy()

@@ -1100,3 +1100,30 @@ def test_quantize_int8_vs_brute(ray_session, embs_df):
     piv = got.pivot(index="vec_id", columns="dim", values="q")
     piv = piv.loc[embs_df.vec_id.to_numpy()]
     assert np.array_equal(piv.to_numpy(), want)
+
+
+def test_bigram_lm_min_model_count_prunes_tail(ray_session, docs_ds, docs_df):
+    """min_model_count prunes rare bigrams from the model; pruned
+    bigrams score through the 0+1 smoothing path."""
+    from collections import Counter
+
+    from rayspatial.textops.lm import bigram_lm_scores
+
+    uni, bi = Counter(), Counter()
+    for t in docs_df.text:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V, thresh = len(uni), 3
+
+    got = bigram_lm_scores(
+        docs_ds, min_model_count=thresh).to_pandas().set_index("doc_id")
+    for i, t in list(zip(docs_df.doc_id, docs_df.text))[:50]:
+        ws = t.split()
+        expect = sum(
+            int(np.round(np.log(
+                ((bi[(a, b)] if bi[(a, b)] >= thresh else 0) + 1.0)
+                / (uni[a] + V)) * 1e6))
+            for a, b in zip(ws, ws[1:])
+        )
+        assert got.loc[i, "lm_score_micro"] == expect, i
