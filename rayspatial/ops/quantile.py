@@ -302,8 +302,22 @@ def range_partitioned_rank(ds, key_col: str, tie_col: str,
                          return_counts=True)
         return pa.table({"p": pa.array(p), "c": pa.array(c.astype(np.int64))})
 
-    crows = assigned.map_batches(count_parts,
-                                 batch_format="pyarrow").take_all()
+    def count_combine(batch: pa.Table) -> pa.Table:
+        # second-level combine: gather is task-bounded, not block-bounded
+        if not len(batch):
+            return batch
+        acc = np.zeros(len(splits) + 1, dtype=np.int64)
+        np.add.at(acc, batch.column("p").to_numpy(),
+                  batch.column("c").to_numpy())
+        nz = np.flatnonzero(acc)
+        return pa.table({"p": pa.array(nz), "c": pa.array(acc[nz])})
+
+    crows = (
+        assigned.map_batches(count_parts, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(count_combine, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
     counts = np.zeros(len(splits) + 1, dtype=np.int64)
     for r in crows:
         counts[r["p"]] += r["c"]
