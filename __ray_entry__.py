@@ -1869,6 +1869,15 @@ def _q_zonal_majority(sf_dir: str):
         ["poly_id"], majority)
 
 
+def _q_exact_dedup_normalized(sf_dir: str):
+    """Exact dedup over NORMALIZED text (Unicode lowercase + collapsed
+    whitespace, one Arrow kernel chain): catches case/spacing variants
+    plain hashing misses; same 24-byte shuffle rows."""
+    from rayspatial.textops.dedup import exact_dedup_groups_normalized
+
+    return exact_dedup_groups_normalized(_docs(sf_dir, rows_per_block=512))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1898,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_by_lang": _q_pages_by_lang,
         # training-data ops
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2397,6 +2407,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "exact_dedup_normalized": (
+            r"SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+            r"FROM documents "
+            r"GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
         ),
         "token_counts": (
             r"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "

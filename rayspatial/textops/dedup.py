@@ -530,3 +530,30 @@ def dedup_against_index(new_ds, index_dir: str, key_col: str = "text",
         hashed.groupby("bucket")
         .map_groups(anti_filter, batch_format="pandas")
     )
+
+
+def normalize_text(col):
+    """Canonical text normalization for dedup: Unicode lowercase +
+    whitespace runs collapsed to single spaces + trim — one Arrow
+    kernel chain, no Python rows.  The standard pre-hash step that
+    catches case/格式 near-identical copies exact hashing misses."""
+    import pyarrow.compute as pc
+
+    lowered = pc.utf8_lower(col)
+    collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+def exact_dedup_groups_normalized(ds, id_col: str = "doc_id"):
+    """exact_dedup_groups over normalized text (lowercase, collapsed
+    whitespace): same 24-byte shuffle rows, same min-id representative
+    semantics, but case/spacing variants now collapse into one group."""
+    import pyarrow as pa
+
+    def add_norm(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            normalize_text(batch.column("text")))
+
+    return exact_dedup_groups(
+        ds.map_batches(add_norm, batch_format="pyarrow"), id_col=id_col)

@@ -1127,3 +1127,22 @@ def test_bigram_lm_min_model_count_prunes_tail(ray_session, docs_ds, docs_df):
             for a, b in zip(ws, ws[1:])
         )
         assert got.loc[i, "lm_score_micro"] == expect, i
+
+
+def test_exact_dedup_normalized(ray_session):
+    """Case/whitespace variants collapse into one group; distinct
+    content stays apart."""
+    import ray.data as rd
+
+    from rayspatial.textops.dedup import exact_dedup_groups_normalized
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["Hello  World", "hello world", "  HELLO\tWORLD ",
+                 "hello worlds", "unrelated"],
+    })
+    got = exact_dedup_groups_normalized(
+        rd.from_pandas(docs).repartition(2)
+    ).to_pandas().sort_values("doc_id")
+    assert list(got.doc_id) == [0, 3, 4]
+    assert list(got.n_copies) == [3, 1, 1]
