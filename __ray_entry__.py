@@ -1585,6 +1585,36 @@ def _q_rolling_user_value(sf_dir: str):
     )
 
 
+def _q_rolling_user_value_salted(sf_dir: str):
+    """Hot-key-safe rolling window: shuffle key (user, ts // bucket)
+    with boundary replicas, so one mega-user still parallelizes.
+    Shares the rolling_user_value oracle (outputs are identical)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.analytic import rolling_time_window_salted
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "cents": pa.array(
+                np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return rolling_time_window_salted(
+        events, "user_id", "ts", "cents",
+        window_us=3_600_000_000, bucket_us=4 * 3_600_000_000,
+        id_cols=["event_id"],
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: multi-aggregate groupby over lineitem with a
     date filter — per-batch integer partials (cents / scaled products)
@@ -1948,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_capped_docs": _q_host_capped_docs,
         "vocab": _q_vocab,
         "rolling_user_value": _q_rolling_user_value,
+        "rolling_user_value_salted": _q_rolling_user_value_salted,
         "pricing_summary": _q_pricing_summary,
         "pmi_collocations": _q_pmi_collocations,
         "emb_pca": _q_emb_pca,
@@ -2533,6 +2564,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY r.r_name"
         ),
         "rolling_user_value": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS sum_w, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_w "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "rolling_user_value_salted": (
             "SELECT event_id, user_id, "
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
             "AS sum_w, "

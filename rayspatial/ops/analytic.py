@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["analytic_window", "rolling_time_window", "funnel"]
+__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel"]
 
 _SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
 
@@ -254,4 +254,88 @@ def funnel(ds, steps: list[str], user_col: str = "user_id",
         return pa.table(out)
 
     return hash_partitioned_agg(ds, [user_col], per_partition,
+                                 num_partitions=num_partitions)
+
+
+def rolling_time_window_salted(ds, part_col: str, ts_col: str,
+                               value_col: str, window_us: int,
+                               bucket_us: int | None = None,
+                               id_cols: list[str] | None = None,
+                               num_partitions: int | None = None):
+    """Hot-key-safe ``rolling_time_window``: the shuffle key is
+    ``(key, ts // bucket)`` so one user with billions of rows spreads
+    over many tasks.  Exactness across bucket edges comes from
+    BOUNDARY REPLICATION (the rangejoin.py trick): every row within
+    ``window`` of its bucket's end is also shipped to the NEXT bucket
+    as a sum-only replica (contributes to windows, emits no output
+    row).  ``bucket_us`` must be >= ``window_us`` (default 4x) so one
+    replica hop suffices.
+
+    Output is identical to ``rolling_time_window`` (asserted in
+    pytest); cost is one extra copy of the boundary band
+    (<= window/bucket of the rows).
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    id_cols = id_cols or []
+    W = np.int64(window_us)
+    B = np.int64(bucket_us if bucket_us is not None else 4 * window_us)
+    if B < W:
+        raise ValueError("bucket_us must be >= window_us")
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy()
+        tsi = (ts.astype("datetime64[us]").astype(np.int64)
+               if ts.dtype.kind == "M" else ts.astype(np.int64))
+        bk = tsi // B
+        cols = {c: batch.column(c) for c in (*id_cols, part_col, value_col)}
+        base = pa.table({**cols,
+                         "_tsi": pa.array(tsi),
+                         "_bk": pa.array(bk),
+                         "_replica": pa.array(np.zeros(len(bk), np.int8))})
+        near_end = tsi >= (bk + 1) * B - W
+        if near_end.any():
+            keep = pa.array(near_end)
+            rep = pa.table({
+                **{c: cols[c].filter(keep) for c in cols},
+                "_tsi": pa.array(tsi[near_end]),
+                "_bk": pa.array(bk[near_end] + 1),
+                "_replica": pa.array(np.ones(int(near_end.sum()), np.int8)),
+            })
+            return pa.concat_tables([base, rep])
+        return base
+
+    bucketed = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        out_cols = [*id_cols, part_col, "sum_w", "n_w"]
+        if not len(df):
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in out_cols})
+        df = df.sort_values([part_col, "_bk", "_tsi"] + id_cols,
+                            kind="mergesort").reset_index(drop=True)
+        ts = df["_tsi"].to_numpy()
+        keys = df[part_col].to_numpy()
+        bks = df["_bk"].to_numpy()
+        new = np.r_[True, (keys[1:] != keys[:-1]) | (bks[1:] != bks[:-1])]
+        seg = np.cumsum(new) - 1
+        tmin = ts.min()
+        span = np.int64(ts.max() - tmin)
+        stride = span + W + np.int64(2)
+        if int(seg[-1] + 1) * int(stride) > 2**62:
+            raise OverflowError("rolling_time_window_salted: shift overflow")
+        shifted = (ts - tmin) + seg * stride
+        v = df[value_col].to_numpy().astype(np.int64)
+        cum = np.zeros(len(v) + 1, dtype=np.int64)
+        np.cumsum(v, out=cum[1:])
+        lo = np.searchsorted(shifted, shifted - W, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        own = df["_replica"].to_numpy() == 0
+        out = {c: df[c].to_numpy()[own] for c in id_cols}
+        out[part_col] = keys[own]
+        out["sum_w"] = (cum[hi] - cum[lo])[own]
+        out["n_w"] = (hi - lo).astype(np.int64)[own]
+        return pa.table({k2: pa.array(val) for k2, val in out.items()})
+
+    return hash_partitioned_agg(bucketed, [part_col, "_bk"], per_partition,
                                  num_partitions=num_partitions)

@@ -202,3 +202,44 @@ def test_funnel_vs_brute(ray_session):
         assert int(row.steps_completed) == done, u
         assert [int(row.t0), int(row.t1), int(row.t2)] == ts_exp, u
     assert int(got.loc[999].steps_completed) == 1  # equal-ts b not after a
+
+
+def test_rolling_time_window_salted_equals_plain(ray_session):
+    """Salted (time-bucket + boundary replica) rolling window ==
+    plain rolling window, on a dataset dominated by ONE hot user whose
+    rows span many buckets."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import (
+        rolling_time_window,
+        rolling_time_window_salted,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 2000
+    base = np.int64(1_700_000_000_000_000)
+    user = np.where(rng.rand(n) < 0.9, 7, rng.randint(0, 5, n))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": user.astype(np.int64),
+        "tsu": base + rng.randint(0, 3_600_000_000 * 50, n).astype(np.int64),
+        "cents": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    df["ts"] = df["tsu"].astype("datetime64[us]")
+    W = 3_600_000_000
+    src = rd.from_pandas(df[["event_id", "user_id", "ts", "cents"]])
+
+    plain = rolling_time_window(
+        src, "user_id", "ts", "cents", window_us=W, id_cols=["event_id"]
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    salted = rolling_time_window_salted(
+        src.repartition(6), "user_id", "ts", "cents", window_us=W,
+        bucket_us=2 * W, id_cols=["event_id"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(salted) == len(plain) == n
+    for c in ("sum_w", "n_w"):
+        assert (salted[c].to_numpy() == plain[c].to_numpy()).all(), c
+
+    with pytest.raises(ValueError):
+        rolling_time_window_salted(src, "user_id", "ts", "cents",
+                                   window_us=W, bucket_us=W // 2)
