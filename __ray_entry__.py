@@ -1908,6 +1908,40 @@ def _q_exact_dedup_normalized(sf_dir: str):
     return exact_dedup_groups_normalized(_docs(sf_dir, rows_per_block=512))
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus-snapshot diff: old = docs with doc_id % 5 != 0 (as-is);
+    new = docs with doc_id % 7 != 0, content suffixed ' v2' where
+    doc_id % 11 == 0.  One 24-byte-row hash exchange classifies
+    added/removed/changed/same."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.textops.dedup import snapshot_diff
+
+    docs = _docs(sf_dir, rows_per_block=512)
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.select(["doc_id", "text"]).filter(pa.array(ids % 5 != 0))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.select(["doc_id", "text"]).filter(pa.array(ids % 7 != 0))
+        sid = sub.column("doc_id").to_numpy()
+        changed = pa.array(sid % 11 == 0)
+        text = pc.if_else(
+            changed,
+            pc.binary_join_element_wise(
+                sub.column("text"), pa.scalar("v2"), " "),
+            sub.column("text"))
+        return pa.table({"doc_id": sub.column("doc_id"), "text": text})
+
+    return snapshot_diff(
+        docs.map_batches(old_side, batch_format="pyarrow"),
+        docs.map_batches(new_side, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1938,6 +1972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
+        "snapshot_diff": _q_snapshot_diff,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2438,6 +2473,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "snapshot_diff": (
+            "WITH old AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 5 <> 0), "
+            "new AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END "
+            "AS text FROM documents WHERE doc_id % 7 <> 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.text = n.text THEN 'same' ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id"
         ),
         "exact_dedup_normalized": (
             r"SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "

@@ -557,3 +557,57 @@ def exact_dedup_groups_normalized(ds, id_col: str = "doc_id"):
 
     return exact_dedup_groups(
         ds.map_batches(add_norm, batch_format="pyarrow"), id_col=id_col)
+
+
+def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
+                  key_col: str = "text",
+                  num_partitions: int | None = None):
+    """Corpus-version diff: -> Dataset (id, status) with status in
+    {'added', 'removed', 'changed', 'same'} — the bookkeeping step an
+    incremental crawl pipeline runs between snapshots to reprocess
+    only what moved.
+
+    Both sides are reduced to (id, h1, h2) 24-byte rows (content never
+    shuffles), tagged, and resolved in ONE hash exchange keyed by id —
+    a full-outer-join-with-classification specialization.
+    """
+    from rayspatial.textops.hashing import rolling_fingerprint
+    from rayspatial.util import hash_partitioned_agg
+
+    def to_hashes(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            h1 = hash_strings(batch.column(key_col)).view(np.int64)
+            h2 = rolling_fingerprint(batch.column(key_col))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "_side": pa.array(np.full(len(batch), side, np.int8)),
+            })
+
+        return fn
+
+    tagged = old_ds.map_batches(to_hashes(0), batch_format="pyarrow").union(
+        new_ds.map_batches(to_hashes(1), batch_format="pyarrow"))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["_side"] == 0].set_index(id_col)
+        new = df[df["_side"] == 1].set_index(id_col)
+        ids = old.index.union(new.index)
+        in_old = ids.isin(old.index)
+        in_new = ids.isin(new.index)
+        status = np.where(
+            ~in_old, "added",
+            np.where(~in_new, "removed", "same"))
+        both = in_old & in_new
+        if both.any():
+            bid = ids[both]
+            same = ((old.loc[bid, "h1"].to_numpy()
+                     == new.loc[bid, "h1"].to_numpy())
+                    & (old.loc[bid, "h2"].to_numpy()
+                       == new.loc[bid, "h2"].to_numpy()))
+            status[both] = np.where(same, "same", "changed")
+        return pd.DataFrame({id_col: ids.to_numpy(), "status": status})
+
+    return hash_partitioned_agg(tagged, [id_col], classify,
+                                num_partitions=num_partitions)

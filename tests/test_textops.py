@@ -1146,3 +1146,28 @@ def test_exact_dedup_normalized(ray_session):
     ).to_pandas().sort_values("doc_id")
     assert list(got.doc_id) == [0, 3, 4]
     assert list(got.n_copies) == [3, 1, 1]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    """All four statuses classified correctly across block layouts."""
+    import ray.data as rd
+
+    from rayspatial.textops.dedup import snapshot_diff
+
+    old = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": ["a", "b", "c", "d"],
+    })
+    new = pd.DataFrame({
+        "doc_id": np.array([2, 3, 4, 5], dtype=np.int64),
+        "text": ["b", "C!", "d", "e"],
+    })
+    got = snapshot_diff(
+        rd.from_pandas(old).repartition(2),
+        rd.from_pandas(new).repartition(3),
+    ).to_pandas().set_index("doc_id")
+    assert got.loc[1, "status"] == "removed"
+    assert got.loc[2, "status"] == "same"
+    assert got.loc[3, "status"] == "changed"
+    assert got.loc[4, "status"] == "same"
+    assert got.loc[5, "status"] == "added"
