@@ -1942,6 +1942,16 @@ def _q_snapshot_diff(sf_dir: str):
         docs.map_batches(new_side, batch_format="pyarrow"))
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping token-window chunking (window 64, stride 48): the
+    RAG/shard splitter, pure streaming map_batches with Arrow-list
+    chunk reassembly (no per-chunk Python)."""
+    from rayspatial.textops.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, rows_per_block=512),
+                           window=64, stride=48)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1973,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
         "snapshot_diff": _q_snapshot_diff,
+        "doc_chunks": _q_doc_chunks,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2473,6 +2484,21 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "doc_chunks": (
+            r"WITH w AS (SELECT doc_id, ws, "
+            r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n "
+            r"FROM (SELECT doc_id, text, "
+            r"string_split_regex(trim(text), '\s+') AS ws FROM documents)), "
+            "c AS (SELECT doc_id, ws, n, unnest(generate_series(0, "
+            "CASE WHEN n > 64 THEN (n - 17) // 48 ELSE 0 END)) AS chunk_id "
+            "FROM w WHERE n > 0) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(LEAST(chunk_id * 48 + 64, n) - chunk_id * 48 AS BIGINT) "
+            "AS n_tokens, "
+            "array_to_string(ws[chunk_id * 48 + 1 : "
+            "LEAST(chunk_id * 48 + 64, n)], ' ') AS chunk "
+            "FROM c"
         ),
         "snapshot_diff": (
             "WITH old AS (SELECT doc_id, text FROM documents "

@@ -1171,3 +1171,38 @@ def test_snapshot_diff_statuses(ray_session):
     assert got.loc[3, "status"] == "changed"
     assert got.loc[4, "status"] == "same"
     assert got.loc[5, "status"] == "added"
+
+
+def test_chunk_documents_vs_brute(ray_session):
+    """chunk_documents == Python slicing reference, incl. short, exact
+    one-window and empty docs; stride/window arg validation."""
+    import ray.data as rd
+
+    from rayspatial.textops.chunking import chunk_documents
+
+    texts = {
+        0: "a b c",                            # short: 1 chunk
+        1: " ".join(f"t{i}" for i in range(10)),   # exactly 2 chunks w=6 s=4
+        2: "",                                 # empty: no chunks
+        3: " ".join(f"u{i}" for i in range(6)),    # == window: 1 chunk
+        4: " ".join(f"v{i}" for i in range(11)),   # 2 chunks + tail -> 3? (11-6)/4 ceil=2 -> 3 chunks
+    }
+    docs = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    got = chunk_documents(
+        rd.from_pandas(docs).repartition(2), window=6, stride=4
+    ).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    expect = []
+    for d, t in texts.items():
+        ws = t.split()
+        n = len(ws)
+        if n == 0:
+            continue
+        m = max(-(-(n - 6) // 4), 0) + 1
+        for i in range(m):
+            seg = ws[i * 4: i * 4 + 6]
+            expect.append((d, i, len(seg), " ".join(seg)))
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(docs), window=0)
