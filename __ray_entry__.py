@@ -1952,6 +1952,18 @@ def _q_doc_chunks(sf_dir: str):
                            window=64, stride=48)
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic hash-based train/val/test split (5%/5%): fixed by
+    doc_id, disjoint, stable under repartition/append; no shuffle."""
+    import pyarrow as pa
+
+    from rayspatial.textops.sampling import train_val_test_split
+
+    docs = _docs(sf_dir, rows_per_block=512).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    return train_val_test_split(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1984,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_normalized": _q_exact_dedup_normalized,
         "snapshot_diff": _q_snapshot_diff,
         "doc_chunks": _q_doc_chunks,
+        "dataset_split": _q_dataset_split,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2484,6 +2497,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "dataset_split": (
+            "WITH " + _splitmix64_cte_sql("doc_id", "documents", "doc_id")
+            + " SELECT doc_id, CASE WHEN x % 1000000 < 50000 THEN 'val' "
+            "WHEN x % 1000000 < 100000 THEN 'test' ELSE 'train' END "
+            "AS split FROM sm3"
         ),
         "doc_chunks": (
             r"WITH w AS (SELECT doc_id, ws, "

@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from rayspatial.textops.hashing import hash_int64
 
-__all__ = ["stratified_sample", "cap_per_group"]
+__all__ = ["stratified_sample", "cap_per_group", "train_val_test_split"]
 
 
 def stratified_sample(ds, rates: dict[str, float],
@@ -71,3 +71,30 @@ def cap_per_group(ds, group_col: str, n: int, order_col: str = "doc_id",
 
     return hash_partitioned_agg(ds, [group_col], head_n,
                                 num_partitions=num_partitions)
+
+
+def train_val_test_split(ds, val_ppm: int = 50_000, test_ppm: int = 50_000,
+                         key_col: str = "doc_id", seed: int = 0):
+    """Deterministic hash-based dataset split: each row is assigned
+    'train' / 'val' / 'test' from ``splitmix64(key) mod 1e6`` — fixed
+    by the KEY, so the split is reproducible run-to-run, disjoint by
+    construction, stable under re-partitioning/appends, and resumable
+    (same properties as ``stratified_sample``).  ``val_ppm``/
+    ``test_ppm`` are parts-per-million (defaults: 5% / 5%).
+
+    Pure map_batches (no shuffle, no state); emits the input rows plus
+    a ``split`` column.
+    """
+    if val_ppm + test_ppm > 1_000_000:
+        raise ValueError("val_ppm + test_ppm must be <= 1e6")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy().astype(np.int64)
+        h = (hash_int64(keys, seed=seed) % np.uint64(1_000_000)).astype(
+            np.int64)
+        split = np.where(
+            h < val_ppm, "val",
+            np.where(h < val_ppm + test_ppm, "test", "train"))
+        return batch.append_column("split", pa.array(split))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

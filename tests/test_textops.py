@@ -1206,3 +1206,21 @@ def test_chunk_documents_vs_brute(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(docs), window=0)
+
+
+def test_train_val_test_split_deterministic(ray_session, docs_ds):
+    """Split is key-deterministic (identical across runs/layouts),
+    disjoint and complete; ppm validation."""
+    import ray.data as rd
+
+    from rayspatial.textops.sampling import train_val_test_split
+
+    a = train_val_test_split(docs_ds).to_pandas().set_index("doc_id")
+    b = train_val_test_split(
+        docs_ds.repartition(7)).to_pandas().set_index("doc_id")
+    assert (a.sort_index().split == b.sort_index().split).all()
+    assert set(a.split.unique()) <= {"train", "val", "test"}
+    assert len(a) == a.index.nunique()
+
+    with pytest.raises(ValueError):
+        train_val_test_split(docs_ds, val_ppm=900_000, test_ppm=200_000)
