@@ -1964,6 +1964,43 @@ def _q_dataset_split(sf_dir: str):
     return train_val_test_split(docs)
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """The full modern curation chain in ONE streaming composition:
+    benchmark decontamination (broadcast eval n-grams) -> quality
+    filter + exact dedup (one pass + one hash shuffle) -> per-host
+    contribution cap (one hash shuffle).  Three operators, two
+    exchanges, content never shuffles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.textops.curation import curate
+    from rayspatial.textops.decontam import decontaminate
+    from rayspatial.textops.sampling import cap_per_group
+
+    def split(want_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            is_bench = batch.column("doc_id").to_numpy() % 23 == 0
+            return batch.filter(pa.array(is_bench if want_bench else ~is_bench))
+
+        return f
+
+    docs = _docs(sf_dir, rows_per_block=512)
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    clean = decontaminate(train, bench, k=4, keep_cols=("text",))
+    kept = curate(clean, min_tokens=20, max_tokens=400, min_uniq_tokens=10)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.append_column("host", pa.array(ids % 97))
+
+    return cap_per_group(
+        kept.map_batches(add_host, batch_format="pyarrow"),
+        "host", 4, order_col="doc_id",
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -1997,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "doc_chunks": _q_doc_chunks,
         "dataset_split": _q_dataset_split,
+        "curation_pipeline": _q_curation_pipeline,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2497,6 +2535,28 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "curation_pipeline": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM w), "
+            "ng AS (SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g FROM idx), "
+            "bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0), "
+            "hits AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b ON n.g = b.g "
+            "WHERE n.doc_id % 23 <> 0), "
+            "clean AS (SELECT d.doc_id, d.text FROM documents d "
+            "WHERE d.doc_id % 23 <> 0 "
+            "AND d.doc_id NOT IN (SELECT doc_id FROM hits)), "
+            "kept AS (SELECT MIN(doc_id) AS doc_id FROM clean "
+            r"WHERE (CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 20 AND 400 "
+            r"AND (CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END) >= 10 "
+            "GROUP BY text), "
+            "capped AS (SELECT doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id % 97 ORDER BY doc_id) AS rn FROM kept) "
+            "SELECT doc_id FROM capped WHERE rn <= 4"
         ),
         "dataset_split": (
             "WITH " + _splitmix64_cte_sql("doc_id", "documents", "doc_id")
