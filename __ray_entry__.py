@@ -2001,6 +2001,47 @@ def _q_curation_pipeline(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def _q_url_dedup(sf_dir: str):
+    """Crawl-frontier URL dedup: canonicalize (strip query/fragment/
+    default port/trailing slash, lowercase scheme+host) and keep the
+    min-id page per canonical URL.  Pages get deterministic messy
+    variants (case, :443, ?utm, trailing /) so the canonicalizer has
+    real work; both sides derive the same variants."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.textops.curation import canonical_urls
+
+    pts = points_dataset(sf_dir)
+
+    def messy(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        base_id = ids // 2  # adjacent ids share a base page -> real dups
+        u = pc.binary_join_element_wise(
+            pa.scalar("https://site-"),
+            pc.cast(pa.array(base_id % 97), pa.string()),
+            pa.scalar(".example.com/page/"),
+            pc.cast(pa.array(base_id), pa.string()),
+            "")
+        m0 = pc.replace_substring_regex(u, r"^https", "HTTPS")
+        m1 = pc.replace_substring_regex(
+            u, r"^(https://[^/]*)/", r"\1:443/")
+        m2 = pc.binary_join_element_wise(u, pa.scalar("?utm_source=x"), "")
+        m3 = pc.binary_join_element_wise(u, pa.scalar("/"), "")
+        variant = np.mod(ids, 4)
+        out = pc.case_when(
+            pc.make_struct(
+                pa.array(variant == 0), pa.array(variant == 1),
+                pa.array(variant == 2)),
+            m0, m1, m2)
+        out = pc.if_else(pa.array(variant == 3), m3, out)
+        return pa.table({"doc_id": batch.column("doc_id"), "url": out})
+
+    return canonical_urls(pts.map_batches(messy, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -2035,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "dataset_split": _q_dataset_split,
         "curation_pipeline": _q_curation_pipeline,
+        "url_dedup": _q_url_dedup,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2535,6 +2577,27 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "url_dedup": (
+            f"WITH {_PTS_CTE}, "
+            "m AS (SELECT doc_id, "
+            "'https://site-' || CAST((doc_id // 2) % 97 AS VARCHAR) "
+            "|| '.example.com/page/' || CAST(doc_id // 2 AS VARCHAR) AS b, "
+            "doc_id % 4 AS v FROM pts), "
+            "mu AS (SELECT doc_id, CASE v "
+            "WHEN 0 THEN regexp_replace(b, '^https', 'HTTPS') "
+            r"WHEN 1 THEN regexp_replace(b, '^(https://[^/]*)/', '\1:443/') "
+            "WHEN 2 THEN b || '?utm_source=x' "
+            "ELSE b || '/' END AS url FROM m), "
+            r"c0 AS (SELECT doc_id, regexp_replace(url, '[#?].*$', '') AS u FROM mu), "
+            r"c1 AS (SELECT doc_id, regexp_replace(u, "
+            r"'(?i)^(https?://[^/:]*):(?:80|443)(/|$)', '\1\2') AS u FROM c0), "
+            r"c2 AS (SELECT doc_id, "
+            r"lower(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)) || "
+            r"regexp_replace(regexp_replace(u, '(?i)^https?://[^/]*', ''), "
+            r"'/$', '') AS canon_url FROM c1) "
+            "SELECT MIN(doc_id) AS doc_id, canon_url FROM c2 "
+            "GROUP BY canon_url"
         ),
         "curation_pipeline": (
             r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws "

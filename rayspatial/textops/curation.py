@@ -61,3 +61,47 @@ def curate(ds, min_tokens: int = 20, max_tokens: int = 400,
         )
 
     return hash_partitioned_agg(hashed, ["h1", "h2"], dedup)
+
+
+def canonical_urls(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """URL canonicalization + dedup: lowercase scheme/host, strip
+    fragment, query string, default port and trailing slash, then keep
+    the min-id page per canonical URL.  The crawl-frontier dedup step
+    (the same page crawled as http://Host/x?utm=.. and https://host/x
+    must collapse).
+
+    One Arrow regex chain per batch (no Python rows), 16-byte
+    (hash, id) shuffle rows, min-id representative per group.
+    """
+    import pyarrow.compute as pc
+
+    from rayspatial.textops.hashing import hash_strings
+    from rayspatial.util import hash_partitioned_agg
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch.column(url_col)
+        u = pc.replace_substring_regex(u, r"[#?].*$", "")        # query/frag
+        u = pc.replace_substring_regex(                          # default port
+            u, r"(?i)^(https?://[^/:]*):(?:80|443)(/|$)", r"\1\2")
+        # lowercase ONLY the scheme://host prefix, preserve path case
+        pref = pc.extract_regex(u, r"(?i)^(?P<sh>https?://[^/]*)")
+        if isinstance(pref, pa.ChunkedArray):
+            pref = pref.combine_chunks()
+        sh = pc.utf8_lower(pref.field("sh"))
+        path = pc.replace_substring_regex(u, r"(?i)^https?://[^/]*", "")
+        path = pc.replace_substring_regex(path, r"/$", "")
+        cu = pc.binary_join_element_wise(sh, path, "")
+        return pa.table({
+            "h": pa.array(hash_strings(cu).view(np.int64)),
+            "canon_url": cu,
+            id_col: batch.column(id_col),
+        })
+
+    hashed = ds.map_batches(canon, batch_format="pyarrow")
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        out = df.drop_duplicates("h", keep="first")
+        return out[[id_col, "canon_url"]]
+
+    return hash_partitioned_agg(hashed, ["h"], first)

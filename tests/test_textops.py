@@ -1224,3 +1224,31 @@ def test_train_val_test_split_deterministic(ray_session, docs_ds):
 
     with pytest.raises(ValueError):
         train_val_test_split(docs_ds, val_ppm=900_000, test_ppm=200_000)
+
+
+def test_canonical_urls_rules(ray_session):
+    """Canonicalization collapses case/port/query/slash variants and
+    keeps the min-id representative; distinct pages stay apart."""
+    import ray.data as rd
+
+    from rayspatial.textops.curation import canonical_urls
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "url": [
+            "HTTPS://Site-1.Example.com/Page/9",
+            "https://site-1.example.com:443/Page/9?utm=z#frag",
+            "https://site-1.example.com/Page/9/",
+            "http://site-1.example.com:80/Page/9",    # http != https? same host/path but scheme differs
+            "https://site-1.example.com/Page/10",
+            "https://other.example.com/Page/9",
+        ],
+    })
+    got = canonical_urls(
+        rd.from_pandas(docs).repartition(2)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # 0,1,2 collapse (https variants); 3 is http (different canonical);
+    # 4 and 5 distinct
+    assert list(got.doc_id) == [0, 3, 4, 5]
+    assert got.loc[0, "canon_url"] == "https://site-1.example.com/Page/9"
+    assert got.loc[1, "canon_url"] == "http://site-1.example.com/Page/9"
