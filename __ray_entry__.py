@@ -2042,6 +2042,24 @@ def _q_url_dedup(sf_dir: str):
     return canonical_urls(pts.map_batches(messy, batch_format="pyarrow"))
 
 
+def _q_points_uncovered(sf_dir: str):
+    """Spatial anti-join: points covered by NO polygon (broadcast PIP
+    join pairs -> hash anti-join on doc_id)."""
+    import pyarrow as pa
+
+    from rayspatial.ops.join import join_points_polygons
+    from rayspatial.ops.relational import anti_join
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    pts = points_dataset(sf_dir).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    pairs = join_points_polygons(
+        points_dataset(sf_dir), polygon_geoms(), predicate="covers"
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    return anti_join(pts, pairs, "doc_id", ["doc_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -2077,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "curation_pipeline": _q_curation_pipeline,
         "url_dedup": _q_url_dedup,
+        "points_uncovered": _q_points_uncovered,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2577,6 +2596,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "points_uncovered": (
+            f"WITH {_PTS_CTE}, {_POLYS_CTE} "
+            "SELECT doc_id FROM pts WHERE NOT EXISTS "
+            "(SELECT 1 FROM polys WHERE lon >= xmin AND lon <= xmax "
+            "AND lat >= ymin AND lat <= ymax)"
         ),
         "url_dedup": (
             f"WITH {_PTS_CTE}, "
