@@ -458,6 +458,8 @@ def join_points_polygons_subdivided(
     partition_res: int = 4,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    salt_target: int | None = None,
+    salt_map: dict[int, int] | None = None,
 ):
     """Shuffle-mode PIP join over a SUBDIVIDED polygon layer: the task
     for cell c joins against clip(polygon, cell_rect(c)) pieces only.
@@ -468,6 +470,12 @@ def join_points_polygons_subdivided(
     are dropped at subdivision).  A point lives in exactly one cell, so
     pairs stay unique with no dedup.
 
+    Hot POINT cells still skew the exchange: ``salt_target`` /
+    ``salt_map`` split them into salted keys exactly like
+    ``join_points_polygons_shuffled`` (the cell's piece set is shared
+    by every salt bucket via the per-worker joiner cache, so salting
+    adds no geometry replication at all here).
+
     Boundary-inclusive predicates only ('covers' / 'intersects'): a
     point on an INTERNAL clip edge lies on the piece's boundary, so the
     boundary-exclusive 'contains' would miss interior points there —
@@ -475,6 +483,8 @@ def join_points_polygons_subdivided(
     polygon (use the replicated join instead).
     """
     import ray
+
+    from rayspatial.ops import skew
 
     if predicate not in ("covers", "intersects"):
         raise ValueError(
@@ -484,18 +494,30 @@ def join_points_polygons_subdivided(
         )
     if poly_ids is None:
         poly_ids = np.arange(len(polygons), dtype=np.int64)
+    if salt_map is None and salt_target is not None:
+        hist = pa.concat_tables(list(
+            skew.cell_histogram(points_ds, partition_res, lon_col, lat_col)
+            .iter_batches(batch_format="pyarrow")))
+        salt_map = skew.plan_salts(hist, salt_target)
+    salt_map = salt_map or {}
     payload_ref = ray.put(subdivide_polygons(polygons, poly_ids, partition_res))
 
     def add_cell(batch: pa.Table) -> pa.Table:
         lon = batch.column(lon_col).to_numpy()
         lat = batch.column(lat_col).to_numpy()
         pcell = cellmod.cell_encode(lon, lat, partition_res)
-        return batch.append_column("_pcell", pa.array(pcell))
+        if "doc_id" in batch.column_names:
+            rid = batch.column("doc_id").to_numpy()
+        else:
+            rid = lon.view(np.int64) ^ lat.view(np.int64)
+        salt = skew.salt_values(pcell, rid, salt_map)
+        return batch.append_column("_pcell", pa.array(pcell)).append_column(
+            "_salt", pa.array(salt))
 
     def join_group(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        empty = batch.drop_columns(["_pcell"]).slice(0, 0).append_column(
+        empty = batch.drop_columns(["_pcell", "_salt"]).slice(0, 0).append_column(
             "poly_id", pa.array([], type=pa.int64())
         )
         if batch.num_rows == 0:
@@ -519,7 +541,8 @@ def join_points_polygons_subdivided(
             _JOINER_CACHE[ckey] = joiner
         elif joiner is False:
             return empty
-        return joiner(batch.drop_columns(["_pcell"]))
+        return joiner(batch.drop_columns(["_pcell", "_salt"]))
 
     ds = points_ds.map_batches(add_cell, batch_format="pyarrow")
-    return ds.groupby("_pcell").map_groups(join_group, batch_format="pyarrow")
+    return ds.groupby(["_pcell", "_salt"]).map_groups(
+        join_group, batch_format="pyarrow")

@@ -227,3 +227,20 @@ def test_join_subdivided_equals_broadcast(ray_ds):
 
     with pytest.raises(ValueError):
         join_points_polygons_subdivided(pts_ds, tri, predicate="contains")
+
+
+def test_join_subdivided_salted_equals_plain(ray_ds):
+    """Hot-cell salting on the subdivided join leaves results exactly
+    unchanged (pieces shared across salt buckets via the worker cache)."""
+    from rayspatial.ops.join import join_points_polygons_subdivided
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.polygons import polygon_geoms
+
+    a = join_points_polygons_subdivided(
+        points_dataset(SF), polygon_geoms(), predicate="covers"
+    ).select_columns(["doc_id", "poly_id"]).to_pandas()
+    b = join_points_polygons_subdivided(
+        points_dataset(SF), polygon_geoms(), predicate="covers",
+        salt_target=50,
+    ).select_columns(["doc_id", "poly_id"]).to_pandas()
+    assert set(zip(a["doc_id"], a["poly_id"])) == set(zip(b["doc_id"], b["poly_id"]))
