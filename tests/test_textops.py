@@ -1252,3 +1252,53 @@ def test_canonical_urls_rules(ray_session):
     assert list(got.doc_id) == [0, 3, 4, 5]
     assert got.loc[0, "canon_url"] == "https://site-1.example.com/Page/9"
     assert got.loc[1, "canon_url"] == "http://site-1.example.com/Page/9"
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Every round-3 operator survives empty inputs (schema-preserving
+    empty results or a clear error), as empty filter results occur in
+    real plans."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import funnel, rolling_time_window
+    from rayspatial.textops.chunking import chunk_documents
+    from rayspatial.textops.decontam import decontaminate
+    from rayspatial.textops.dedup import snapshot_diff
+    from rayspatial.textops.lm import bigram_lm_scores
+    from rayspatial.textops.packing import pack_sequences
+    from rayspatial.textops.sampling import cap_per_group, train_val_test_split
+
+    docs = pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "text": pd.Series(dtype="str"),
+        "lang": pd.Series(dtype="str"),
+    })
+    empty = rd.from_pandas(docs)
+    some = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c d e f", "g h", ""],
+        "lang": ["en"] * 3,
+    }))
+
+    assert decontaminate(some, empty, k=2, keep_cols=()).count() == 3
+    assert decontaminate(empty, some, k=2, keep_cols=()).count() == 0
+    assert pack_sequences(empty).count() == 0
+    assert bigram_lm_scores(empty).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert cap_per_group(empty, "lang", 2).count() == 0
+    assert train_val_test_split(empty).count() == 0
+    assert snapshot_diff(empty, some).count() == 3   # all 'added'
+    assert snapshot_diff(some, empty).count() == 3   # all 'removed'
+
+    ev = pd.DataFrame({
+        "event_id": pd.Series(dtype="int64"),
+        "user_id": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "cents": pd.Series(dtype="int64"),
+        "event_type": pd.Series(dtype="str"),
+    })
+    eempty = rd.from_pandas(ev)
+    assert rolling_time_window(
+        eempty, "user_id", "ts", "cents", window_us=1000,
+        id_cols=["event_id"]).count() == 0
+    assert funnel(eempty, ["a", "b"]).count() == 0
