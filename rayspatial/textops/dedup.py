@@ -487,10 +487,17 @@ def dedup_against_index(new_ds, index_dir: str, key_col: str = "text",
     hashed = new_ds.map_batches(to_hashes, batch_format="pyarrow")
 
     def anti_filter(df: pd.DataFrame) -> pd.DataFrame:
+        import os
+
         if not len(df):
             return df[[id_col]]
         b = int(df["bucket"].iloc[0])
-        key = (index_dir, b)
+        part_dir = os.path.join(index_dir, f"bucket={b}")
+        files = (tuple(sorted(os.listdir(part_dir)))
+                 if os.path.isdir(part_dir) else ())
+        # file list in the key: an appended shard (append_hash_index)
+        # invalidates stale worker caches without any coordination
+        key = (index_dir, b, files)
         idx = _INDEX_BUCKET_CACHE.get(key)
         if idx is None:
             import os
@@ -611,3 +618,31 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
 
     return hash_partitioned_agg(tagged, [id_col], classify,
                                 num_partitions=num_partitions)
+
+
+def append_hash_index(ds, index_dir: str, key_col: str = "text"):
+    """Incremental index REFRESH: append a (new, already-accepted)
+    shard's content hashes into the existing bucket-partitioned index
+    so the NEXT shard dedups against old corpus + this shard without
+    any rebuild.
+
+    ``write_parquet`` adds uniquely named files inside each
+    ``bucket=<b>/`` directory (append semantics); readers pick them up
+    automatically because the worker bucket cache is keyed by the
+    bucket's file list."""
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        from rayspatial.textops.hashing import rolling_fingerprint
+
+        h1 = hash_strings(batch.column(key_col)).view(np.int64)
+        h2 = rolling_fingerprint(batch.column(key_col))
+        return pa.table({
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+            "bucket": pa.array(
+                (h1.view(np.uint64) % np.uint64(N_HASH_BUCKETS))
+                .astype(np.int64)),
+        })
+
+    ds.map_batches(to_hashes, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])

@@ -1302,3 +1302,33 @@ def test_new_ops_empty_inputs(ray_session):
         eempty, "user_id", "ts", "cents", window_us=1000,
         id_cols=["event_id"]).count() == 0
     assert funnel(eempty, ["a", "b"]).count() == 0
+
+
+def test_append_hash_index_incremental_flow(ray_session, tmp_path):
+    """Shard flow: build index on A; dedup S1; APPEND S1; dedup S2 —
+    S2 must now collide with both A and S1 (stale caches invalidated
+    by the file-list cache key)."""
+    import ray.data as rd
+
+    from rayspatial.textops.dedup import (
+        append_hash_index,
+        build_hash_index,
+        dedup_against_index,
+    )
+
+    idx = str(tmp_path / "hidx2")
+    A = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                      "text": [f"base {i}" for i in range(10)]})
+    build_hash_index(rd.from_pandas(A), idx)
+
+    S1 = pd.DataFrame({"doc_id": np.arange(100, 104, dtype=np.int64),
+                       "text": ["base 3", "s1 a", "s1 b", "s1 a"]})
+    got1 = dedup_against_index(rd.from_pandas(S1), idx).to_pandas()
+    assert sorted(got1.doc_id) == [101, 102]   # 'base 3' dup, 's1 a' x2
+
+    append_hash_index(rd.from_pandas(S1), idx)
+
+    S2 = pd.DataFrame({"doc_id": np.arange(200, 204, dtype=np.int64),
+                       "text": ["s1 a", "base 7", "s2 new", "s1 b"]})
+    got2 = dedup_against_index(rd.from_pandas(S2), idx).to_pandas()
+    assert sorted(got2.doc_id) == [202]
