@@ -2060,6 +2060,18 @@ def _q_points_uncovered(sf_dir: str):
     return anti_join(pts, pairs, "doc_id", ["doc_id"])
 
 
+def _q_retention(sf_dir: str):
+    """Weekly retention cohorts over events: first-seen week x week
+    offset -> active-user counts (one user-keyed shuffle computing
+    cohort + activity together, result-bounded combine)."""
+    from rayspatial.ops.analytic import retention_cohorts
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(events)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -2096,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "url_dedup": _q_url_dedup,
         "points_uncovered": _q_points_uncovered,
+        "retention": _q_retention,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2596,6 +2609,16 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "retention": (
+            "WITH wk AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS week FROM events), "
+            "first AS (SELECT user_id, MIN(week) AS cohort_week "
+            "FROM wk GROUP BY user_id) "
+            "SELECT f.cohort_week, w.week - f.cohort_week AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM wk w JOIN first f ON f.user_id = w.user_id "
+            "GROUP BY f.cohort_week, w.week - f.cohort_week"
         ),
         "points_uncovered": (
             f"WITH {_PTS_CTE}, {_POLYS_CTE} "

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel"]
+__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel", "retention_cohorts"]
 
 _SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
 
@@ -339,3 +339,57 @@ def rolling_time_window_salted(ds, part_col: str, ts_col: str,
 
     return hash_partitioned_agg(bucketed, [part_col, "_bk"], per_partition,
                                  num_partitions=num_partitions)
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      week_us: int = 7 * 86_400_000_000,
+                      num_partitions: int | None = None):
+    """Cohort retention matrix: users grouped by FIRST-SEEN week
+    (cohort), counted in every later week they were active —
+    -> (cohort_week, week_offset, n_users).
+
+    One hash shuffle by user computes, per partition, each user's
+    first week AND their distinct active weeks in the same pass
+    (co-partitioned, so no second join); the (cohort, offset) partial
+    counts are result-bounded (weeks^2), so the final combine gathers
+    almost nothing.  Weeks are epoch-microsecond floors (ts // week).
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy()
+        tsi = (ts.astype("datetime64[us]").astype(np.int64)
+               if ts.dtype.kind == "M" else ts.astype(np.int64))
+        return pa.table({
+            user_col: batch.column(user_col),
+            "week": pa.array(tsi // np.int64(week_us)),
+        })
+
+    weeks = ds.map_batches(to_weeks, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cohort_week": pd.Series(dtype="int64"),
+                "week_offset": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")})
+        d = df.drop_duplicates([user_col, "week"])
+        first = d.groupby(user_col, sort=False)["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort_week": first.to_numpy(),
+            "week_offset": d["week"].to_numpy() - first.to_numpy(),
+        })
+        res = (out.groupby(["cohort_week", "week_offset"], sort=False)
+               .size().reset_index(name="n_users"))
+        res["n_users"] = res["n_users"].astype(np.int64)
+        return res
+
+    partials = hash_partitioned_agg(weeks, [user_col], per_partition,
+                                    num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["cohort_week", "week_offset"], sort=False)
+                ["n_users"].sum().reset_index())
+
+    return hash_partitioned_agg(partials, ["cohort_week", "week_offset"],
+                                combine)

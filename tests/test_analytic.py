@@ -243,3 +243,39 @@ def test_rolling_time_window_salted_equals_plain(ray_session):
     with pytest.raises(ValueError):
         rolling_time_window_salted(src, "user_id", "ts", "cents",
                                    window_us=W, bucket_us=W // 2)
+
+
+def test_retention_cohorts_vs_brute(ray_session):
+    """retention_cohorts == Python reference on crafted multi-cohort
+    activity; block-layout independent."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import retention_cohorts
+
+    W = 7 * 86_400_000_000
+    base = np.int64(1_700_000_000_000_000)
+    rows = []
+    rng = np.random.RandomState(31)
+    for u in range(25):
+        first = rng.randint(0, 4)
+        weeks = {first} | {first + int(w)
+                           for w in rng.randint(0, 6, rng.randint(1, 5))}
+        for w in weeks:
+            for _ in range(rng.randint(1, 3)):   # repeat events same week
+                rows.append((u, base + w * W + rng.randint(0, W)))
+    df = pd.DataFrame(rows, columns=["user_id", "tsu"])
+    df["ts"] = df["tsu"].astype("datetime64[us]")
+
+    from collections import Counter
+    wk = {(u, t // W) for u, t in zip(df.user_id, df.tsu)}
+    first = {}
+    for u, w in sorted(wk):
+        first.setdefault(u, w)
+    want = Counter((first[u], w - first[u]) for u, w in wk)
+
+    got = retention_cohorts(
+        rd.from_pandas(df[["user_id", "ts"]]).repartition(4)
+    ).to_pandas()
+    gm = {(int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+          for r in got.itertuples()}
+    assert gm == dict(want)
