@@ -2072,6 +2072,31 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(events)
 
 
+def _q_orders_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus) revenue totals: every prefix
+    level + grand total in one pass, cents-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.mapops import rollup_agg
+    from rayspatial.util import read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "cents": pa.array(np.round(
+                b.column("l_extendedprice").to_numpy() * 100
+            ).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    return rollup_agg(li, ["l_returnflag", "l_linestatus"], "cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -2109,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "points_uncovered": _q_points_uncovered,
         "retention": _q_retention,
+        "orders_rollup": _q_orders_rollup,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
@@ -2609,6 +2635,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "orders_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_v, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "retention": (
             "WITH wk AS (SELECT DISTINCT user_id, "

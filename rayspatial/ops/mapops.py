@@ -95,3 +95,52 @@ def geom_map_broadcast(ds, kernel, other, wkb_col: str = "wkb", out: str = "resu
         return batch.append_column(name, arr)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def rollup_agg(ds, group_cols: list[str], value_col: str,
+               total_marker: str = "ALL",
+               num_partitions: int | None = None):
+    """GROUP BY ROLLUP(group_cols): SUM(value) + COUNT(*) at every
+    prefix level (full key, each prefix, grand total) in ONE pass —
+    the map side emits each row's partials once per level (levels =
+    len(group_cols)+1, a small constant), rolled-up columns take
+    ``total_marker``, and one hash shuffle finishes every level
+    together.  ``value_col`` must be integer (quantize upstream).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.util import hash_partitioned_agg
+
+    levels = len(group_cols) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            **{c: batch.column(c).to_numpy(zero_copy_only=False)
+               for c in group_cols},
+            "_v": batch.column(value_col).to_numpy().astype(np.int64),
+        })
+        outs = []
+        for lv in range(levels):
+            g = df.copy()
+            # level lv rolls up the LAST lv grouping columns
+            for c in group_cols[len(group_cols) - lv:]:
+                g[c] = total_marker
+            agg = (g.groupby(group_cols, sort=False)["_v"]
+                   .agg([("sum_v", "sum"), ("n_rows", "size")])
+                   .reset_index())
+            outs.append(agg)
+        out = pd.concat(outs, ignore_index=True)
+        out["sum_v"] = out["sum_v"].astype(np.int64)
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(group_cols, sort=False)[["sum_v", "n_rows"]]
+                .sum().reset_index())
+
+    return hash_partitioned_agg(partials, group_cols, combine,
+                                num_partitions=num_partitions)

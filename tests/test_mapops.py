@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -82,3 +83,30 @@ def test_zonal_stats_exact_integers():
     assert out["sum_lat_micro"].tolist() == [30250000, -5500000]
     assert out["min_id"].tolist() == [4, 7]
     assert out["max_id"].tolist() == [30, 7]
+
+
+def test_rollup_agg_vs_pandas(ray_session):
+    """rollup_agg == pandas multi-level reference, block-independent."""
+    import ray.data as rd
+
+    from rayspatial.ops.mapops import rollup_agg
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 400),
+        "b": rng.choice(["p", "q"], 400),
+        "v": rng.randint(-50, 50, 400).astype(np.int64),
+    })
+    got = rollup_agg(
+        rd.from_pandas(df).repartition(5), ["a", "b"], "v"
+    ).to_pandas().set_index(["a", "b"]).sort_index()
+
+    detail = df.groupby(["a", "b"])["v"].agg(["sum", "size"])
+    lvl1 = df.groupby("a")["v"].agg(["sum", "size"])
+    total = (df["v"].sum(), len(df))
+    assert len(got) == len(detail) + len(lvl1) + 1
+    for (a, b), r in detail.iterrows():
+        assert tuple(got.loc[(a, b)]) == (r["sum"], r["size"])
+    for a, r in lvl1.iterrows():
+        assert tuple(got.loc[(a, "ALL")]) == (r["sum"], r["size"])
+    assert tuple(got.loc[("ALL", "ALL")]) == total
