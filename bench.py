@@ -199,16 +199,25 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
                 if l.startswith("{")][-1]
         return json.loads(line)
 
-    best_pair = None
+    pairs = []
     for _ in range(repeats):
         lo = one(cpus_lo)
         hi = one(cpus_hi)
         eff_pair = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (
             cpus_hi / cpus_lo)
-        if best_pair is None or eff_pair > best_pair[0]:
-            best_pair = (eff_pair, lo, hi)
-    eff, results = best_pair[0], {cpus_lo: best_pair[1],
-                                  cpus_hi: best_pair[2]}
+        probes = [*lo["host_probe_sec"].values(),
+                  *hi["host_probe_sec"].values()]
+        pairs.append((sum(probes), eff_pair, lo, hi))
+    # pick the pair measured on the HEALTHIEST window (lowest combined
+    # host probes) and report ITS ratio — not max-of-ratios, which is a
+    # one-sided estimator that also keeps lucky-wide-leg draws.  The
+    # median across pairs is reported alongside for transparency.
+    pairs.sort(key=lambda p: p[0])
+    _, eff, lo_best, hi_best = pairs[0]
+    effs = sorted(p[1] for p in pairs)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    results = {cpus_lo: lo_best, cpus_hi: hi_best}
     thr_lo = results[cpus_lo]["rows_per_sec"]
     thr_hi = results[cpus_hi]["rows_per_sec"]
     return {
@@ -216,6 +225,9 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
         f"num_cpus {cpus_lo} -> {cpus_hi}, fresh processes, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "selection": "healthiest-probe pair (lowest combined host probes)",
+        "median_eff_across_pairs": round(median_eff, 3),
+        "all_pair_effs": [round(p[1], 3) for p in pairs],
         "sf": _sf_label(sf_dir),
         "throughput_rows_per_sec": {str(cpus_lo): thr_lo, str(cpus_hi): thr_hi},
         "elapsed_sec": {
@@ -364,6 +376,30 @@ def run_micro() -> dict:
             "unit": "rows/sec", "kernels": out}
 
 
+def _emit_suite(out: dict) -> None:
+    """Write the FULL per-query result to BENCH_FULL.json and print a
+    COMPACT headline JSON line LAST — the round-3 driver capture
+    truncated the single 80+-query line (BENCH_r03 parsed: null), so the
+    stdout contract is now a small fixed-size line; the complete map
+    lives in the file it points at."""
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        full_path = None
+    qs = out.get("queries", {})
+    failed = sorted(k for k, v in qs.items() if v == -1.0)
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["queries"] = {"flagship_join_tiles":
+                          qs.get("flagship_join_tiles", out.get("value"))}
+    compact["num_queries"] = len(qs)
+    compact["failed_queries"] = failed
+    compact["queries_file"] = full_path
+    print(json.dumps(compact))
+
+
 if __name__ == "__main__":
     if "--micro" in sys.argv:
         print(json.dumps(run_micro()))
@@ -372,4 +408,4 @@ if __name__ == "__main__":
     elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         print(json.dumps(run_headline_only(SF_DIR, NUM_CPUS)))
     else:
-        print(json.dumps(run_suite(SF_DIR, NUM_CPUS)))
+        _emit_suite(run_suite(SF_DIR, NUM_CPUS))

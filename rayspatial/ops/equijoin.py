@@ -30,7 +30,8 @@ def hash_join(left_ds, right_ds, on: str,
               mode: str = "broadcast",
               num_partitions: int | None = None,
               bloom_bits: int | None = None,
-              how: str = "inner"):
+              how: str = "inner",
+              broadcast_byte_budget: int = 256 << 20):
     """Equi-join LEFT x RIGHT on ``on``.  ``left_cols`` /
     ``right_cols``: output columns from each side (key listed once, in
     ``left_cols``).  ``how``: "inner", "left", "right" or "full"
@@ -55,7 +56,7 @@ def hash_join(left_ds, right_ds, on: str,
             # need key co-location — use shuffle mode.
             raise ValueError(f"how={how!r} requires mode='shuffle'")
         return _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
-                               how)
+                               how, byte_budget=broadcast_byte_budget)
     if mode == "shuffle":
         if bloom_bits and how == "inner":
             # (a Bloom prefilter DROPS unmatched left rows — only valid
@@ -131,20 +132,41 @@ def _bloom_prefilter(left_ds, right_ds, on, m_bits):
 
 
 def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
-                    how="inner"):
+                    how="inner", byte_budget: int = 256 << 20):
     import ray
 
     pruned = right_ds.map_batches(
         lambda b: b.select([on] + right_cols), batch_format="pyarrow"
     )
+    # size gate: gather blocks INCREMENTALLY and bail to shuffle mode
+    # the moment the accumulated build side exceeds the byte budget —
+    # 'broadcast' is a dimension-table contract, and without the gate a
+    # caller passing a big right side got a silent driver
+    # materialization (VERDICT r3).  Driver heap held <= budget + one
+    # block at any point.
+    rtabs: list[pa.Table] = []
+    total = 0
+    for blk_ref in pruned.to_arrow_refs():
+        t = ray.get(blk_ref)
+        if t.num_rows:
+            rtabs.append(t)
+            total += t.nbytes
+        if total > byte_budget:
+            del rtabs
+            return _shuffle_join(left_ds, right_ds, on, left_cols,
+                                 right_cols, None, how)
     # skip schema-less empty blocks (all-to-all stages upstream can
     # emit them; concat_tables would raise on the schema mismatch)
-    rtabs = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
     rtab = (pa.concat_tables(rtabs) if rtabs
             else pa.table({c: pa.array([], type=pa.int64())
                            for c in [on] + right_cols}))
+    # build-side prep ONCE on the driver (it fit the budget): key-sorted
+    # + a row-id for deterministic duplicate-match ordering in the probe
+    rtab = rtab.sort_by([(on, "ascending")])
+    rtab = rtab.append_column(
+        "__bj_rrow", pa.array(np.arange(len(rtab), dtype=np.int64)))
     ref = ray.put(rtab)  # ONE object-store copy, read by every probe task
-    rt_schema = rtab.schema
+    join_type = "inner" if how == "inner" else "left outer"
     _cache: dict = {}
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -154,14 +176,19 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
             _cache.clear()
             import ray as _ray
 
-            rt = _ray.get(ref).to_pandas()
-            built = rt.sort_values(on, kind="stable").reset_index(drop=True)
+            built = _ray.get(ref)  # zero-copy from the object store
             _cache[key] = built
         lf = batch.select(left_cols + ([on] if on not in left_cols else []))
-        out = lf.to_pandas().merge(built, on=on, how=how, sort=False)
-        types = {**{f.name: f.type for f in lf.schema},
-                 **{f.name: f.type for f in rt_schema}}
-        return _typed_table(out, left_cols + right_cols, types)
+        # Arrow-native hash join (Acero) — no per-batch pandas
+        # conversion; the left row-id restores the batch's row order
+        # (and __bj_rrow the key-sorted build order among duplicate
+        # matches) since Acero does not guarantee output order
+        lf = lf.append_column(
+            "__bj_lrow", pa.array(np.arange(len(lf), dtype=np.int64)))
+        out = lf.join(built, keys=on, join_type=join_type)
+        out = out.sort_by([("__bj_lrow", "ascending"),
+                           ("__bj_rrow", "ascending")])
+        return out.select(left_cols + right_cols)
 
     return left_ds.map_batches(probe, batch_format="pyarrow")
 

@@ -106,12 +106,36 @@ def rollup_agg(ds, group_cols: list[str], value_col: str,
     len(group_cols)+1, a small constant), rolled-up columns take
     ``total_marker``, and one hash shuffle finishes every level
     together.  ``value_col`` must be integer (quantize upstream).
+
+    An explicit ``_lv`` level tag rides the shuffle so a GENUINE group
+    value equal to ``total_marker`` never merges with rollup totals
+    (the SQL analogue: ROLLUP's NULLs are level-tagged before the
+    COALESCE relabeling) — such rows come out as distinct output rows
+    with identical visible labels, exactly like the COALESCE oracle.
+    Group columns must be strings (the marker is a string label).
     """
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
     from rayspatial.util import hash_partitioned_agg
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+
+    def _stringy(t) -> bool:
+        if isinstance(t, pa.DataType):
+            return pa.types.is_string(t) or pa.types.is_large_string(t)
+        # pandas-block datasets surface numpy dtypes: object is how
+        # pandas stores strings; anything numeric is rejected
+        return np.dtype(t).kind in ("O", "U", "S")
+
+    for c in group_cols:
+        if not _stringy(types[c]):
+            raise ValueError(
+                f"rollup_agg group column {c!r} is {types[c]} — the "
+                "rolled-up marker is a string label; cast group columns "
+                "to string upstream")
 
     levels = len(group_cols) + 1
 
@@ -127,7 +151,8 @@ def rollup_agg(ds, group_cols: list[str], value_col: str,
             # level lv rolls up the LAST lv grouping columns
             for c in group_cols[len(group_cols) - lv:]:
                 g[c] = total_marker
-            agg = (g.groupby(group_cols, sort=False)["_v"]
+            g["_lv"] = np.int8(lv)
+            agg = (g.groupby(group_cols + ["_lv"], sort=False)["_v"]
                    .agg([("sum_v", "sum"), ("n_rows", "size")])
                    .reset_index())
             outs.append(agg)
@@ -139,8 +164,9 @@ def rollup_agg(ds, group_cols: list[str], value_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(group_cols, sort=False)[["sum_v", "n_rows"]]
-                .sum().reset_index())
+        out = (df.groupby(group_cols + ["_lv"], sort=False)
+               [["sum_v", "n_rows"]].sum().reset_index())
+        return out.drop(columns=["_lv"])
 
-    return hash_partitioned_agg(partials, group_cols, combine,
+    return hash_partitioned_agg(partials, group_cols + ["_lv"], combine,
                                 num_partitions=num_partitions)

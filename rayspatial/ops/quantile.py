@@ -114,6 +114,17 @@ def _kth_smallest(ds, col, k, lo, hi, leaf_limit=200_000, depth=0):
     return float(np.partition(vals, j)[j])
 
 
+def _validate_pcts(pcts) -> None:
+    """ceil(p*n/100)-th-smallest selection needs 0 < p <= 100 — p=0
+    computes k=0 and would silently index the bin/group MAXIMUM via
+    the -1 wraparound (ADVICE r3)."""
+    for p in pcts:
+        if not 0 < p <= 100:
+            raise ValueError(
+                f"percentile {p!r} out of range: selection contract is "
+                "the ceil(p*n/100)-th smallest, defined for 0 < p <= 100")
+
+
 def exact_quantiles(ds, col: str, pcts: list[int],
                     leaf_limit: int = 200_000):
     """Dataset + numeric column -> pyarrow Table (pct, value); value
@@ -127,6 +138,7 @@ def exact_quantiles(ds, col: str, pcts: list[int],
     in the same bin share that recursion too."""
     from ray.data.aggregate import Count, Max, Min
 
+    _validate_pcts(pcts)
     agg = ds.aggregate(Min(col, alias_name="lo"),
                        Max(col, alias_name="hi"),
                        Count(alias_name="n"))
@@ -206,6 +218,8 @@ def grouped_quantiles(ds, group_col: str, col: str, pcts: list[int],
     import pandas as pd
 
     from rayspatial.util import hash_partitioned_agg
+
+    _validate_pcts(pcts)
 
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         rows_g, rows_p, rows_v = [], [], []

@@ -53,6 +53,11 @@ def _presence_join(left_ds, right_ds, on: str, left_cols: list[str],
         right_keys = df.loc[~lmask, on]
         present = left[on].isin(right_keys)
         out = left[present if keep_present else ~present]
+        # Deterministic output order: the union interleaves left/right
+        # blocks nondeterministically, so sort each partition by the key
+        # (partition order itself is fixed by the hash; with unique left
+        # keys — every current caller — the full output order is fixed).
+        out = out.sort_values(on, kind="mergesort")
         return out[[on] + out_cols]
 
     return hash_partitioned_agg(lt.union(rt), [on], per_partition,

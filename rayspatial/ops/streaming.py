@@ -145,3 +145,164 @@ def streaming_tumbling_window(events_ds, width_s: int, lateness_s: int,
         )
 
     return out.map_batches(canon, batch_format="pyarrow")
+
+
+def _survivors(g: pd.DataFrame, ts_col: str, id_col: str,
+               lateness_us: int):
+    """Arrival-order replay of ONE stream's partition slice: per-event
+    watermark = running max of PRIOR event times - lateness; an event
+    behind it is late-dropped.  -> (kept DataFrame sorted by arrival,
+    n_late).  Chunking-invariant by construction (the watermark is per
+    event, so batch boundaries cannot change the mask)."""
+    g = g.sort_values(id_col, kind="stable")
+    ts = g[ts_col].to_numpy().astype(np.int64)
+    prior_max = np.maximum.accumulate(
+        np.concatenate([[np.int64(-(2 ** 62))], ts[:-1]]))
+    late = ts < prior_max - np.int64(lateness_us)
+    return g[~late], int(late.sum())
+
+
+def streaming_interval_join(left_ds, right_ds, before_s: int, after_s: int,
+                            lateness_s: int,
+                            num_partitions: int = 8,
+                            part_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            output: str = "pairs"):
+    """Stream-stream watermarked interval join (SURVEY 8.8.5 — the one
+    streaming shape ops/streaming.py lacked; the Flink intervalJoin
+    semantic over two event streams).
+
+    For every surviving LEFT event l, emit every surviving RIGHT event
+    r of the same key with ``r.ts in [l.ts - before_s, l.ts + after_s]``
+    (both ends inclusive).  "Surviving" = not late at arrival on its
+    OWN stream: each stream replays per partition in arrival order
+    (``id_col``), advances a per-event watermark = running max of prior
+    event times - lateness, and drops (and counts) events behind it —
+    the same per-event watermark contract as
+    ``streaming_tumbling_window``, so a SQL oracle reproduces the drop
+    mask with one window function per stream.
+
+    Shape: both streams tag ``part = part_col % num_partitions`` (the
+    oracle-reproducible partitioner) and a side flag, union, ONE hash
+    shuffle co-locates each key's events from both streams, and the
+    per-partition kernel is fully vectorized: dense-rank keys, build a
+    composite ``key_rank * span + (ts - ts_min)`` (span = partition ts
+    range + window + 2, so key groups stay disjoint), two searchsorted
+    probes per left event give its match range, and the pair list
+    materializes with repeat + ragged-arange — no Python row loop.
+
+    In a live deployment the same kernel runs in a keyed actor pool
+    with per-key right/left buffers evicted once the opposite stream's
+    watermark passes ``ts + before/after`` — the bounded-state
+    argument: buffered state per key is O(events inside one window +
+    lateness horizon), never the stream.
+
+    ``output="pairs"``  -> (part, key, l_id, r_id, l_ts, r_ts), sorted
+                           by (l_id, r_id) within each partition
+                           (deterministic: partition order is fixed by
+                           the hash).
+    ``output="late"``   -> (part, side, n_late) late-drop accounting,
+                           side 0=left 1=right.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    if output not in ("pairs", "late"):
+        raise ValueError(f"unknown output mode {output!r}")
+    P = num_partitions
+    before_us = int(before_s) * 1_000_000
+    after_us = int(after_s) * 1_000_000
+    lateness_us = int(lateness_s) * 1_000_000
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(part_col).to_numpy().astype(np.int64)
+            ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+            return pa.table({
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+                "_spart": pa.array(key % P),
+                "key": pa.array(key),
+                "ts": pa.array(ts),
+                "id": pa.array(
+                    batch.column(id_col).to_numpy().astype(np.int64)),
+            })
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(1), batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty_pairs = pd.DataFrame({
+            "part": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=np.int64),
+            "l_id": pd.Series([], dtype=np.int64),
+            "r_id": pd.Series([], dtype=np.int64),
+            "l_ts": pd.Series([], dtype=np.int64),
+            "r_ts": pd.Series([], dtype=np.int64)})
+        out_pairs, out_late = [], []
+        for part, g in df.groupby("_spart", sort=True):
+            lg, n_late_l = _survivors(g[g["_side"] == 0], "ts", "id",
+                                      lateness_us)
+            rg, n_late_r = _survivors(g[g["_side"] == 1], "ts", "id",
+                                      lateness_us)
+            out_late.append((int(part), 0, n_late_l))
+            out_late.append((int(part), 1, n_late_r))
+            if not len(lg) or not len(rg):
+                continue
+            lk = lg["key"].to_numpy().astype(np.int64)
+            lts = lg["ts"].to_numpy().astype(np.int64)
+            lid = lg["id"].to_numpy().astype(np.int64)
+            rk = rg["key"].to_numpy().astype(np.int64)
+            rts = rg["ts"].to_numpy().astype(np.int64)
+            rid = rg["id"].to_numpy().astype(np.int64)
+            # composite: dense key rank x shifted ts (disjoint per key)
+            all_keys = np.unique(np.concatenate([lk, rk]))
+            lkr = np.searchsorted(all_keys, lk).astype(np.int64)
+            rkr = np.searchsorted(all_keys, rk).astype(np.int64)
+            tmin = np.int64(min(lts.min(), rts.min()))
+            tmax = np.int64(max(lts.max(), rts.max()))
+            span = int(tmax - tmin) + before_us + after_us + 2
+            if (len(all_keys)) * span > 2 ** 62:
+                raise OverflowError(
+                    "streaming_interval_join composite overflow: "
+                    "partition ts range x key count too large — raise "
+                    "num_partitions")
+            span = np.int64(span)
+            order = np.argsort(rkr * span + (rts - tmin), kind="stable")
+            rcomp = (rkr * span + (rts - tmin))[order]
+            lcomp = lkr * span + (lts - tmin)
+            lo = np.searchsorted(rcomp, lcomp - np.int64(before_us),
+                                 side="left")
+            hi = np.searchsorted(rcomp, lcomp + np.int64(after_us),
+                                 side="right")
+            # clamp to the left event's own key group (window reaching
+            # outside [0, span) of the key block cannot cross into a
+            # neighbour: before+after+2 slack is built into span)
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            cntk = cnt[keep]
+            from rayspatial.textops.hashing import _ragged_arange
+
+            ridx = order[np.repeat(lo[keep], cntk) + _ragged_arange(cntk)]
+            lrep = np.repeat(np.flatnonzero(keep), cntk)
+            out_pairs.append(pd.DataFrame({
+                "part": np.full(len(ridx), int(part), dtype=np.int64),
+                "key": lk[lrep],
+                "l_id": lid[lrep],
+                "r_id": rid[ridx],
+                "l_ts": lts[lrep],
+                "r_ts": rts[ridx],
+            }))
+        if output == "late":
+            return pd.DataFrame(out_late, columns=["part", "side", "n_late"]
+                                ).astype(np.int64)
+        if not out_pairs:
+            return empty_pairs
+        out = pd.concat(out_pairs, ignore_index=True)
+        return out.sort_values(["l_id", "r_id"], kind="stable")
+
+    return hash_partitioned_agg(unioned, ["_spart"], per_partition)

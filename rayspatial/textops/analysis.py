@@ -454,6 +454,14 @@ def heavy_hitters_topk(ds, k: int = 25, m: int = 512, text_col: str = "text"):
     # so the k-th largest gathered value IS the global k-th largest
     kth = tops[min(k, len(tops)) - 1]
     slack = n_total // m
+    if kth <= slack:
+        # Flat-distribution regime: a true top-k term with f(t) <= N/m
+        # can be absent from EVERY block summary (merged(t) = 0), so no
+        # threshold over `merged` can guarantee it enters the candidate
+        # set — the sketch is uninformative here.  Fall back to the
+        # exact full-vocabulary path (correct for any distribution;
+        # costs one distinct-term shuffle instead of the m-row one).
+        return top_terms(ds, k=k, text_col=text_col)
     thresh_ref = ray.put(np.int64(kth - slack))
 
     # ---- bounded gather #2: candidates = merged >= threshold ----------

@@ -62,16 +62,30 @@ def _batch_ngrams(batch: pa.Table, text_col: str):
     return flat, off, hash_strings(bigram), hash_strings(w1), m
 
 
-def _corpus_counts(docs_ds, text_col: str, min_model_count: int = 1):
+def _corpus_counts(docs_ds, text_col: str, min_model_count: int = 1,
+                   min_unigram_count: int = 1):
     """-> (sorted uni hashes, uni counts, sorted bi hashes, bi counts,
     V) — exact corpus totals, one hash shuffle, driver gather bounded
-    by vocabulary size.
+    by the PRUNED model size.
 
-    ``min_model_count`` > 1 is the open-web scale knob: bigrams below
-    the threshold are pruned from the broadcast model (per-partition,
-    after exact totals — deterministic) and score through the +1
-    smoothing path instead, bounding the model by the HEAD of the
-    bigram distribution rather than its unbounded tail."""
+    ``min_model_count`` > 1 is the open-web scale knob for bigrams:
+    bigrams below the threshold are pruned from the broadcast model
+    (per-partition, after exact totals — deterministic) and score
+    through the +1 smoothing path instead, bounding the model by the
+    HEAD of the bigram distribution rather than its unbounded tail.
+
+    ``min_unigram_count`` > 1 bounds the UNIGRAM dimension the same way
+    (round-3 verdict: on 100-TB web text the raw-token unigram table is
+    billions of rows — a driver OOM without this).  The vocabulary size
+    V stays EXACT regardless: each partition emits one sideband row
+    carrying its distinct-unigram count (every unigram lives in exactly
+    one hash partition, so the sum is the global V).  Score contract
+    for a pruned unigram: c1 reads as 0 — its transitions get the pure
+    +V smoothing floor, the CCNet-style "unknown" bucket.  Choose
+    ``min_unigram_count <= min_model_count`` so every broadcast bigram
+    keeps its exact c1 (a bigram seen >= t times implies its first word
+    was too).  Thresholds of 1 reproduce the unpruned model bit-exact.
+    """
     from rayspatial.util import hash_partitioned_agg
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -93,11 +107,16 @@ def _corpus_counts(docs_ds, text_col: str, min_model_count: int = 1):
 
     def total(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["kind", "h"], sort=False)["cnt"].sum().reset_index()
+        # sideband: exact distinct-unigram count of this partition
+        # (kind=2) so V survives the pruning below
+        n_uni = int((out["kind"] == 0).sum())
         if min_model_count > 1:
-            # prune the bigram tail from the broadcast model (unigrams
-            # always kept: V and c1 must stay exact)
-            out = out[(out["kind"] == 0) | (out["cnt"] >= min_model_count)]
-        return out
+            out = out[(out["kind"] != 1) | (out["cnt"] >= min_model_count)]
+        if min_unigram_count > 1:
+            out = out[(out["kind"] != 0) | (out["cnt"] >= min_unigram_count)]
+        return pd.concat(
+            [out, pd.DataFrame({"kind": [2], "h": [0], "cnt": [n_uni]})],
+            ignore_index=True)
 
     rows = hash_partitioned_agg(partials, ["kind", "h"], total).take_all()
     kind = np.fromiter((r["kind"] for r in rows), dtype=np.int64)
@@ -110,7 +129,7 @@ def _corpus_counts(docs_ds, text_col: str, min_model_count: int = 1):
         cnt[uni][ou],
         h[bi][ob],
         cnt[bi][ob],
-        int(uni.sum()),
+        int(cnt[kind == 2].sum()),
     )
 
 
@@ -126,15 +145,18 @@ def _lookup(sorted_keys: np.ndarray, counts: np.ndarray, keys: np.ndarray) -> np
 
 
 def bigram_lm_scores(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                     min_model_count: int = 1):
+                     min_model_count: int = 1,
+                     min_unigram_count: int = 1):
     """-> Dataset (doc_id, n_bigrams, lm_score_micro): add-one-smoothed
     bigram log-likelihood in integer micro-nats (0 for docs with fewer
-    than two tokens).  ``min_model_count``: see ``_corpus_counts`` —
-    the broadcast-model size knob for open-web corpora."""
+    than two tokens).  ``min_model_count`` / ``min_unigram_count``: see
+    ``_corpus_counts`` — the broadcast-model size knobs for open-web
+    corpora (bigram tail / unigram tail; V stays exact)."""
     import ray
 
     uh, uc, bh, bc, vocab = _corpus_counts(docs_ds, text_col,
-                                           min_model_count)
+                                           min_model_count,
+                                           min_unigram_count)
     model_ref = ray.put((uh, uc, bh, bc, vocab))
 
     def score(batch: pa.Table) -> pa.Table:

@@ -37,7 +37,8 @@ def num_blocks_for(rows: int, bytes_: int = 0, min_blocks: int = 1,
 
 
 def hash_partitioned_agg(ds, key_cols: list[str], pandas_agg,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         arrow: bool = False):
     """High-cardinality groupby-aggregate: hash-partition rows by key
     (ONE shuffle into ``num_partitions`` groups), then run a vectorized
     pandas aggregation over each partition.
@@ -74,6 +75,23 @@ def hash_partitioned_agg(ds, key_cols: list[str], pandas_agg,
             h = hash_int64(h ^ _key_u64(batch.column(c)))
         return batch.append_column(
             "_agg_part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    if arrow:
+        # Arrow-format partitions: int64-with-null columns stay int64
+        # instead of widening to float64 at the pandas conversion (which
+        # silently corrupts values > 2^53); the agg fn splits/converts
+        # what it needs itself.
+        def agg_partition_arrow(t: pa.Table):
+            out = pandas_agg(t.drop_columns(["_agg_part"]))
+            if isinstance(out, pa.Table):
+                return out
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_agg_part")
+            .map_groups(agg_partition_arrow, batch_format="pyarrow")
         )
 
     def agg_partition(df):

@@ -110,3 +110,36 @@ def test_rollup_agg_vs_pandas(ray_session):
     for a, r in lvl1.iterrows():
         assert tuple(got.loc[(a, "ALL")]) == (r["sum"], r["size"])
     assert tuple(got.loc[("ALL", "ALL")]) == total
+
+
+def test_rollup_agg_genuine_marker_value_stays_distinct(ray_session):
+    """A real group value equal to the marker must NOT merge with
+    rollup totals (ADVICE r3): the level tag keeps them as separate
+    output rows with identical visible labels, same as a COALESCE'd
+    SQL ROLLUP."""
+    import ray.data as rd
+
+    from rayspatial.ops.mapops import rollup_agg
+
+    df = pd.DataFrame({
+        "a": ["ALL", "ALL", "x", "x"],
+        "v": np.array([1, 2, 10, 20], dtype=np.int64),
+    })
+    got = rollup_agg(rd.from_pandas(df).repartition(2), ["a"], "v"
+                     ).to_pandas().sort_values(["a", "sum_v"])
+    # leaf 'ALL'=3, leaf 'x'=30, grand total 'ALL'=33 — THREE rows
+    assert len(got) == 3
+    all_rows = got[got["a"] == "ALL"].sort_values("sum_v")
+    assert all_rows["sum_v"].tolist() == [3, 33]
+    assert all_rows["n_rows"].tolist() == [2, 4]
+    assert got[got["a"] == "x"]["sum_v"].tolist() == [30]
+
+
+def test_rollup_agg_rejects_numeric_group_cols(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.mapops import rollup_agg
+
+    df = pd.DataFrame({"a": [1, 2], "v": np.array([1, 2], dtype=np.int64)})
+    with pytest.raises(ValueError, match="string"):
+        rollup_agg(rd.from_pandas(df), ["a"], "v")

@@ -108,3 +108,20 @@ def test_range_partitioned_rank_exact(ray_session):
         assert len(got) == n
         for r in got.itertuples():
             assert want[int(r.doc_id)] == int(r.rank)
+
+
+def test_exact_quantiles_rejects_p0(ray_session):
+    """ADVICE r3: p=0 computes k=0 and the -1 wraparound would return
+    the bin MAXIMUM — must raise instead."""
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import exact_quantiles, grouped_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"value": np.arange(100.0),
+                                      "g": ["a"] * 100}))
+    with pytest.raises(ValueError, match="percentile"):
+        exact_quantiles(ds, "value", [0, 50])
+    with pytest.raises(ValueError, match="percentile"):
+        grouped_quantiles(ds, "g", "value", [0])
+    with pytest.raises(ValueError, match="percentile"):
+        exact_quantiles(ds, "value", [101])

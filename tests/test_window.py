@@ -372,3 +372,50 @@ def test_asof_join_salted_hot_key(ray_session):
         .sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_asof_join_salted_extra_left_keep_dtype(ray_session):
+    """Non-default left_keep columns must come out with their INPUT
+    Arrow type and exact values — pass 1's concat of matched/unmatched/
+    summary rows used to NaN-fill extra keep columns, widening int64 to
+    float64 for every row (values > 2^53 silently corrupted)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayspatial.ops.asof import asof_join, asof_join_salted
+
+    rng = np.random.default_rng(7)
+    nl, nr = 400, 400
+    lts = np.sort(rng.integers(0, 3 * 86_400, nl)) * 1_000_000
+    rts = np.sort(rng.integers(0, 3 * 86_400, nr)) * 1_000_000
+    # payload beyond 2^53: a float64 round-trip cannot represent it
+    big = (1 << 60) + np.arange(nl, dtype=np.int64) * 7 + 1
+    left = pa.table({
+        "event_id": pa.array(np.arange(nl, dtype=np.int64)),
+        "ts": pa.array(lts),
+        "user_id": pa.array(rng.integers(0, 5, nl).astype(np.int64)),
+        "payload": pa.array(big),
+    })
+    right = pa.table({
+        "event_id": pa.array(np.arange(nr, 2 * nr, dtype=np.int64)),
+        "ts": pa.array(rts),
+        "user_id": pa.array(rng.integers(0, 5, nr).astype(np.int64)),
+    })
+    l = rd.from_arrow(left).repartition(4)
+    r = rd.from_arrow(right).repartition(4)
+    kw = dict(by="user_id", on="ts", id_col="event_id",
+              left_keep=["event_id", "payload"])
+    plain = asof_join(l, r, **kw).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    salted = asof_join_salted(l, r, bucket_s=3600, **kw).to_pandas(
+    ).sort_values("event_id").reset_index(drop=True)
+    assert str(plain["payload"].dtype) == "int64"
+    assert str(salted["payload"].dtype) == "int64"
+    # exact payload values survive (would be off by rounding after a
+    # float64 widening)
+    expect = {i: v for i, v in zip(np.arange(nl), big)}
+    assert all(expect[e] == p for e, p in
+               zip(salted["event_id"], salted["payload"]))
+    pd.testing.assert_frame_equal(
+        plain[["event_id", "payload", "event_id_right"]],
+        salted[["event_id", "payload", "event_id_right"]])
