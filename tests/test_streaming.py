@@ -114,3 +114,94 @@ def test_streaming_tumbling_window_distributed(ray_session):
     assert (got["n_events"].to_numpy() == ref_df["n_events"].to_numpy()).all()
     assert (got["sum_value"].to_numpy() == ref_df["sum_value"].to_numpy()).all()
     assert (got["window_start"].to_numpy() == ref_df["window_start"].to_numpy()).all()
+
+
+def _ssj_brute(l: pd.DataFrame, r: pd.DataFrame, P, before_us, after_us,
+               lateness_us):
+    """Python reference: per-stream per-partition watermark drop, then
+    an O(n^2) interval join over survivors."""
+    def survivors(df):
+        keep, late = [], 0
+        for part in range(P):
+            g = df[df.user_id % P == part].sort_values("event_id")
+            wm = -(2 ** 62)
+            for _, row in g.iterrows():
+                t = int(row.ts)
+                if t < wm - lateness_us:
+                    late += 1
+                else:
+                    keep.append(row)
+                wm = max(wm, t)
+        return pd.DataFrame(keep), late
+
+    lk, n_l = survivors(l)
+    rk, n_r = survivors(r)
+    pairs = []
+    for _, lrow in lk.iterrows():
+        m = rk[(rk.user_id == lrow.user_id)
+               & (rk.ts >= lrow.ts - before_us)
+               & (rk.ts <= lrow.ts + after_us)]
+        for _, rrow in m.iterrows():
+            pairs.append((int(lrow.user_id) % P, int(lrow.user_id),
+                          int(lrow.event_id), int(rrow.event_id),
+                          int(lrow.ts), int(rrow.ts)))
+    ref = pd.DataFrame(pairs, columns=["part", "key", "l_id", "r_id",
+                                       "l_ts", "r_ts"])
+    return ref.sort_values(["l_id", "r_id"]).reset_index(drop=True), n_l, n_r
+
+
+def test_streaming_interval_join_vs_brute(ray_session):
+    """Stream-stream watermarked join == Python per-event-watermark +
+    O(n^2) interval-join reference, including late-drop accounting."""
+    import ray.data as rd
+
+    from rayspatial.ops.streaming import streaming_interval_join
+
+    def mk(n, seed):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": rng.integers(0, 6 * 3600, n) * 1_000_000,
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+        })
+
+    l, r = mk(600, 1), mk(600, 2)
+    P, b, a, lat = 4, 900, 300, 600
+    ref, n_l, n_r = _ssj_brute(l, r, P, b * 1_000_000, a * 1_000_000,
+                               lat * 1_000_000)
+    lds, rds = rd.from_pandas(l).repartition(5), rd.from_pandas(r).repartition(3)
+    got = streaming_interval_join(
+        lds, rds, before_s=b, after_s=a, lateness_s=lat, num_partitions=P
+    ).to_pandas().sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    late = streaming_interval_join(
+        lds, rds, before_s=b, after_s=a, lateness_s=lat, num_partitions=P,
+        output="late").to_pandas()
+    assert int(late[late.side == 0]["n_late"].sum()) == n_l
+    assert int(late[late.side == 1]["n_late"].sum()) == n_r
+
+
+def test_streaming_interval_join_chunking_invariant(ray_session):
+    """Input block boundaries must not change results (per-event
+    watermark contract)."""
+    import ray.data as rd
+
+    from rayspatial.ops.streaming import streaming_interval_join
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    mk = lambda s: pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": np.random.default_rng(s).integers(0, 86_400, n) * 1_000_000,
+        "user_id": np.random.default_rng(s + 7).integers(0, 30, n).astype(np.int64),
+    })
+    l, r = mk(1), mk(2)
+    outs = []
+    for pl, pr in [(1, 1), (17, 3), (4, 29)]:
+        outs.append(streaming_interval_join(
+            rd.from_pandas(l).repartition(pl),
+            rd.from_pandas(r).repartition(pr),
+            before_s=1800, after_s=0, lateness_s=300, num_partitions=8
+        ).to_pandas().sort_values(["l_id", "r_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
