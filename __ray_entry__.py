@@ -1428,6 +1428,52 @@ def _q_binary_features(sf_dir: str):
     return out.select_columns(["doc_id", "payload_bytes"])
 
 
+def _q_bmp_features(sf_dir: str):
+    """REAL multimodal decode end-to-end (round-3 verdict item 9): a
+    16x16 24-bit BMP is synthesized per document (pixel j =
+    (doc_id*31 + j) % 256 — closed form, so SQL recomputes the decoded
+    statistics without touching bytes), shipped as a binary column
+    through the actor-pool feature stage with the pure-numpy BMP
+    parser (textops/multimodal.decode_bmp), and the decoded per-channel
+    sums / min / max come out as columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.textops.multimodal import (FEATURE_DIM, binary_features,
+                                               encode_bmp)
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"], rows_per_block=2048)
+    W = H = 16
+    NB = W * H * 3
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        vals = ((ids[:, None] * 31 + np.arange(NB)[None, :]) % 256
+                ).astype(np.uint8)
+        payloads = [encode_bmp(v.reshape(H, W, 3)) for v in vals]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "img": pa.array(payloads, type=pa.binary())})
+
+    feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
+                            binary_col="img", id_col="doc_id",
+                            decoder="bmp", batch_size=512)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        f = (batch.column("features").combine_chunks().flatten()
+             .to_numpy().reshape(-1, FEATURE_DIM))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "width": pa.array(f[:, 0]), "height": pa.array(f[:, 1]),
+            "sum_r": pa.array(f[:, 2]), "sum_g": pa.array(f[:, 3]),
+            "sum_b": pa.array(f[:, 4]), "min_v": pa.array(f[:, 5]),
+            "max_v": pa.array(f[:, 6]), "sum_all": pa.array(f[:, 7]),
+        })
+
+    return feats.map_batches(unpack, batch_format="pyarrow")
+
+
 def _q_poly_union_area(sf_dir: str):
     """Distributed n-ary polygon union (general overlay) of the 240
     overlapping boxes: per-block partial unions -> final union; output
@@ -2198,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,
+        "bmp_features": _q_bmp_features,
         "curated_docs": _q_curated_docs,
         "decontaminated_docs": _q_decontaminated_docs,
         "packed_sequences": _q_packed_sequences,
@@ -2246,6 +2293,24 @@ def oracle_sql() -> dict[str, str]:
             "length(CAST((doc_id * 2654435761) % 360000000 AS VARCHAR)) "
             "+ 18 + length(text) + 18 AS BIGINT) AS payload_bytes "
             "FROM documents"
+        ),
+        # the synthesized 16x16 BMP's pixel j = (doc_id*31 + j) % 256 is
+        # a closed form, so SQL reproduces the DECODED statistics the
+        # Ray side computes from the actual BMP bytes
+        "bmp_features": (
+            "SELECT d.doc_id, CAST(16 AS BIGINT) AS width, "
+            "CAST(16 AS BIGINT) AS height, "
+            "CAST(SUM(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 31 + t.j) % 256 "
+            "END) AS BIGINT) AS sum_r, "
+            "CAST(SUM(CASE WHEN t.j % 3 = 1 THEN (d.doc_id * 31 + t.j) % 256 "
+            "END) AS BIGINT) AS sum_g, "
+            "CAST(SUM(CASE WHEN t.j % 3 = 2 THEN (d.doc_id * 31 + t.j) % 256 "
+            "END) AS BIGINT) AS sum_b, "
+            "CAST(MIN((d.doc_id * 31 + t.j) % 256) AS BIGINT) AS min_v, "
+            "CAST(MAX((d.doc_id * 31 + t.j) % 256) AS BIGINT) AS max_v, "
+            "CAST(SUM((d.doc_id * 31 + t.j) % 256) AS BIGINT) AS sum_all "
+            "FROM documents d CROSS JOIN generate_series(0, 767) AS t(j) "
+            "GROUP BY d.doc_id"
         ),
         # Horner recurrence h = (h*B + byte) mod 2^64 reproduced in a
         # recursive CTE; 128-bit-safe via 32-bit split of h (HUGEINT

@@ -1,21 +1,83 @@
 """Multimodal (binary-payload) pipeline stages.
 
-Images/audio/video are opaque ``binary`` columns + typed metadata.  The
-decode libraries (PIL/ffmpeg/...) are NOT in this container, so the
-decode kernel itself is stubbed — either a clearly-marked
-``NotImplementedError`` or a deterministic fake — while all Ray-side
-plumbing (schema, actor-pool stage, small batch sizes for large
-payloads, output layout) is real and tested.
+Images/audio/video are opaque ``binary`` columns + typed metadata.
+``decoder='bmp'`` is a REAL image decode: a pure-numpy parser for
+uncompressed 24-bit BI_RGB Windows bitmaps (header at
+https://learn.microsoft.com/en-us/windows/win32/gdi/bitmap-header-types;
+bottom-up and top-down rows, 4-byte row padding) — no image library
+needed, so the component is genuinely end-to-end in this container.
+Codec libraries that are NOT present (PIL/ffmpeg) stay stubbed behind
+``decoder='pil'`` with a clearly-marked ``NotImplementedError``; the
+deterministic ``'fake'`` decoder remains for plumbing tests.
 
 The pages table's ``html:binary`` column doubles as the test payload.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
 FEATURE_DIM = 8
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP bytes
+    (bottom-up rows, 4-byte-padded strides)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    data_size = stride * h
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = img[::-1, :, ::-1].reshape(h, row_bytes)  # BGR
+    return hdr + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB.  Pure
+    numpy (vectorized row de-stride + BGR swap); handles bottom-up
+    (positive biHeight) and top-down (negative) files."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI",
+                                                       payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, "
+                         f"compression={comp})")
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    b = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                      offset=off)
+    img = b.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _bmp_features(payload: bytes) -> np.ndarray:
+    """Real decoded-image features (all int64, SQL-reproducible for a
+    synthesized image): [w, h, sum_r, sum_g, sum_b, min_v, max_v,
+    sum_all]."""
+    img = decode_bmp(payload)
+    h, w, _ = img.shape
+    csum = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    return np.array([w, h, csum[0], csum[1], csum[2],
+                     int(img.min()), int(img.max()),
+                     int(csum.sum())], dtype=np.int64)
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
@@ -34,11 +96,13 @@ class BinaryFeatureExtractor:
     """Actor-pool map_batches stage: binary column -> fixed-size
     feature vector + payload size.
 
-    ``decoder='fake'`` uses the deterministic stub; ``decoder='pil'``
-    requires a real image library and raises ``NotImplementedError``
-    in this container (import-gated, never at module import time).
-    Large payloads => keep ``batch_size`` small (e.g. 64-512) so a
-    batch x concurrency fits the worker heap.
+    ``decoder='bmp'`` REALLY decodes (pure-numpy 24-bit BI_RGB parser,
+    see ``decode_bmp``) and emits pixel statistics; ``decoder='fake'``
+    uses the deterministic stub; ``decoder='pil'`` requires a real
+    image library and raises ``NotImplementedError`` in this container
+    (import-gated, never at module import time).  Large payloads =>
+    keep ``batch_size`` small (e.g. 64-512) so a batch x concurrency
+    fits the worker heap.
     """
 
     def __init__(self, binary_col: str = "html", id_col: str = "url",
@@ -47,6 +111,8 @@ class BinaryFeatureExtractor:
         self.id_col = id_col
         if decoder == "fake":
             self.decode = _fake_decode
+        elif decoder == "bmp":
+            self.decode = _bmp_features
         elif decoder == "pil":
             try:
                 from PIL import Image  # noqa: F401
@@ -76,12 +142,14 @@ class BinaryFeatureExtractor:
 
 
 def binary_features(ds, binary_col: str = "html", id_col: str = "url",
-                    concurrency=(1, 4), batch_size: int = 256):
+                    concurrency=(1, 4), batch_size: int = 256,
+                    decoder: str = "fake"):
     """Binary payload -> feature table via an actor pool (the decode
     state — models, codecs — loads once per actor in ``__init__``)."""
     return ds.map_batches(
         BinaryFeatureExtractor,
-        fn_constructor_kwargs=dict(binary_col=binary_col, id_col=id_col),
+        fn_constructor_kwargs=dict(binary_col=binary_col, id_col=id_col,
+                                   decoder=decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
