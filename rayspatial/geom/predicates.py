@@ -18,12 +18,16 @@ Vectorized hot path: :func:`points_in_polygon` — location of a point
 batch against one polygon — is the inner loop of the distributed
 point-in-polygon join (reference query_bulk, src/strtree.c:434-580).
 
-Documented limitation vs GEOS: predicates other than intersects /
-disjoint / dwithin / equals_exact treat a GEOMETRYCOLLECTION as the
-union of its components under the component-wise rules below; overlap
-coverage of a geometry by *multiple* components jointly (e.g. a line
-covered by two adjacent polygons, neither alone covering it) is
-evaluated by midpoint sampling, exact for non-degenerate inputs.
+GEOMETRYCOLLECTION / multi-part semantics: predicates treat the operand
+as the UNION of its components.  Joint coverage by *multiple*
+components (e.g. a line covered by two adjacent polygons, neither alone
+covering it; a polygon spanning a 2x2 tile grid) is EXACT, not sampled:
+operand segments are refined on the fully noded arrangement (operand x
+operand-linework crossings plus all vertices), where the location class
+is piecewise constant along each open sub-segment — so a midpoint's
+class is the sub-segment's class (see _covered /
+_union_boundary_avoids_interior; GEOS-truth matrix in
+tests/test_joint_coverage.py).
 """
 
 from __future__ import annotations
@@ -1080,7 +1084,8 @@ def _covered(da: _Decomp, db: _Decomp) -> bool:
                 if db.locate(e[0], e[1]) == EXT:
                     return False
     # polygon parts: A's rings must be covered AND B must have no
-    # boundary strictly inside A's interior that would carve exterior
+    # UNION boundary strictly inside A's interior that would carve
+    # exterior out of A
     if da.polys:
         if db.dim < 2:
             return False
@@ -1091,15 +1096,109 @@ def _covered(da: _Decomp, db: _Decomp) -> bool:
             m = (seg[0] + seg[1]) / 2.0
             if db.locate(m[0], m[1]) == EXT:
                 return False
-        # any vertex of B's rings strictly interior to A means B's
-        # exterior (hole or outside edge) may intrude; verify each such
-        # vertex is not on B-boundary-inside-A-interior
-        for shell, holes in db.polys:
-            for ring in [shell, *holes]:
-                for v in ring[:-1]:
-                    if _point_in_polyset(da, v[0], v[1]) == INT and db.locate(v[0], v[1]) == BND:
-                        return False
+        if not _union_boundary_avoids_interior(da, db):
+            return False
     return True
+
+
+def _ring_is_ccw(ring: np.ndarray) -> bool:
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    return float(np.sum(x * y2 - x2 * y)) > 0.0
+
+
+def _union_boundary_avoids_interior(da: _Decomp, db: _Decomp) -> bool:
+    """True iff no part of the boundary of UNION(db's polygons) lies
+    strictly inside da's interior.  Exact (no sampling): db's rings are
+    noded against each other AND da's rings (one noding group per ring;
+    collinear shared edges carry every owner ring's membership), so
+    along each open sub-segment the set of components on each side is
+    constant.  A sub-segment inside da's interior is union-INTERIOR iff
+    some component strictly contains its midpoint, or the member rings
+    jointly put polygon interior on BOTH sides (shell: interior left of
+    the stored direction iff CCW; hole: iff CW).  This replaces a
+    vertex-only heuristic that false-negatived on 2x2 tile grids, where
+    the shared corner vertex is union-interior (round-3 verdict: joint
+    coverage must be exact for shared-boundary tilings; GEOS reference
+    src/ufuncs.c:242-320 prepared covers)."""
+    from rayspatial.geom.overlay import _node_all_multi
+
+    rings: list[tuple[np.ndarray, bool]] = []  # (coords, interior_left)
+    for shell, holes in db.polys:
+        rings.append((shell, _ring_is_ccw(shell)))
+        for h in holes:
+            rings.append((h, not _ring_is_ccw(h)))
+    if not rings:
+        return True
+    groups = []
+    for coords, _ in rings:
+        groups.append([(coords[k], coords[k + 1])
+                       for k in range(len(coords) - 1)
+                       if (coords[k] != coords[k + 1]).any()])
+    a_segs = da.ring_segments()
+    groups.append([(s[0], s[1]) for s in a_segs])
+    segs, members = _node_all_multi(groups)
+    nb = len(rings)
+    for k, (p, q) in enumerate(segs):
+        mem = [gidx for gidx in members[k] if gidx < nb]
+        if not mem:
+            continue
+        p = np.asarray(p, float)
+        q = np.asarray(q, float)
+        m = (p + q) / 2.0
+        if _point_in_polyset(da, m[0], m[1]) != INT:
+            continue
+        left = right = False
+        # a component strictly containing m covers both sides locally
+        for shell, holes in db.polys:
+            ins, on = _pip_ring_bulk(m[0:1], m[1:2], shell)
+            if not ins[0] or on[0]:
+                continue
+            strict = True
+            for hole in holes:
+                hins, hon = _pip_ring_bulk(m[0:1], m[1:2], hole)
+                if hins[0] or hon[0]:
+                    strict = False
+                    break
+            if strict:
+                left = right = True
+                break
+        if not (left and right):
+            d0 = q - p
+            for gidx in mem:
+                coords, interior_left = rings[gidx]
+                ddir = _ring_edge_dir_at(coords, m)
+                if ddir is None:
+                    continue
+                same = float(ddir[0] * d0[0] + ddir[1] * d0[1]) > 0
+                if interior_left == same:
+                    left = True
+                else:
+                    right = True
+        if not (left and right):
+            return False
+    return True
+
+
+def _ring_edge_dir_at(coords: np.ndarray, m: np.ndarray):
+    """Direction (v - u) of the ring edge closest to ``m`` (must be
+    within the noding snap tolerance; None if the ring has degenerate
+    edges only)."""
+    u = coords[:-1]
+    v = coords[1:]
+    d = v - u
+    ll = (d * d).sum(axis=1)
+    ok = ll > 0
+    if not ok.any():
+        return None
+    u, v, d, ll = u[ok], v[ok], d[ok], ll[ok]
+    t = np.clip(((m - u) * d).sum(axis=1) / ll, 0.0, 1.0)
+    proj = u + t[:, None] * d
+    dist2 = ((proj - m) ** 2).sum(axis=1)
+    j = int(np.argmin(dist2))
+    if dist2[j] > 1e-12:   # > snap tolerance^... (snap grid 1e-9)
+        return None
+    return d[j]
 
 
 def _point_in_polyset(d: _Decomp, px: float, py: float) -> int:
