@@ -1474,6 +1474,49 @@ def _q_bmp_features(sf_dir: str):
     return feats.map_batches(unpack, batch_format="pyarrow")
 
 
+def _q_wav_features(sf_dir: str):
+    """REAL audio decode end-to-end: a 256-sample PCM16 mono WAV is
+    synthesized per document (sample j = ((doc_id*17 + j*31) % 65536)
+    - 32768 — closed form, so SQL recomputes the decoded statistics),
+    shipped as binary through the actor-pool stage with the pure-numpy
+    RIFF parser (textops/multimodal.decode_wav)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.textops.multimodal import (FEATURE_DIM, binary_features,
+                                               encode_wav)
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"], rows_per_block=2048)
+    N = 256
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        s = (((ids[:, None] * 17 + np.arange(N)[None, :] * 31) % 65536)
+             - 32768).astype(np.int16)
+        payloads = [encode_wav(row, 8000) for row in s]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "wav": pa.array(payloads, type=pa.binary())})
+
+    feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
+                            binary_col="wav", id_col="doc_id",
+                            decoder="wav", batch_size=512)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        f = (batch.column("features").combine_chunks().flatten()
+             .to_numpy().reshape(-1, FEATURE_DIM))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "rate": pa.array(f[:, 0]), "channels": pa.array(f[:, 1]),
+            "n_samples": pa.array(f[:, 2]), "sum_s": pa.array(f[:, 3]),
+            "min_s": pa.array(f[:, 4]), "max_s": pa.array(f[:, 5]),
+            "sum_abs": pa.array(f[:, 6]), "zero_cross": pa.array(f[:, 7]),
+        })
+
+    return feats.map_batches(unpack, batch_format="pyarrow")
+
+
 def _q_poly_union_area(sf_dir: str):
     """Distributed n-ary polygon union (general overlay) of the 240
     overlapping boxes: per-block partial unions -> final union; output
@@ -2245,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "binary_features": _q_binary_features,
         "bmp_features": _q_bmp_features,
+        "wav_features": _q_wav_features,
         "curated_docs": _q_curated_docs,
         "decontaminated_docs": _q_decontaminated_docs,
         "packed_sequences": _q_packed_sequences,
@@ -2311,6 +2355,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM((d.doc_id * 31 + t.j) % 256) AS BIGINT) AS sum_all "
             "FROM documents d CROSS JOIN generate_series(0, 767) AS t(j) "
             "GROUP BY d.doc_id"
+        ),
+        # sample j of the synthesized WAV is ((doc_id*17 + j*31) %
+        # 65536) - 32768 — SQL recomputes the DECODED statistics
+        "wav_features": (
+            "WITH s AS (SELECT d.doc_id, t.j, "
+            "(d.doc_id * 17 + t.j * 31) % 65536 - 32768 AS v "
+            "FROM documents d CROSS JOIN generate_series(0, 255) AS t(j)) "
+            "SELECT doc_id, CAST(8000 AS BIGINT) AS rate, "
+            "CAST(1 AS BIGINT) AS channels, "
+            "CAST(256 AS BIGINT) AS n_samples, "
+            "CAST(SUM(v) AS BIGINT) AS sum_s, "
+            "CAST(MIN(v) AS BIGINT) AS min_s, "
+            "CAST(MAX(v) AS BIGINT) AS max_s, "
+            "CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, "
+            "CAST(SUM(CASE WHEN j >= 1 AND v * "
+            "((doc_id * 17 + (j - 1) * 31) % 65536 - 32768) < 0 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross "
+            "FROM s GROUP BY doc_id"
         ),
         # Horner recurrence h = (h*B + byte) mod 2^64 reproduced in a
         # recursive CTE; 128-bit-safe via 32-bit split of h (HUGEINT

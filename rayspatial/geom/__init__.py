@@ -39,8 +39,10 @@ from rayspatial.geom.accessors import (  # noqa: E402,F401
     get_y,
     get_z,
 )
-from rayspatial.geom.array import GeomArray  # noqa: E402,F401
+from rayspatial.geom.array import GeomArray, GeometryType  # noqa: E402,F401
 from rayspatial.geom.constructive import (  # noqa: E402,F401
+    BufferCapStyles,
+    BufferJoinStyles,
     boundary,
     box,
     buffer,
@@ -52,6 +54,7 @@ from rayspatial.geom.constructive import (  # noqa: E402,F401
     envelope,
     extract_unique_points,
     minimum_bounding_circle,
+    minimum_rotated_rectangle,
     normalize,
     oriented_envelope,
     point_on_surface,

@@ -177,3 +177,22 @@ class _Builder:
             has_z=np.asarray(self.has_z, dtype=bool),
             num_children=np.asarray(self.num_children, dtype=np.int64),
         )
+
+
+# reference geometry.py:38-49 — the GEOS geometry-type enumeration
+# (values match the integer type ids used throughout this engine)
+import enum as _enum
+
+
+class GeometryType(_enum.IntEnum):
+    """The enumeration of GEOS geometry types."""
+
+    MISSING = -1
+    POINT = 0
+    LINESTRING = 1
+    LINEARRING = 2
+    POLYGON = 3
+    MULTIPOINT = 4
+    MULTILINESTRING = 5
+    MULTIPOLYGON = 6
+    GEOMETRYCOLLECTION = 7

@@ -1182,3 +1182,28 @@ def _copy_row(ga: GeomArray, i: int, b: _Builder) -> None:
     from rayspatial.geom.setops import _copy_geom
 
     _copy_geom(ga, i, b, len(b.types))
+
+
+# API parity with the reference (constructive.py:37-47,861; the string
+# kwargs above remain the engine-native spelling — these enums carry
+# the same member names/values for callers porting code)
+import enum as _enum
+
+
+class BufferCapStyles(_enum.IntEnum):
+    round = 1
+    flat = 2
+    square = 3
+
+
+class BufferJoinStyles(_enum.IntEnum):
+    round = 1
+    mitre = 2
+    bevel = 3
+
+
+#: reference constructive.py:861 — alias of :func:`oriented_envelope`
+minimum_rotated_rectangle = oriented_envelope
+
+__all__ += ["BufferCapStyles", "BufferJoinStyles",
+            "minimum_rotated_rectangle"]

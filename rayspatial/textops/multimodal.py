@@ -80,6 +80,64 @@ def _bmp_features(payload: bytes) -> np.ndarray:
                      int(csum.sum())], dtype=np.int64)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM samples (n,) mono or (n, ch) -> RIFF/WAVE bytes
+    (canonical 44-byte header, format tag 1 = PCM)."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()          # interleaved frames
+    block = ch * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, ch,
+        sample_rate, sample_rate * block, block, 16, b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((n, ch) int16 samples, sample_rate).  Pure
+    numpy; walks the chunk list (fmt may be followed by LIST/fact
+    chunks before data)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+            break
+        pos += 8 + size + (size & 1)        # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAVE: missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, _block, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (tag={tag}, "
+                         f"bits={bits})")
+    s = np.frombuffer(data, dtype="<i2")
+    n = len(s) // ch
+    return s[: n * ch].reshape(n, ch), rate
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    """Real decoded-audio features (all int64, SQL-reproducible for a
+    synthesized signal): [rate, channels, n_samples, sum, min, max,
+    sum_abs, zero_crossings] over channel 0."""
+    s, rate = decode_wav(payload)
+    c0 = s[:, 0].astype(np.int64)
+    zc = int((c0[1:] * c0[:-1] < 0).sum()) if len(c0) > 1 else 0
+    return np.array([rate, s.shape[1], s.shape[0], int(c0.sum()),
+                     int(c0.min()) if len(c0) else 0,
+                     int(c0.max()) if len(c0) else 0,
+                     int(np.abs(c0).sum()), zc], dtype=np.int64)
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for an image decode + feature extraction:
     8 int64 features from byte-chunk sums (stable across runs)."""
@@ -113,6 +171,8 @@ class BinaryFeatureExtractor:
             self.decode = _fake_decode
         elif decoder == "bmp":
             self.decode = _bmp_features
+        elif decoder == "wav":
+            self.decode = _wav_features
         elif decoder == "pil":
             try:
                 from PIL import Image  # noqa: F401

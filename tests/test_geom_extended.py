@@ -301,3 +301,16 @@ def test_get_parts_reference_shape():
     assert len(parts) == 2
     parts2, idx = A.get_parts(mp, return_index=True)
     assert list(idx) == [0, 0]
+
+
+def test_api_parity_enums_and_alias():
+    """Reference API parity (geometry.py:38-49, constructive.py:37-47,
+    861): GeometryType / BufferCapStyles / BufferJoinStyles enums and
+    the minimum_rotated_rectangle alias."""
+    from rayspatial import geom as g
+
+    assert g.GeometryType.MISSING == -1
+    assert g.GeometryType.GEOMETRYCOLLECTION == 7
+    assert [e.value for e in g.BufferCapStyles] == [1, 2, 3]
+    assert [e.name for e in g.BufferJoinStyles] == ["round", "mitre", "bevel"]
+    assert g.minimum_rotated_rectangle is g.oriented_envelope

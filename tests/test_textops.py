@@ -1451,3 +1451,34 @@ def test_binary_features_bmp_decoder(ray_session):
         assert f[4] == im[:, :, 2].sum()
         assert f[5] == im.min() and f[6] == im.max()
         assert f[7] == im.sum()
+
+
+def test_wav_codec_roundtrip():
+    """Pure-numpy RIFF/PCM16 encode/decode round-trips exactly (mono,
+    stereo, extra chunk before data)."""
+    import struct
+
+    from rayspatial.textops.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-32768, 32768, 300).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (300, 1)
+    assert (s[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32768, (128, 2)).astype(np.int16)
+    s2, r2 = decode_wav(encode_wav(stereo, 44100))
+    assert r2 == 44100 and (s2 == stereo).all()
+    # tolerate a LIST chunk between fmt and data (chunk-walk, not
+    # fixed offsets)
+    raw = encode_wav(mono, 8000)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:36] + extra + raw[36:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s3, r3 = decode_wav(patched)
+    assert r3 == 8000 and (s3[:, 0] == mono).all()
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(b"RIFFxxxxJUNK" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="PCM"):
+        bad = bytearray(raw)
+        struct.pack_into("<H", bad, 20, 3)  # float format tag
+        decode_wav(bytes(bad))
