@@ -265,7 +265,7 @@ def _q_poly_area_perimeter(sf_dir: str):
     )
 
     def measures(batch: pa.Table) -> pa.Table:
-        g = parse_wkb(batch.column("wkb").to_pylist())
+        g = parse_wkb(batch.column("wkb"))
         return pa.table(
             {
                 "poly_id": batch.column("poly_id"),
@@ -411,7 +411,7 @@ def _q_buffer_area(sf_dir: str):
     })
 
     def buf_area(batch: pa.Table) -> pa.Table:
-        geoms = g.from_wkb(batch.column("wkb").to_pylist())
+        geoms = g.from_wkb(batch.column("wkb"))
         buf = g.buffer(geoms, 2.0, join_style="mitre")
         # true areas are integers; x1000+round absorbs the 1e-13-relative
         # noise the overlay's 1e-9 snap grid leaves on large coordinates
@@ -1533,7 +1533,7 @@ def _q_poly_union_area(sf_dir: str):
     out = union_all_distributed(rd.from_arrow(tab).repartition(8))
 
     def to_area(batch: pa.Table) -> pa.Table:
-        u = g.from_wkb(batch.column("wkb").to_pylist())
+        u = g.from_wkb(batch.column("wkb"))
         return pa.table({"union_area": pa.array(g.area(u))})
 
     return out.map_batches(to_area, batch_format="pyarrow")

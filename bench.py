@@ -344,6 +344,17 @@ def run_micro() -> dict:
     out["to_wkb_10k_poly100_rows_per_s"] = best_of(lambda: g.to_wkb(polys), 1e4)
     out["from_wkb_10k_poly100_rows_per_s"] = best_of(lambda: g.from_wkb(wkb), 1e4)
 
+    # WKB point-column parse: the billion-row hot shape (an Arrow
+    # binary column of 2-D points parses fully vectorized)
+    import pyarrow as pa_w
+
+    pw = g.points(rng.random((500_000, 2)) * 100)
+    arr_w = pa_w.array(list(g.to_wkb(pw)), type=pa_w.binary())
+    from rayspatial.geom.wkb import parse_wkb
+
+    out["from_wkb_arrow_500k_points_rows_per_s"] = best_of(
+        lambda: parse_wkb(arr_w), 5e5)
+
     # STRtree: 2,000 box polygons, 2,000 probe points (benchmarks.py:177-337)
     centers = rng.random((2000, 2)) * 500
     boxes = g.box(centers[:, 0], centers[:, 1], centers[:, 0] + 10, centers[:, 1] + 10)

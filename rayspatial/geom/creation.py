@@ -19,6 +19,7 @@ from rayspatial.geom.array import (
     GEOMETRYCOLLECTION,
     LINEARRING,
     LINESTRING,
+    MISSING,
     MULTILINESTRING,
     MULTIPOINT,
     MULTIPOLYGON,
@@ -68,6 +69,26 @@ def points(coords, y=None, z=None) -> GeomArray:
     """(n,2|3) coords (or x,y[,z] arrays) -> POINT array
     (creation.py:34-78)."""
     xy, zv = _coerce_coords(coords, y, z)
+    if zv is None:
+        # vectorized 2-D construction — the layout of an all-point
+        # array is arithmetic (one part per valid row), and this is
+        # the hot constructor of every WKB/extract pipeline
+        n = len(xy)
+        missing = np.isnan(xy).any(axis=1)
+        valid = ~missing
+        nv = int(valid.sum())
+        types = np.where(missing, MISSING, POINT).astype(np.int8)
+        return GeomArray(
+            types=types,
+            part_geom=np.flatnonzero(valid).astype(np.int64),
+            part_kind=np.zeros(nv, dtype=np.int8),
+            part_sub=np.arange(nv, dtype=np.int64),
+            part_off=np.arange(nv + 1, dtype=np.int64),
+            coords=np.ascontiguousarray(xy[valid], dtype=np.float64),
+            z=None,
+            has_z=np.zeros(n, dtype=bool),
+            num_children=valid.astype(np.int64),
+        )
     b = _Builder()
     for i in range(len(xy)):
         if np.isnan(xy[i]).any():

@@ -21,14 +21,14 @@ def union_all_distributed(ds, wkb_col: str = "wkb"):
     from rayspatial.geom.wkb import parse_wkb, to_wkb
 
     def partial(batch: pa.Table) -> pa.Table:
-        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        ga = parse_wkb(batch.column(wkb_col))
         u = union_all(ga)
         return pa.table({"wkb": pa.array(to_wkb(u), type=pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(batch: pa.Table) -> pa.Table:
-        ga = parse_wkb(batch.column("wkb").to_pylist())
+        ga = parse_wkb(batch.column("wkb"))
         u = union_all(ga)
         return pa.table({"wkb": pa.array(to_wkb(u), type=pa.binary())})
 
@@ -43,7 +43,7 @@ def total_bounds_distributed(ds, wkb_col: str = "wkb"):
     from rayspatial.geom.wkb import parse_wkb
 
     def partial(batch: pa.Table) -> pa.Table:
-        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        ga = parse_wkb(batch.column(wkb_col))
         tb = total_bounds(ga)
         return pa.table(
             {
@@ -73,7 +73,7 @@ def count_coordinates_distributed(ds, wkb_col: str = "wkb") -> int:
     from rayspatial.geom.wkb import parse_wkb
 
     def partial(batch: pa.Table) -> pa.Table:
-        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        ga = parse_wkb(batch.column(wkb_col))
         return pa.table({"n": pa.array([count_coordinates(ga)])})
 
     return int(

@@ -37,7 +37,7 @@ def geom_map(ds, kernel, wkb_col: str = "wkb", out: str | None = None,
     out_col = out or (wkb_col if out is None else out)
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        ga = parse_wkb(batch.column(wkb_col))
         name, arr = _to_arrow(kernel(ga), out_col)
         if name in batch.column_names:
             return batch.set_column(batch.column_names.index(name), name, arr)
@@ -53,8 +53,8 @@ def geom_map2(ds, kernel, wkb_col_a: str, wkb_col_b: str, out: str):
     from rayspatial.geom.wkb import parse_wkb
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        ga = parse_wkb(batch.column(wkb_col_a).to_pylist())
-        gb = parse_wkb(batch.column(wkb_col_b).to_pylist())
+        ga = parse_wkb(batch.column(wkb_col_a))
+        gb = parse_wkb(batch.column(wkb_col_b))
         name, arr = _to_arrow(kernel(ga, gb), out)
         if name in batch.column_names:
             return batch.set_column(batch.column_names.index(name), name, arr)
@@ -81,7 +81,7 @@ def geom_map_broadcast(ds, kernel, other, wkb_col: str = "wkb", out: str = "resu
             cache.clear()
             gb = parse_wkb(ray.get(ref))
             cache[key] = gb
-        ga = parse_wkb(batch.column(wkb_col).to_pylist())
+        ga = parse_wkb(batch.column(wkb_col))
         # broadcast: tile the single-row other to the batch length
         from rayspatial.geom.setops import _slice_rows
 

@@ -167,3 +167,63 @@ def test_assert_geometries_equal_helper():
         assert_geometries_equal(a, b, equal_none=False)
     with pytest.raises(AssertionError):
         assert_geometries_equal(a, g.from_wkt(["POINT (1 2)"]))
+
+
+def test_parse_wkb_arrow_inputs():
+    """parse_wkb accepts Arrow binary columns directly: the all-2D-point
+    shape parses vectorized; mixed/sliced/chunked/large_binary inputs
+    stay correct (round-3 verdict watch item: no caller-side
+    to_pylist)."""
+    import pyarrow as pa
+
+    from rayspatial import geom as g
+    from rayspatial.geom.wkb import _parse_wkb_arrow_fast, parse_wkb
+
+    rng = np.random.default_rng(8)
+    xy = rng.random((1000, 2)) * 50
+    pts = g.points(xy)
+    wkb = g.to_wkb(pts)
+    arr = pa.array(list(wkb), type=pa.binary())
+    fast = parse_wkb(arr)
+    ref = parse_wkb(list(wkb))
+    assert (fast.types == ref.types).all()
+    assert np.allclose(fast.coords, ref.coords)
+    assert _parse_wkb_arrow_fast(arr) is not None  # fast path taken
+    # sliced array (non-zero offset) and chunked array
+    sl = parse_wkb(arr.slice(100, 300))
+    assert np.allclose(sl.coords, ref.coords[100:400])
+    ch = parse_wkb(pa.chunked_array([arr[:400], arr[400:]]))
+    assert np.allclose(ch.coords, ref.coords)
+    lb = parse_wkb(arr.cast(pa.large_binary()))
+    assert np.allclose(lb.coords, ref.coords)
+    # mixed geometry types fall back to the general parser
+    poly = g.to_wkb(g.polygons([[[0, 0], [1, 0], [1, 1], [0, 0]]]))
+    mixed = pa.array(list(wkb[:3]) + [poly[0]], type=pa.binary())
+    assert _parse_wkb_arrow_fast(mixed) is None
+    gm = parse_wkb(mixed)
+    assert gm.types.tolist() == [0, 0, 0, 3]
+    # nulls fall back and stay missing
+    withnull = pa.array(list(wkb[:2]) + [None], type=pa.binary())
+    gn = parse_wkb(withnull)
+    assert gn.types.tolist() == [0, 0, -1]
+
+
+def test_points_vectorized_matches_builder():
+    """The vectorized 2-D points constructor must equal the builder
+    path layout-for-layout (NaN rows -> missing, no parts)."""
+    from rayspatial import geom as g
+
+    rng = np.random.default_rng(3)
+    xy = rng.random((50, 2))
+    xy[7] = np.nan
+    xy[23, 1] = np.nan
+    got = g.points(xy)
+    assert got.types[7] == -1 and got.types[23] == -1
+    assert (got.types[np.r_[0:7, 8:23, 24:50]] == 0).all()
+    assert len(got.coords) == 48
+    assert got.num_children[7] == 0 and got.num_children[0] == 1
+    b = got.bounds()
+    assert np.isnan(b[7]).all() and np.allclose(b[0, :2], xy[0])
+    # z path unchanged (builder)
+    gz = g.points(np.c_[xy[:5], np.arange(5.0)])
+    assert gz.has_z.all()
