@@ -1401,6 +1401,30 @@ def _q_srp_candidates(sf_dir: str):
     return srp_bucket_candidates(_embs(sf_dir))
 
 
+def _q_pq_rerank_topk(sf_dir: str):
+    """Product-quantization ANN with exact rerank (textops/ann.py
+    pq_train/pq_encode/pq_topk_rerank — the FAISS IVFPQ+refine shape):
+    the corpus compresses to m bytes/vector, the ADC scan nominates a
+    shortlist per query, one streaming full-precision pass rescores
+    only the shortlist.  Rows-only checked (k-means is not
+    SQL-expressible); recall + block-invariance verified in pytest."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayspatial.textops.ann import pq_encode, pq_topk_rerank, pq_train
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = tab.column("vec_id").to_numpy()
+    qsel = vec_ids % 100 == 0
+    qmat = np.stack(
+        tab.column("embedding").to_pandas()[qsel].to_numpy())
+    ds = _embs(sf_dir)
+    books = pq_train(ds, m_subspaces=8, k_codes=32)
+    codes = pq_encode(ds, books)
+    return pq_topk_rerank(ds, codes, books, vec_ids[qsel], qmat,
+                          k=5, shortlist=50)
+
+
 def _q_lang_id(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -2283,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "srp_candidates": _q_srp_candidates,
         "ivf_topk": _q_ivf_topk,
+        "pq_rerank_topk": _q_pq_rerank_topk,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,

@@ -581,3 +581,231 @@ def ivf_topk(ds, query_ids, k: int = 5, nlist: int = 32, nprobe: int = 4,
     return partial.repartition(1).map_batches(
         merge, batch_size=None, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the FAISS-IVFPQ compression shape)
+
+
+def pq_train(ds, m_subspaces: int = 4, k_codes: int = 16,
+             train_limit: int = 4096, col: str = "embedding") -> np.ndarray:
+    """Train PQ codebooks on a bounded sample: the (normalized)
+    embedding space splits into ``m_subspaces`` contiguous subvectors,
+    each quantized by its own ``k_codes``-centroid k-means.
+
+    -> codebooks (m, k, d/m) float64.  Deterministic (seeded sample
+    order from ``ds.limit``, seeded k-means).  At 100 TB this is the
+    only driver-side gather (``train_limit`` rows); encode and search
+    stream."""
+    sample = ds.limit(train_limit).take_all()
+    st = pa.Table.from_pylist(sample)
+    mat = _normalize(_emb_matrix(st, col))
+    d = mat.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"embedding dim {d} not divisible by "
+                         f"m_subspaces={m_subspaces}")
+    sub = d // m_subspaces
+    books = np.empty((m_subspaces, min(k_codes, len(mat)), sub))
+    for m in range(m_subspaces):
+        piece = np.ascontiguousarray(mat[:, m * sub:(m + 1) * sub])
+        # plain L2 Lloyd per subspace (subvectors are not unit-norm, so
+        # the cosine variant used for the IVF coarse quantizer is
+        # inappropriate here)
+        books[m] = _kmeans_l2(piece, k_codes)
+    return books
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 10,
+               seed: int = 23) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    cents = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8 code matrix (nearest codeword per
+    subspace, ties to the lowest code id via argmin)."""
+    m, k, sub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        piece = mat[:, j * sub:(j + 1) * sub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d2 = -2.0 * (piece @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id",
+              col: str = "embedding"):
+    """-> Dataset (vec_id, code fixed_size_list<uint8, m>): the
+    compressed corpus — m bytes per vector instead of 8d (32x at d=32,
+    m=8), the representation the 100-TB ADC scan streams over.
+    Codebooks broadcast once via ``ray.put``."""
+    import ray
+
+    bref = ray.put(np.ascontiguousarray(books))
+    m = books.shape[0]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        mat = _normalize(_emb_matrix(batch, col))
+        codes = _pq_assign(mat, b)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), type=pa.uint8()), m),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, books: np.ndarray, query_ids, qmat_raw: np.ndarray,
+            k: int = 5, id_col: str = "vec_id"):
+    """Asymmetric-distance top-k over PQ codes: per query, an
+    inner-product table (m, k_codes) against the codebooks is built
+    ONCE, and each batch scores its code rows by m table lookups + a
+    sum — no decompression, no float matrix per corpus row.  Same
+    combiner shape as ``ann_topk`` (per-batch local top-k, bounded
+    final merge) and the same deterministic tie-break (sim desc,
+    neighbor_id asc).  Approximate by construction; recall is
+    regression-tested against brute force."""
+    import ray
+
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    qmat = _normalize(np.asarray(qmat_raw, dtype=np.float64))
+    m, kc, sub = books.shape
+    # tables[q, j, c] = q_subvec_j . codeword_c
+    tables = np.einsum("qjs,jcs->qjc",
+                       qmat.reshape(len(qmat), m, sub), books)
+    ref = ray.put((query_ids, tables))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, tab = ray.get(ref)
+        arr = batch.column("code")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codes = arr.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(arr), -1).astype(np.int64)
+        ids = batch.column(id_col).to_numpy()
+        n = len(ids)
+        out_q, out_n, out_s = [], [], []
+        cols = np.arange(codes.shape[1])
+        for c in range(len(qi)):
+            s = tab[c][cols[None, :], codes].sum(axis=1)
+            mask = ids != qi[c]
+            cand = np.flatnonzero(mask)
+            kk = min(k, len(cand))
+            if kk == 0:
+                continue
+            if len(cand) > 4 * kk:
+                kth = np.partition(-s[cand], kk - 1)[kk - 1]
+                cand = cand[-s[cand] <= kth]
+            sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+            out_q.append(np.full(kk, qi[c]))
+            out_n.append(ids[sel])
+            out_s.append(s[sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    partial = codes_ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="stable")
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+
+    return partial.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
+
+
+def pq_topk_rerank(orig_ds, codes_ds, books: np.ndarray, query_ids,
+                   qmat_raw: np.ndarray, k: int = 5, shortlist: int = 50,
+                   id_col: str = "vec_id", col: str = "embedding"):
+    """PQ shortlist + EXACT rerank (the FAISS IVFPQ+refine shape): the
+    compressed ADC scan nominates ``shortlist`` candidates per query,
+    then ONE streaming pass over the original vectors rescores only
+    those candidates exactly and keeps the true top-``k``.
+
+    Driver gather is the shortlist table (#queries x shortlist rows —
+    the documented bound); the original corpus streams.  Recall
+    approaches exact search as shortlist grows while the full-precision
+    pass touches a vanishing corpus fraction."""
+    import ray
+
+    from rayspatial.textops.hashing import _ragged_arange
+
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    qmat = _normalize(np.asarray(qmat_raw, dtype=np.float64))
+    cdf = pq_topk(codes_ds, books, query_ids, qmat_raw,
+                  k=shortlist, id_col=id_col).to_pandas()
+    qpos = {int(q): i for i, q in enumerate(query_ids)}
+    # neighbor -> sorted query indices (ragged, broadcast once)
+    by_n: dict[int, list[int]] = {}
+    for qid, nid in zip(cdf["query_id"], cdf["neighbor_id"]):
+        by_n.setdefault(int(nid), []).append(qpos[int(qid)])
+    nids = np.sort(np.fromiter(by_n, dtype=np.int64, count=len(by_n)))
+    counts = np.array([len(by_n[int(v)]) for v in nids], dtype=np.int64)
+    flat = (np.concatenate([np.sort(np.asarray(by_n[int(v)], np.int64))
+                            for v in nids])
+            if len(nids) else np.empty(0, np.int64))
+    off = np.concatenate([[0], np.cumsum(counts)])
+    ref = ray.put((query_ids, qmat, nids, off, flat))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        qi, qm, nv, offv, flatv = ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if not len(nv):
+            return empty
+        pos = np.searchsorted(nv, ids)
+        pos[pos == len(nv)] = 0
+        hit = nv[pos] == ids
+        rows = np.flatnonzero(hit)
+        if not len(rows):
+            return empty
+        mat = _normalize(_emb_matrix(batch, col))
+        p = pos[rows]
+        cnt = offv[p + 1] - offv[p]
+        rr = np.repeat(rows, cnt)
+        qidx = flatv[np.repeat(offv[p], cnt) + _ragged_arange(cnt)]
+        sims = (qm[qidx] * mat[rr]).sum(axis=1)
+        return pa.table({
+            "query_id": pa.array(qi[qidx]),
+            "neighbor_id": pa.array(ids[rr]),
+            "sim": pa.array(sims),
+        })
+
+    partial = orig_ds.map_batches(exact, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="stable")
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+
+    return partial.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")

@@ -1482,3 +1482,86 @@ def test_wav_codec_roundtrip():
         bad = bytearray(raw)
         struct.pack_into("<H", bad, 20, 3)  # float format tag
         decode_wav(bytes(bad))
+
+
+def test_pq_encode_and_adc_exactness(ray_session, embs_df):
+    """PQ codes are the per-subspace argmin, and the ADC score equals
+    the manual table-lookup sum."""
+    import ray.data as rd
+
+    from rayspatial.textops.ann import _pq_assign, pq_encode, pq_train
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/embeddings.parquet")
+    books = pq_train(ds, m_subspaces=4, k_codes=16, train_limit=1024)
+    assert books.shape[0] == 4
+    codes = pq_encode(ds, books).to_pandas().set_index("vec_id")
+    m = _norm_mat(embs_df)
+    ids = embs_df["vec_id"].to_numpy()
+    want = _pq_assign(m, books)
+    got = np.stack(codes.loc[ids, "code"].to_numpy())
+    assert (got == want).all()
+
+
+def test_pq_topk_recall_vs_brute(ray_session, embs_df):
+    """PQ ADC alone must beat chance by a wide margin on the
+    near-random fixture vectors, and PQ + exact rerank (the FAISS
+    refine shape) must recover brute-force top-k almost fully."""
+    import ray.data as rd
+
+    from rayspatial.textops.ann import (pq_encode, pq_topk,
+                                        pq_topk_rerank, pq_train)
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/embeddings.parquet")
+    books = pq_train(ds, m_subspaces=8, k_codes=32, train_limit=2048)
+    codes = pq_encode(ds, books)
+    mat = _norm_mat(embs_df)
+    ids = embs_df["vec_id"].to_numpy()
+    qsel = ids % 200 == 0
+    pos = {v: i for i, v in enumerate(ids)}
+
+    def brute_top(q, kk):
+        s = mat @ mat[pos[q]]
+        cand = sorted(((v, s[pos[v]]) for v in ids if v != q),
+                      key=lambda t: (-t[1], t[0]))
+        return {v for v, _ in cand[:kk]}
+
+    got = pq_topk(codes, books, ids[qsel], mat[qsel], k=10).to_pandas()
+    adc = np.mean([
+        len(brute_top(q, 10) & set(got[got.query_id == q]["neighbor_id"]))
+        / 10 for q in ids[qsel]])
+    # chance recall@10 over 500 vectors is 0.02; random-ish fixture
+    # vectors are PQ's worst case, so the ADC bar is modest
+    assert adc >= 0.2, adc
+    rer = pq_topk_rerank(ds, codes, books, ids[qsel], mat[qsel],
+                         k=10, shortlist=60).to_pandas()
+    rr = np.mean([
+        len(brute_top(q, 10) & set(rer[rer.query_id == q]["neighbor_id"]))
+        / 10 for q in ids[qsel]])
+    assert rr >= 0.8, rr
+    assert rr > adc
+
+
+def test_pq_topk_block_invariant(ray_session):
+    """PQ ADC results must not depend on corpus block boundaries."""
+    import ray.data as rd
+
+    from rayspatial.textops.ann import pq_encode, pq_topk, pq_train
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{SF}/embeddings.parquet")
+    books = pq_train(ds, m_subspaces=4, k_codes=16, train_limit=1024)
+    import pyarrow.parquet as pq_
+
+    tab = pq_.read_table(f"{SF}/embeddings.parquet")
+    ids = tab.column("vec_id").to_numpy()
+    qids = ids[:3]
+    import numpy as _np
+    qmat = _np.stack(tab.column("embedding").to_pylist()[:3])
+    outs = []
+    for parts in (1, 7):
+        codes = pq_encode(rd.from_arrow(tab).repartition(parts), books)
+        outs.append(pq_topk(codes, books, qids, qmat, k=5).to_pandas()
+                    .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
