@@ -162,6 +162,99 @@ def _survivors(g: pd.DataFrame, ts_col: str, id_col: str,
     return g[~late], int(late.sum())
 
 
+class IntervalJoiner:
+    """LIVE per-partition stream-stream interval-join operator — the
+    actor-pool form of :func:`streaming_interval_join` (state in
+    ``__init__``, arrival-ordered batches through :meth:`process`,
+    :meth:`flush` at end-of-stream).  Symmetric hash join with
+    watermark-driven eviction:
+
+    - each arriving event is late-dropped against its OWN stream's
+      per-event watermark (running max - lateness), identically to the
+      batch operator;
+    - a surviving LEFT event matches buffered RIGHT events in
+      ``[ts - before, ts + after]``; a surviving RIGHT event matches
+      buffered LEFT only (new-vs-new pairs are found by the left rule
+      when the left event processes after the right in arrival order —
+      feed batches through :meth:`process` in arrival order, sides
+      interleaved or not);
+    - bounded state: a left event is EVICTED once the right stream's
+      watermark passes ``ts + after`` (no surviving future right can
+      match it), and a right event once the left watermark passes
+      ``ts + before`` — per-key state is O(events inside one window +
+      lateness horizon), never the stream.
+
+    Exactness vs the batch operator is asserted in
+    tests/test_streaming.py (same pairs under any chunking), along
+    with the buffer bound."""
+
+    def __init__(self, before_s: int, after_s: int, lateness_s: int):
+        self.before_us = int(before_s) * 1_000_000
+        self.after_us = int(after_s) * 1_000_000
+        self.lateness_us = int(lateness_s) * 1_000_000
+        self.wm = [-(2 ** 62), -(2 ** 62)]        # per-side running max
+        # per-side buffers: dict key -> list[(ts, id)]
+        self.buf: list[dict[int, list[tuple[int, int]]]] = [{}, {}]
+        self.late = [0, 0]
+        self.max_buffered = 0
+
+    def _evict(self):
+        # left (side 0) survives while ts + after >= wm_right - lateness
+        # (a future surviving right event has ts >= wm_right - lateness)
+        cuts = (self.wm[1] - self.lateness_us - self.after_us,
+                self.wm[0] - self.lateness_us - self.before_us)
+        for side, cut in enumerate(cuts):
+            b = self.buf[side]
+            for k in list(b):
+                kept = [e for e in b[k] if e[0] >= cut]
+                if kept:
+                    b[k] = kept
+                else:
+                    del b[k]
+
+    def process(self, side: np.ndarray, key: np.ndarray, ts: np.ndarray,
+                eid: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+        """Consume one arrival-ordered chunk (mixed sides allowed);
+        -> emitted (key, l_id, r_id, l_ts, r_ts) pairs."""
+        out: list[tuple[int, int, int, int, int]] = []
+        for i in range(len(side)):
+            s = int(side[i])
+            t = int(ts[i])
+            if t < self.wm[s] - self.lateness_us:
+                self.late[s] += 1
+                continue
+            self.wm[s] = max(self.wm[s], t)
+            k = int(key[i])
+            e = int(eid[i])
+            other = self.buf[1 - s].get(k, ())
+            if s == 0:
+                lo, hi = t - self.before_us, t + self.after_us
+                for (rt, rid) in other:
+                    if lo <= rt <= hi:
+                        out.append((k, e, rid, t, rt))
+            else:
+                lo, hi = t - self.after_us, t + self.before_us
+                for (lt, lid) in other:
+                    if lo <= lt <= hi:
+                        out.append((k, lid, e, lt, t))
+            self.buf[s].setdefault(k, []).append((t, e))
+        # eviction once per chunk: delaying it never changes output
+        # (an evictable buffered event can no longer satisfy the
+        # interval predicate against any surviving future event), it
+        # only bounds state — so amortize the sweep
+        self._evict()
+        self.max_buffered = max(
+            self.max_buffered,
+            sum(len(v) for b in self.buf for v in b.values()))
+        return out
+
+    def flush(self) -> list:
+        """End-of-stream: nothing pending (pairs emit eagerly); clears
+        buffers and returns []."""
+        self.buf = [{}, {}]
+        return []
+
+
 def streaming_interval_join(left_ds, right_ds, before_s: int, after_s: int,
                             lateness_s: int,
                             num_partitions: int = 8,
