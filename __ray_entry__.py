@@ -1464,7 +1464,7 @@ def _q_bmp_features(sf_dir: str):
     import pyarrow as pa
 
     from rayspatial.textops.multimodal import (FEATURE_DIM, binary_features,
-                                               encode_bmp)
+                                               encode_bmp_batch)
     from rayspatial.util import read_parquet_sized
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
@@ -1476,7 +1476,7 @@ def _q_bmp_features(sf_dir: str):
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
         vals = ((ids[:, None] * 31 + np.arange(NB)[None, :]) % 256
                 ).astype(np.uint8)
-        payloads = [encode_bmp(v.reshape(H, W, 3)) for v in vals]
+        payloads = encode_bmp_batch(vals.reshape(-1, H, W, 3))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "img": pa.array(payloads, type=pa.binary())})
 
@@ -1808,6 +1808,56 @@ def _q_pricing_summary(sf_dir: str):
 
     return hash_partitioned_agg(
         parts, ["l_returnflag", "l_linestatus"], combine)
+
+
+def _q_lineitem_group_attach(sf_dir: str):
+    """COMPOSITE-KEY equi-join (ops/equijoin.py, on=[flag, status]):
+    per-(l_returnflag, l_linestatus) totals computed by one
+    hash-partitioned combine, then attached to every lineitem row via
+    a composite-key broadcast join (the grouped side is tiny; the fact
+    stream never shuffles) — the window-function 'group total attach'
+    shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_linestatus", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "cents": pa.array(np.round(
+                b.column("l_extendedprice").to_numpy() * 100
+            ).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def totals(df):
+        out = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+               ["cents"].agg([("group_cents", "sum"),
+                              ("group_n", "size")]).reset_index())
+        out["group_cents"] = out["group_cents"].astype(np.int64)
+        out["group_n"] = out["group_n"].astype(np.int64)
+        return out
+
+    grouped = hash_partitioned_agg(
+        li.map_batches(lambda b: b.select(
+            ["l_returnflag", "l_linestatus", "cents"]),
+            batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], totals)
+    return hash_join(
+        li, grouped, on=["l_returnflag", "l_linestatus"],
+        left_cols=["l_returnflag", "l_linestatus", "l_orderkey",
+                   "l_linenumber"],
+        right_cols=["group_n", "group_cents"], mode="broadcast")
 
 
 def _q_orders_by_region(sf_dir: str):
@@ -2332,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "zonal_majority": _q_zonal_majority,
         "orders_by_region": _q_orders_by_region,
+        "lineitem_group_attach": _q_lineitem_group_attach,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
@@ -2836,6 +2887,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "lineitem_group_attach": (
+            "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS group_n, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "OVER w AS BIGINT) AS group_cents "
+            "FROM lineitem "
+            "WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)"
         ),
         "orders_rollup": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "

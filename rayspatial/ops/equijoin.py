@@ -25,20 +25,21 @@ import pandas as pd
 import pyarrow as pa
 
 
-def hash_join(left_ds, right_ds, on: str,
+def hash_join(left_ds, right_ds, on: str | list[str],
               left_cols: list[str], right_cols: list[str],
               mode: str = "broadcast",
               num_partitions: int | None = None,
               bloom_bits: int | None = None,
               how: str = "inner",
               broadcast_byte_budget: int = 256 << 20):
-    """Equi-join LEFT x RIGHT on ``on``.  ``left_cols`` /
-    ``right_cols``: output columns from each side (key listed once, in
-    ``left_cols``).  ``how``: "inner", "left", "right" or "full"
-    (unmatched rows kept with typed nulls in the other side's columns;
-    output schema keeps each side's declared Arrow types — no float64
-    NaN coercion leaking between partitions).  right/full need key
-    co-location and are shuffle-mode only.
+    """Equi-join LEFT x RIGHT on ``on`` (a single key column or a
+    COMPOSITE key column list).  ``left_cols`` / ``right_cols``:
+    output columns from each side (keys listed once, in ``left_cols``).
+    ``how``: "inner", "left", "right" or "full" (unmatched rows kept
+    with typed nulls in the other side's columns; output schema keeps
+    each side's declared Arrow types — no float64 NaN coercion leaking
+    between partitions).  right/full need key co-location and are
+    shuffle-mode only.
 
     ``bloom_bits`` (shuffle mode): build a Bloom filter of the RIGHT
     side's keys (one streaming pass, per-block bitmaps OR-merged to a
@@ -49,6 +50,7 @@ def hash_join(left_ds, right_ds, on: str,
     identical with or without it."""
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unknown join how: {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
     if mode == "broadcast":
         if how in ("right", "full"):
             # unmatched RIGHT rows would be re-emitted by every probe
@@ -65,6 +67,19 @@ def hash_join(left_ds, right_ds, on: str,
         return _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
                              num_partitions, how)
     raise ValueError(f"unknown join mode: {mode!r}")
+
+
+def _pa_type(t) -> pa.DataType:
+    """Best-effort Arrow type from a schema entry (pandas-block
+    datasets surface numpy dtypes / the object class)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        if t is object or np.dtype(t).kind == "O":
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.lib.ArrowNotImplementedError):
+        return pa.string()
 
 
 def _typed_table(out: pd.DataFrame, order: list[str], types: dict) -> pa.Table:
@@ -87,6 +102,14 @@ def _key_hashes(col, seed: int) -> np.ndarray:
         col.to_numpy(zero_copy_only=False).astype(np.int64), seed=seed)
 
 
+def _row_hashes(batch: pa.Table, on: list[str], seed: int) -> np.ndarray:
+    """Per-row hash of the (possibly composite) key tuple."""
+    h = _key_hashes(batch.column(on[0]), seed)
+    for c in on[1:]:
+        h = h ^ _key_hashes(batch.column(c), seed + 11)
+    return h
+
+
 def _bloom_prefilter(left_ds, right_ds, on, m_bits):
     """Filter left rows through a 2-hash Bloom filter of right keys."""
     import ray
@@ -96,7 +119,7 @@ def _bloom_prefilter(left_ds, right_ds, on, m_bits):
     def partial(batch: pa.Table) -> pa.Table:
         bits = np.zeros(nbytes, dtype=np.uint8)
         for seed in (3, 7):
-            h = _key_hashes(batch.column(on), seed) % np.uint64(m_bits)
+            h = _row_hashes(batch, on, seed) % np.uint64(m_bits)
             np.bitwise_or.at(bits, (h // np.uint64(8)).astype(np.int64),
                              np.left_shift(
                                  np.uint8(1),
@@ -123,7 +146,7 @@ def _bloom_prefilter(left_ds, right_ds, on, m_bits):
         bits = _ray.get(ref)
         keep = np.ones(len(batch), dtype=bool)
         for seed in (3, 7):
-            h = _key_hashes(batch.column(on), seed) % np.uint64(m_bits)
+            h = _row_hashes(batch, on, seed) % np.uint64(m_bits)
             byte = bits[(h // np.uint64(8)).astype(np.int64)]
             keep &= (byte >> (h % np.uint64(8)).astype(np.uint8)) & 1 > 0
         return batch.filter(pa.array(keep))
@@ -136,7 +159,7 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
     import ray
 
     pruned = right_ds.map_batches(
-        lambda b: b.select([on] + right_cols), batch_format="pyarrow"
+        lambda b: b.select(on + right_cols), batch_format="pyarrow"
     )
     # size gate: gather blocks INCREMENTALLY and bail to shuffle mode
     # the moment the accumulated build side exceeds the byte budget —
@@ -159,10 +182,10 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
     # emit them; concat_tables would raise on the schema mismatch)
     rtab = (pa.concat_tables(rtabs) if rtabs
             else pa.table({c: pa.array([], type=pa.int64())
-                           for c in [on] + right_cols}))
+                           for c in on + right_cols}))
     # build-side prep ONCE on the driver (it fit the budget): key-sorted
     # + a row-id for deterministic duplicate-match ordering in the probe
-    rtab = rtab.sort_by([(on, "ascending")])
+    rtab = rtab.sort_by([(c, "ascending") for c in on])
     rtab = rtab.append_column(
         "__bj_rrow", pa.array(np.arange(len(rtab), dtype=np.int64)))
     ref = ray.put(rtab)  # ONE object-store copy, read by every probe task
@@ -178,7 +201,8 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
 
             built = _ray.get(ref)  # zero-copy from the object store
             _cache[key] = built
-        lf = batch.select(left_cols + ([on] if on not in left_cols else []))
+        lf = batch.select(left_cols + [c for c in on
+                                       if c not in left_cols])
         # Arrow-native hash join (Acero) — no per-batch pandas
         # conversion; the left row-id restores the batch's row order
         # (and __bj_rrow the key-sorted build order among duplicate
@@ -201,20 +225,21 @@ def _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
     rsch = right_ds.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
-    lonly = [c for c in left_cols if c != on]
-    ronly = [c for c in right_cols if c != on]
+    lonly = [c for c in left_cols if c not in on]
+    ronly = [c for c in right_cols if c not in on]
 
     def tag(side: int, own: list[str], other_t):
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
-            cols = {"_side": pa.array(np.full(n, side, dtype=np.int8)),
-                    on: batch.column(on)}
+            cols = {"_side": pa.array(np.full(n, side, dtype=np.int8))}
+            for c in on:
+                cols[c] = batch.column(c)
             # canonical column order on BOTH sides — mismatched orders
             # make the union's block schemas unequal, which forces Ray
             # into slow per-block schema unification
             for c in lonly + ronly:
                 cols[c] = (batch.column(c) if c in own
-                           else pa.nulls(n, other_t[c]))
+                           else pa.nulls(n, _pa_type(other_t[c])))
             return pa.table(cols)
 
         return fn
@@ -224,16 +249,21 @@ def _shuffle_join(left_ds, right_ds, on, left_cols, right_cols,
     rt = right_ds.map_batches(tag(0, ronly, ltypes),
                               batch_format="pyarrow")
 
-    types = {**ltypes, **{c: rtypes[c] for c in ronly}}
+    # keep only genuine Arrow types for the output cast — a
+    # pandas-block dataset's schema surfaces numpy dtypes / the object
+    # class, and those columns just take from_pandas inference
+    types = {c: t for c, t in
+             {**ltypes, **{c: rtypes[c] for c in ronly}}.items()
+             if isinstance(t, pa.DataType)}
 
     pandas_how = {"full": "outer"}.get(how, how)
 
     def per_partition(df: pd.DataFrame) -> pa.Table:
         lmask = df["_side"].to_numpy() == 1
-        left = df.loc[lmask, [on] + lonly]
-        right = df.loc[~lmask, [on] + ronly]
+        left = df.loc[lmask, on + lonly]
+        right = df.loc[~lmask, on + ronly]
         out = left.merge(right, on=on, how=pandas_how, sort=False)
         return _typed_table(out, left_cols + ronly, types)
 
-    return hash_partitioned_agg(lt.union(rt), [on], per_partition,
+    return hash_partitioned_agg(lt.union(rt), on, per_partition,
                                 num_partitions=num_partitions)

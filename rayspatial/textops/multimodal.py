@@ -42,6 +42,30 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return hdr + info + rows.tobytes()
 
 
+def encode_bmp_batch(imgs: np.ndarray) -> list[bytes]:
+    """(n, h, w, 3) uint8 RGB -> n BMP payloads, one header build and
+    one vectorized BGR/flip pass for the whole batch (the per-row
+    ``encode_bmp`` costs a struct.pack per image; a uniform-size corpus
+    synthesizer should not)."""
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w, c = imgs.shape
+    if c != 3:
+        raise ValueError("encode_bmp_batch expects (n, h, w, 3) RGB")
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    data_size = stride * h
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off) + \
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                    2835, 2835, 0, 0)
+    out = np.empty((n, off + data_size), dtype=np.uint8)
+    out[:, :off] = np.frombuffer(hdr, dtype=np.uint8)
+    rows = out[:, off:].reshape(n, h, stride)
+    rows[:, :, row_bytes:] = 0
+    rows[:, :, :row_bytes] = imgs[:, ::-1, :, ::-1].reshape(n, h, row_bytes)
+    return [r.tobytes() for r in out]
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB.  Pure
     numpy (vectorized row de-stride + BGR swap); handles bottom-up

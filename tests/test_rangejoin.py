@@ -269,3 +269,41 @@ def test_broadcast_join_size_gate_routes_to_shuffle(ray_session):
                       ).to_pandas().sort_values(["lv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(normal, gated)
     assert len(normal) == 500
+
+
+def test_hash_join_composite_key(ray_session):
+    """Composite (multi-column) join keys in both modes, including an
+    outer join with typed nulls and a bloom-prefiltered inner join."""
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import hash_join
+
+    rng = np.random.default_rng(21)
+    l = pd.DataFrame({
+        "k1": rng.integers(0, 10, 400),
+        "k2": rng.choice(["a", "b", "c"], 400),
+        "lv": np.arange(400, dtype=np.int64)})
+    r = pd.DataFrame({
+        "k1": np.repeat(np.arange(10), 3),
+        "k2": np.tile(["a", "b", "c"], 10),
+        "rv": np.arange(30, dtype=np.int64) * 7})
+    r = r[rng.random(30) < 0.7]  # drop some keys -> unmatched lefts
+    ref = l.merge(r, on=["k1", "k2"], how="inner").sort_values(
+        ["lv"]).reset_index(drop=True)
+    lds = rd.from_pandas(l).repartition(4)
+    rds = rd.from_pandas(r).repartition(2)
+    for kw in (dict(mode="broadcast"), dict(mode="shuffle"),
+               dict(mode="shuffle", bloom_bits=1 << 14)):
+        got = hash_join(lds, rds, ["k1", "k2"], ["k1", "k2", "lv"],
+                        ["rv"], **kw).to_pandas().sort_values(
+            ["lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k1", "k2", "lv", "rv"]], ref[["k1", "k2", "lv", "rv"]],
+            check_dtype=False)
+    # left outer: unmatched keep typed-null rv
+    lo = hash_join(lds, rds, ["k1", "k2"], ["k1", "k2", "lv"], ["rv"],
+                   mode="shuffle", how="left").to_pandas()
+    assert len(lo) == 400 + (len(ref) - len(l[l.merge(
+        r, on=["k1", "k2"], how="left", indicator=True)["_merge"]
+        .eq("both").to_numpy()]))  # every left row at least once
+    assert lo["rv"].isna().sum() == (400 - ref["lv"].nunique())

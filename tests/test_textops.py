@@ -1565,3 +1565,15 @@ def test_pq_topk_block_invariant(ray_session):
         outs.append(pq_topk(codes, books, qids, qmat, k=5).to_pandas()
                     .sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_encode_bmp_batch_matches_scalar():
+    from rayspatial.textops.multimodal import (decode_bmp, encode_bmp,
+                                               encode_bmp_batch)
+
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, (6, 5, 7, 3), dtype=np.uint8)  # padded w
+    batch = encode_bmp_batch(imgs)
+    for i, im in enumerate(imgs):
+        assert batch[i] == encode_bmp(im)
+        assert (decode_bmp(batch[i]) == im).all()
