@@ -1810,6 +1810,19 @@ def _q_pricing_summary(sf_dir: str):
         parts, ["l_returnflag", "l_linestatus"], combine)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional sampling without replacement
+    (textops/sampling.weighted_sample, Efraimidis-Spirakis): top-100
+    documents by hash-seeded priority u^(1/n_chars) — length-biased
+    curation sampling as one streaming pass + bounded merge."""
+    from rayspatial.textops.sampling import weighted_sample
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, k=100)
+
+
 def _q_lineitem_group_attach(sf_dir: str):
     """COMPOSITE-KEY equi-join (ops/equijoin.py, on=[flag, status]):
     per-(l_returnflag, l_linestatus) totals computed by one
@@ -2383,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_majority": _q_zonal_majority,
         "orders_by_region": _q_orders_by_region,
         "lineitem_group_attach": _q_lineitem_group_attach,
+        "weighted_sample": _q_weighted_sample,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,
@@ -2887,6 +2901,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, n_chars, "
+            "CAST(FLOOR(1000000 * POW("
+            "((doc_id * 2654435761 + 12345) % 4294967296 + 1) "
+            "/ 4294967297.0, 1.0 / n_chars)) AS BIGINT) AS key_micro "
+            "FROM documents WHERE n_chars > 0 "
+            "ORDER BY key_micro DESC, doc_id LIMIT 100"
         ),
         "lineitem_group_attach": (
             "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, "

@@ -203,6 +203,14 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
             _cache[key] = built
         lf = batch.select(left_cols + [c for c in on
                                        if c not in left_cols])
+        # Acero requires exactly-equal key types: align the probe's key
+        # columns to the build side (int32 vs int64, string vs
+        # large_string — lossless widenings only in practice)
+        for kc in on:
+            bt = built.schema.field(kc).type
+            if lf.schema.field(kc).type != bt:
+                i = lf.column_names.index(kc)
+                lf = lf.set_column(i, kc, lf.column(kc).cast(bt))
         # Arrow-native hash join (Acero) — no per-batch pandas
         # conversion; the left row-id restores the batch's row order
         # (and __bj_rrow the key-sorted build order among duplicate

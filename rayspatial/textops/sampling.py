@@ -98,3 +98,61 @@ def train_val_test_split(ds, val_ppm: int = 50_000, test_ppm: int = 50_000,
         return batch.append_column("split", pa.array(split))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_sample(ds, k: int, id_col: str = "doc_id",
+                    weight_col: str = "n_chars"):
+    """Deterministic weight-proportional sample WITHOUT replacement of
+    ``k`` rows (Efraimidis-Spirakis A-ES): each row gets priority
+    ``u ** (1/w)`` with ``u`` a hash-derived uniform in (0,1), and the
+    global top-``k`` priorities are the sample — the curation shape
+    "sample documents proportional to token count" as ONE streaming
+    pass + a bounded merge.
+
+    Determinism + SQL reproducibility: ``u`` is a Knuth multiplicative
+    mix of the id (``(id*2654435761 + 12345) % 2^32``, exact in int64),
+    the priority is quantized to integer micro-units with FLOOR, and
+    ties break by ascending id — an ORDER BY ... LIMIT k oracle
+    reproduces the selection hash-exactly.
+
+    Shape: per-block vectorized priorities + LOCAL top-k (the
+    combiner), one k x blocks merge — the corpus never shuffles and
+    the driver never sees it.  Rows with weight <= 0 are excluded.
+    """
+    import pyarrow as pa
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        w = batch.column(weight_col).to_numpy().astype(np.float64)
+        pos = w > 0
+        ids_v, w_v = ids[pos], w[pos]
+        u = ((ids_v * 2654435761 + 12345) % 4294967296 + 1) / 4294967297.0
+        key = np.floor(1e6 * np.power(u, 1.0 / w_v)).astype(np.int64)
+        kk = min(k, len(ids_v))
+        if kk == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                weight_col: pa.array([], type=pa.int64()),
+                "key_micro": pa.array([], type=pa.int64())})
+        sel = np.lexsort((ids_v, -key))[:kk]
+        return pa.table({
+            id_col: pa.array(ids_v[sel]),
+            weight_col: pa.array(
+                batch.column(weight_col).to_numpy()[pos][sel]),
+            "key_micro": pa.array(key[sel]),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(
+            ["key_micro", id_col], ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return partial.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
+
+
+__all__.append("weighted_sample")

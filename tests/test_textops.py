@@ -1577,3 +1577,33 @@ def test_encode_bmp_batch_matches_scalar():
     for i, im in enumerate(imgs):
         assert batch[i] == encode_bmp(im)
         assert (decode_bmp(batch[i]) == im).all()
+
+
+def test_weighted_sample_distribution_and_determinism(ray_session):
+    """A-ES weighted sampling: deterministic under re-partitioning, and
+    weight-proportional in aggregate (heavier rows selected far more
+    often than light ones across disjoint id salts)."""
+    import ray.data as rd
+
+    from rayspatial.textops.sampling import weighted_sample
+
+    n = 20_000
+    w = np.where(np.arange(n) % 10 == 0, 1000, 1).astype(np.int64)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "n_chars": w})
+    outs = []
+    for parts in (2, 13):
+        outs.append(weighted_sample(
+            rd.from_pandas(df).repartition(parts), k=500
+        ).to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    sel = outs[0]
+    heavy = (sel["doc_id"] % 10 == 0).mean()
+    # heavy rows are 10% of the corpus but carry ~99% of the weight;
+    # the sample must be dominated by them
+    assert heavy > 0.8, heavy
+    # zero/negative weights excluded
+    df2 = df.copy()
+    df2.loc[df2.doc_id < 10000, "n_chars"] = 0
+    sel2 = weighted_sample(rd.from_pandas(df2), k=200).to_pandas()
+    assert (sel2["doc_id"] >= 10000).all()
