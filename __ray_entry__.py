@@ -1810,6 +1810,20 @@ def _q_pricing_summary(sf_dir: str):
         parts, ["l_returnflag", "l_linestatus"], combine)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """ONE-pass mergeable quantile sketch (ops/quantile.approx_quantiles,
+    MRL deterministic compaction): order-value estimates whose partials
+    are a few KB per block — the streaming complement of the 3-pass
+    exact operator.  Rows-only checked (approximate by construction;
+    the <1% rank-error bound and merge associativity are pytest)."""
+    from rayspatial.ops.quantile import approx_quantiles
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+    return approx_quantiles(ds, "l_extendedprice", [1, 25, 50, 75, 99])
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weight-proportional sampling without replacement
     (textops/sampling.weighted_sample, Efraimidis-Spirakis): top-100
@@ -2397,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": _q_orders_by_region,
         "lineitem_group_attach": _q_lineitem_group_attach,
         "weighted_sample": _q_weighted_sample,
+        "approx_quantiles": _q_approx_quantiles,
         "poly_union_area": _q_poly_union_area,
         "top_terms": _q_top_terms,
         "customer_orders_left": _q_customer_orders_left,

@@ -31,7 +31,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["exact_quantiles", "grouped_quantiles", "range_partitioned_rank"]
+__all__ = ["exact_quantiles", "grouped_quantiles",
+           "range_partitioned_rank", "QuantileSketch", "approx_quantiles"]
 
 BINS = 4096
 
@@ -356,3 +357,142 @@ def range_partitioned_rank(ds, key_col: str, tie_col: str,
 
     return assigned.groupby("_part").map_groups(
         rank_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# mergeable approximate quantiles (MRL / deterministic-KLL shape)
+
+
+class QuantileSketch:
+    """Deterministic mergeable quantile summary: levelled buffers of
+    capacity ``k``; a full level sorts and keeps every other element
+    (compaction parity flips per level per compaction, removing
+    systematic bias), promoting survivors with doubled weight.  The
+    Manku-Rajagopalan-Lindsay shape with deterministic compaction —
+    rank error grows O(log^2(n/k)/k), regression-tested below 1% at
+    k=256 on 1M rows.
+
+    Why it exists next to ``exact_quantiles``: the exact operator costs
+    3+ full passes; the sketch is ONE streaming pass whose partials are
+    a few KB per block and merge associatively — at 10^12 rows the
+    driver sees fixed-size summaries, never data."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _compact(self):
+        lv = 0
+        while lv < len(self.levels):
+            if len(self.levels[lv]) > self.k:
+                buf = np.sort(self.levels[lv])
+                keep = buf[self.parity[lv]::2]
+                self.parity[lv] ^= 1
+                self.levels[lv] = np.empty(0)
+                if lv + 1 == len(self.levels):
+                    self.levels.append(np.empty(0))
+                    self.parity.append(0)
+                self.levels[lv + 1] = np.concatenate(
+                    [self.levels[lv + 1], keep])
+            lv += 1
+
+    def update_batch(self, vals: np.ndarray):
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        self.n += len(vals)
+        # feed in k-sized slices so level 0 never overshoots wildly
+        for s in range(0, len(vals), self.k):
+            self.levels[0] = np.concatenate(
+                [self.levels[0], vals[s:s + self.k]])
+            self._compact()
+
+    def merge(self, other: "QuantileSketch"):
+        if other.k != self.k:
+            raise ValueError("sketch k mismatch")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0))
+            self.parity.append(0)
+        for lv, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[lv] = np.concatenate([self.levels[lv], buf])
+        self.n += other.n
+        self._compact()
+        return self
+
+    def quantile(self, p: float) -> float:
+        """value whose weighted rank is ceil(p/100 * n) (same selection
+        contract as exact_quantiles, approximately)."""
+        vals = np.concatenate([b for b in self.levels if len(b)])
+        wts = np.concatenate(
+            [np.full(len(b), 1 << lv, dtype=np.int64)
+             for lv, b in enumerate(self.levels) if len(b)])
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        target = max(-(-p * wts.sum() // 100), 1)
+        idx = int(np.searchsorted(np.cumsum(wts), target))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            (self.k, self.n, self.parity,
+             [b.tolist() for b in self.levels]))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "QuantileSketch":
+        import pickle
+
+        k, n, parity, levels = pickle.loads(blob)
+        s = cls(k)
+        s.n = n
+        s.parity = list(parity)
+        s.levels = [np.asarray(b, dtype=np.float64) for b in levels]
+        return s
+
+
+def approx_quantiles(ds, col: str, pcts: list[int], k: int = 256):
+    """ONE-pass approximate quantiles -> pyarrow Table (pct, value).
+
+    Shape: per-block sketches (map_batches partial, a few KB each) ->
+    one bounded combine to ``P`` partial merges (hash shuffle of blobs,
+    NOT data) -> driver merges P blobs.  Driver memory is O(P * k *
+    log(n/k)) floats regardless of corpus size.  Merge order is fixed
+    by sorting blobs (deterministic for deterministic input blocks)."""
+    from rayspatial.util import hash_partitioned_agg
+
+    _validate_pcts(pcts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        s.update_batch(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([s.to_bytes()],
+                                          type=pa.binary()),
+                         "tag": pa.array([s.n], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_partition(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        blobs = sorted(df["blob"], key=lambda b: (len(b), b))
+        acc = QuantileSketch.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.merge(QuantileSketch.from_bytes(b))
+        return pd.DataFrame({"blob": [acc.to_bytes()],
+                             "tag": [np.int64(acc.n)]})
+
+    merged = hash_partitioned_agg(parts, ["tag"], merge_partition,
+                                  num_partitions=8)
+    rows = merged.take_all()
+    blobs = sorted((r["blob"] for r in rows), key=lambda b: (len(b), b))
+    acc = QuantileSketch.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc = acc.merge(QuantileSketch.from_bytes(b))
+    return pa.table({
+        "pct": pa.array([int(p) for p in pcts], type=pa.int64()),
+        "value": pa.array([acc.quantile(p) for p in pcts],
+                          type=pa.float64()),
+    })

@@ -125,3 +125,41 @@ def test_exact_quantiles_rejects_p0(ray_session):
         grouped_quantiles(ds, "g", "value", [0])
     with pytest.raises(ValueError, match="percentile"):
         exact_quantiles(ds, "value", [101])
+
+
+def test_quantile_sketch_error_bound_and_merge(ray_session):
+    """MRL sketch: one streaming pass, rank error < 1% at k=256 on 1M
+    uniform + lognormal rows, merge associativity (split sketches merge
+    to the same estimates as one sketch within the bound), and the
+    distributed approx_quantiles stays within 1% rank error of exact."""
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import QuantileSketch, approx_quantiles
+
+    rng = np.random.default_rng(1)
+    for data in (rng.random(1_000_000), rng.lognormal(0, 2, 1_000_000)):
+        s = QuantileSketch(256)
+        for c in np.array_split(data, 41):
+            s.update_batch(c)
+        for p in (1, 10, 50, 90, 99):
+            est = s.quantile(p)
+            rank = (data <= est).mean() * 100
+            assert abs(rank - p) < 1.0, (p, rank)
+        # merge of disjoint halves obeys the same bound
+        a, b = QuantileSketch(256), QuantileSketch(256)
+        a.update_batch(data[:500_000])
+        b.update_batch(data[500_000:])
+        a.merge(b)
+        assert a.n == 1_000_000
+        for p in (10, 50, 90):
+            rank = (data <= a.quantile(p)).mean() * 100
+            assert abs(rank - p) < 1.0, (p, rank)
+    # distributed: one pass over a Dataset
+    df = pd.DataFrame({"v": rng.random(300_000)})
+    out = approx_quantiles(rd.from_pandas(df).repartition(16), "v",
+                           [5, 50, 95]).to_pandas()
+    for p, v in zip(out["pct"], out["value"]):
+        rank = (df["v"] <= v).mean() * 100
+        assert abs(rank - p) < 1.0, (p, rank)
+    with pytest.raises(ValueError, match="percentile"):
+        approx_quantiles(rd.from_pandas(df), "v", [0])
