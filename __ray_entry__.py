@@ -576,6 +576,33 @@ def _q_stream_stream_join(sf_dir: str):
         num_partitions=8)
 
 
+def _q_stream_stream_join_salted(sf_dir: str):
+    """Hot-key-safe stream-stream interval join (two exchanges: cheap
+    per-part survivor replay, then a (time-bucket, key-salt) pair-join
+    shuffle with <=3x right replication) — equals the plain operator
+    row-for-row, so it shares its SQL oracle."""
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.streaming import streaming_interval_join_salted
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def only(kind):
+        def fn(batch):
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+        return fn
+
+    pur = ds.map_batches(only("purchase"), batch_format="pyarrow")
+    clk = ds.map_batches(only("click"), batch_format="pyarrow")
+    return streaming_interval_join_salted(
+        pur, clk, before_s=1800, after_s=300, lateness_s=600,
+        num_partitions=8, salt=8)
+
+
 def _q_asof_prior_click(sf_dir: str):
     """As-of join: each 'error' event matched to the most recent
     'click' (ts <= error ts) by the same user — one hash shuffle,
@@ -2337,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "events_streaming": _q_events_streaming,
         "stream_stream_join": _q_stream_stream_join,
+        "stream_stream_join_salted": _q_stream_stream_join_salted,
         "asof_prior_click": _q_asof_prior_click,
         "asof_salted": _q_asof_salted,
         "range_join_views": _q_range_join_views,
@@ -2802,6 +2830,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM k GROUP BY 1, 2"
         ),
         "stream_stream_join": (
+            "WITH lw AS (SELECT user_id % 8 AS part, user_id, event_id, "
+            "epoch_us(ts) AS t, MAX(epoch_us(ts)) OVER (PARTITION BY "
+            "user_id % 8 ORDER BY event_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING) AS pm FROM events "
+            "WHERE event_type = 'purchase'), "
+            "lk AS (SELECT * FROM lw WHERE pm IS NULL OR t >= pm - 600000000), "
+            "rw AS (SELECT user_id % 8 AS part, user_id, event_id, "
+            "epoch_us(ts) AS t, MAX(epoch_us(ts)) OVER (PARTITION BY "
+            "user_id % 8 ORDER BY event_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING) AS pm FROM events "
+            "WHERE event_type = 'click'), "
+            "rk AS (SELECT * FROM rw WHERE pm IS NULL OR t >= pm - 600000000) "
+            "SELECT lk.part AS part, lk.user_id AS key, "
+            "lk.event_id AS l_id, rk.event_id AS r_id, "
+            "lk.t AS l_ts, rk.t AS r_ts "
+            "FROM lk JOIN rk ON lk.user_id = rk.user_id "
+            "AND rk.t BETWEEN lk.t - 1800000000 AND lk.t + 300000000"
+        ),
+"stream_stream_join_salted": (
             "WITH lw AS (SELECT user_id % 8 AS part, user_id, event_id, "
             "epoch_us(ts) AS t, MAX(epoch_us(ts)) OVER (PARTITION BY "
             "user_id % 8 ORDER BY event_id ROWS BETWEEN UNBOUNDED "

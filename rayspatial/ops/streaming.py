@@ -399,3 +399,184 @@ def streaming_interval_join(left_ds, right_ds, before_s: int, after_s: int,
         return out.sort_values(["l_id", "r_id"], kind="stable")
 
     return hash_partitioned_agg(unioned, ["_spart"], per_partition)
+
+
+def streaming_interval_join_salted(left_ds, right_ds, before_s: int,
+                                   after_s: int, lateness_s: int,
+                                   num_partitions: int = 8,
+                                   bucket_s: int | None = None,
+                                   salt: int = 8,
+                                   part_col: str = "user_id",
+                                   ts_col: str = "ts",
+                                   id_col: str = "event_id",
+                                   output: str = "pairs"):
+    """Hot-key-safe stream-stream interval join: output equals
+    :func:`streaming_interval_join` row-for-row (asserted in tests;
+    shares its SQL oracle), but the PAIR-JOIN stage shuffles by
+    ``(part, time_bucket, key_salt)`` so one hot key spreads over
+    #buckets x salt partitions instead of melting one.
+
+    Two exchanges (the asof_salted pattern):
+
+    1. survivor pass, keyed by ``part`` — the per-stream arrival-order
+       watermark replay is O(n) vectorized, so a hot partition is cheap
+       here; emits surviving rows + late counts.
+    2. pair join, keyed by ``(bucket, key_salt)`` — each LEFT event
+       goes to its own ``ts // bucket`` exactly once (per-partition
+       results are final, no dedup pass); each RIGHT event replicates
+       to the left buckets its window can serve
+       (``floor((ts-after)/B) .. floor((ts+before)/B)`` — <= 2-3
+       replicas when ``B >= before+after``).  The kernel dense-ranks
+       (bucket, key) pairs and probes with two searchsorted calls, the
+       rangejoin composite trick with the right replicas' relative
+       offsets shifted by ``after`` so every value stays inside its
+       block.
+    """
+    from rayspatial.textops.hashing import hash_int64
+    from rayspatial.util import hash_partitioned_agg
+
+    if output not in ("pairs", "late"):
+        raise ValueError(f"unknown output mode {output!r}")
+    P = num_partitions
+    before_us = int(before_s) * 1_000_000
+    after_us = int(after_s) * 1_000_000
+    lateness_us = int(lateness_s) * 1_000_000
+    B = (int(bucket_s) * 1_000_000 if bucket_s
+         else max(before_us + after_us, 1_000_000))
+    salt_u = np.uint64(max(1, salt))
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(part_col).to_numpy().astype(np.int64)
+            ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+            return pa.table({
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+                "_spart": pa.array(key % P),
+                "key": pa.array(key),
+                "ts": pa.array(ts),
+                "id": pa.array(
+                    batch.column(id_col).to_numpy().astype(np.int64)),
+            })
+
+        return fn
+
+    unioned = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    # ---- stage 1: survivors (cheap vectorized replay per part) ----
+    def survivors_pass(df: pd.DataFrame) -> pd.DataFrame:
+        outs, late = [], []
+        for part, g in df.groupby("_spart", sort=True):
+            for s in (0, 1):
+                kept, n_late = _survivors(g[g["_side"] == s], "ts", "id",
+                                          lateness_us)
+                late.append((int(part), s, n_late))
+                if len(kept):
+                    outs.append(kept[["_side", "_spart", "key", "ts",
+                                      "id"]])
+        if output == "late":
+            return pd.DataFrame(late, columns=["part", "side", "n_late"]
+                                ).astype(np.int64)
+        if not outs:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("_side", "_spart", "key",
+                                           "ts", "id")})
+        return pd.concat(outs, ignore_index=True)
+
+    stage1 = hash_partitioned_agg(unioned, ["_spart"], survivors_pass)
+    if output == "late":
+        return stage1
+
+    # ---- stage 2: replicate rights to servable buckets, join ----
+    def rep(batch: pa.Table) -> pa.Table:
+        side = batch.column("_side").to_numpy()
+        key = batch.column("key").to_numpy().astype(np.int64)
+        ts = batch.column("ts").to_numpy().astype(np.int64)
+        eid = batch.column("id").to_numpy().astype(np.int64)
+        ks = (hash_int64(key.view(np.uint64)) % salt_u).astype(np.int64)
+        lmask = side == 0
+        cols = {"_side": [], "_bucket": [], "_ksalt": [], "key": [],
+                "ts": [], "id": []}
+        if lmask.any():
+            cols["_side"].append(np.zeros(int(lmask.sum()), np.int8))
+            cols["_bucket"].append(ts[lmask] // B)
+            cols["_ksalt"].append(ks[lmask])
+            cols["key"].append(key[lmask])
+            cols["ts"].append(ts[lmask])
+            cols["id"].append(eid[lmask])
+        rsel = np.flatnonzero(~lmask)
+        if len(rsel):
+            b0 = (ts[rsel] - after_us) // B
+            b1 = (ts[rsel] + before_us) // B
+            cnt = (b1 - b0 + 1).astype(np.int64)
+            from rayspatial.textops.hashing import _ragged_arange
+
+            rows = np.repeat(rsel, cnt)
+            buckets = np.repeat(b0, cnt) + _ragged_arange(cnt)
+            cols["_side"].append(np.ones(len(rows), np.int8))
+            cols["_bucket"].append(buckets)
+            cols["_ksalt"].append(ks[rows])
+            cols["key"].append(key[rows])
+            cols["ts"].append(ts[rows])
+            cols["id"].append(eid[rows])
+        if not cols["_side"]:
+            return pa.table({
+                "_side": pa.array([], type=pa.int8()),
+                "_bucket": pa.array([], type=pa.int64()),
+                "_ksalt": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64())})
+        return pa.table({c: pa.array(np.concatenate(v))
+                         for c, v in cols.items()})
+
+    tagged = stage1.map_batches(rep, batch_format="pyarrow")
+
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ("part", "key", "l_id", "r_id",
+                                        "l_ts", "r_ts")})
+        side = df["_side"].to_numpy()
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return empty
+        bkt = df["_bucket"].to_numpy().astype(np.int64)
+        key = df["key"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype(np.int64)
+        eid = df["id"].to_numpy().astype(np.int64)
+        # dense-rank (bucket, key) so groups stay disjoint in one int64
+        pair = np.stack([bkt, key], axis=1)
+        _, rank = np.unique(pair, axis=0, return_inverse=True)
+        # rel in [0, B) for lefts, [-after, B+before) for right
+        # replicas; shift by +after so everything is >= 0
+        rel = ts - bkt * np.int64(B) + np.int64(after_us)
+        span = np.int64(B + before_us + 2 * after_us + 2)
+        comp = rank.astype(np.int64) * span + rel
+        rcomp = comp[~lmask]
+        rorder = np.argsort(rcomp, kind="stable")
+        rcomp_s = rcomp[rorder]
+        lcomp = comp[lmask]
+        lo = np.searchsorted(rcomp_s, lcomp - np.int64(before_us), "left")
+        hi = np.searchsorted(rcomp_s, lcomp + np.int64(after_us), "right")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        from rayspatial.textops.hashing import _ragged_arange
+
+        cntk = cnt[keep]
+        ridx = rorder[np.repeat(lo[keep], cntk) + _ragged_arange(cntk)]
+        lidx = np.flatnonzero(lmask)[np.repeat(np.flatnonzero(keep), cntk)]
+        gidx = np.flatnonzero(~lmask)[ridx]
+        out = pd.DataFrame({
+            "part": key[lidx] % P,
+            "key": key[lidx],
+            "l_id": eid[lidx],
+            "r_id": eid[gidx],
+            "l_ts": ts[lidx],
+            "r_ts": ts[gidx],
+        })
+        return out.sort_values(["l_id", "r_id"], kind="stable")
+
+    return hash_partitioned_agg(tagged, ["_bucket", "_ksalt"],
+                                join_partition)

@@ -257,3 +257,41 @@ def test_interval_joiner_actor_matches_batch_operator(ray_session):
     # bounded state: with a ~12-minute horizon over 10 days of events,
     # the buffer must hold a small fraction of the 8000-event stream
     assert ij.max_buffered < 600, ij.max_buffered
+
+
+def test_streaming_interval_join_salted_equals_plain(ray_session):
+    """Salted two-exchange plan == plain operator row-for-row,
+    including a hot key holding most of both streams."""
+    import ray.data as rd
+
+    from rayspatial.ops.streaming import (streaming_interval_join,
+                                          streaming_interval_join_salted)
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    mk = lambda s: pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": np.random.default_rng(s).integers(0, 3 * 86_400, n)
+        * 1_000_000,
+        "user_id": np.where(np.random.default_rng(s + 3).random(n) < 0.8,
+                            0, np.random.default_rng(s + 5).integers(
+                                1, 25, n)).astype(np.int64),
+    })
+    l, r = mk(1), mk(2)
+    lds = rd.from_pandas(l).repartition(6)
+    rds = rd.from_pandas(r).repartition(4)
+    kw = dict(before_s=1200, after_s=300, lateness_s=600,
+              num_partitions=4)
+    plain = streaming_interval_join(lds, rds, **kw).to_pandas(
+    ).sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    for bucket_s in (None, 900, 7200):
+        salted = streaming_interval_join_salted(
+            lds, rds, bucket_s=bucket_s, salt=8, **kw
+        ).to_pandas().sort_values(["l_id", "r_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(plain, salted, check_like=True)
+    # late accounting agrees too
+    pl = streaming_interval_join(lds, rds, output="late", **kw
+                                 ).to_pandas().groupby("side")["n_late"].sum()
+    sl = streaming_interval_join_salted(lds, rds, output="late", **kw
+                                        ).to_pandas().groupby("side")["n_late"].sum()
+    assert (pl == sl).all()
