@@ -180,9 +180,18 @@ def _broadcast_join(left_ds, right_ds, on, left_cols, right_cols,
                                  right_cols, None, how)
     # skip schema-less empty blocks (all-to-all stages upstream can
     # emit them; concat_tables would raise on the schema mismatch)
-    rtab = (pa.concat_tables(rtabs) if rtabs
-            else pa.table({c: pa.array([], type=pa.int64())
-                           for c in on + right_cols}))
+    if rtabs:
+        rtab = pa.concat_tables(rtabs)
+    else:
+        # empty right side: key columns take the LEFT's declared types
+        # (an int64 placeholder would break the Acero key-type match
+        # for string keys); payload columns default int64
+        lsch = left_ds.schema()
+        ltypes = dict(zip(lsch.names, lsch.types))
+        rtab = pa.table({
+            c: pa.array([], type=(_pa_type(ltypes[c]) if c in ltypes
+                                  else pa.int64()))
+            for c in on + right_cols})
     # build-side prep ONCE on the driver (it fit the budget): key-sorted
     # + a row-id for deterministic duplicate-match ordering in the probe
     rtab = rtab.sort_by([(c, "ascending") for c in on])

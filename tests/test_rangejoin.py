@@ -307,3 +307,19 @@ def test_hash_join_composite_key(ray_session):
         r, on=["k1", "k2"], how="left", indicator=True)["_merge"]
         .eq("both").to_numpy()]))  # every left row at least once
     assert lo["rv"].isna().sum() == (400 - ref["lv"].nunique())
+
+
+def test_broadcast_join_empty_right_string_key(ray_session):
+    """Empty right side with string keys: inner join -> 0 rows, no
+    Acero key-type clash (the empty placeholder takes the left's
+    types)."""
+    import ray.data as rd
+
+    from rayspatial.ops.equijoin import hash_join
+
+    l = pd.DataFrame({"k": ["a", "b"], "lv": np.array([1, 2], np.int64)})
+    r = pd.DataFrame({"k": pd.Series([], dtype=str),
+                      "rv": pd.Series([], dtype=np.int64)})
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r), "k",
+                    ["k", "lv"], ["rv"]).to_pandas()
+    assert len(got) == 0
