@@ -2343,6 +2343,159 @@ def _q_orders_rollup(sf_dir: str):
     return rollup_agg(li, ["l_returnflag", "l_linestatus"], "cents")
 
 
+def _q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered customers -> date-filtered
+    orders (broadcast semi-join; the dimension is ray.put once) ->
+    LARGE x LARGE shuffle equi-join with lineitem on orderkey, with a
+    Bloom prefilter of the orders keys so the all-to-all only moves
+    lineitem rows that can join -> per-order revenue combine -> global
+    top-10 with bounded per-partition heads.  Revenue in exact 1e-4
+    cents units (price_cents * (100 - disc_pct))."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.ops.window import top_k_by_group
+    from rayspatial.util import read_parquet_sized
+
+    cutoff = np.datetime64("1998-06-01")
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table({"custkey": b.column("c_custkey").filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING"))}),
+        batch_format="pyarrow",
+    )
+    def o_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(b.column("o_orderdate").to_numpy() < cutoff))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "custkey": b.column("o_custkey"),
+            "o_orderdate": pc.strftime(b.column("o_orderdate"), "%Y-%m-%d"),
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    orders = hash_join(
+        orders, customer, on="custkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        right_cols=[], mode="broadcast")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = b.column("l_shipdate").to_numpy() > cutoff
+        price_c = np.round(
+            b.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc_pct = np.round(
+            b.column("l_discount").to_numpy()[keep] * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey").filter(pa.array(keep)),
+            "rev_e4": pa.array(price_c * (100 - disc_pct)),
+        })
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["o_orderkey", "rev_e4"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+        mode="shuffle", bloom_bits=1 << 22)
+    out = top_k_by_group(
+        joined, ["o_orderdate", "o_orderkey", "o_orderpriority"],
+        "rev_e4", k=10, agg="sum")
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "revenue_e4": b.column("v"),
+            "o_orderdate": b.column("o_orderdate"),
+            "o_orderpriority": b.column("o_orderpriority"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: one-year lineitem slice x part on partkey via
+    the size-gated BROADCAST equi-join (dimension ray.put once, probed
+    streaming — the fact table never shuffles), then a two-integer
+    global reduce: promo vs total revenue in exact 1e-4 cent units."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import read_parquet_sized
+
+    lo, hi = np.datetime64("1998-01-01"), np.datetime64("1999-01-01")
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table({
+            "partkey": b.column("p_partkey"),
+            "is_promo": pa.array(
+                b.column("p_type").to_pandas().to_numpy() == "PROMO"),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        price_c = np.round(
+            b.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc_pct = np.round(
+            b.column("l_discount").to_numpy()[keep] * 100).astype(np.int64)
+        return pa.table({
+            "partkey": b.column("l_partkey").filter(pa.array(keep)),
+            "rev_e4": pa.array(price_c * (100 - disc_pct)),
+        })
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = hash_join(li, part, on="partkey",
+                       left_cols=["partkey", "rev_e4"],
+                       right_cols=["is_promo"], mode="broadcast")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = b.column("rev_e4").to_numpy()
+        promo = b.column("is_promo").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_revenue_e4": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "promo_revenue_e4": pa.array(
+                [int(b.column("promo_revenue_e4").to_numpy().sum())]),
+            "total_revenue_e4": pa.array(
+                [int(b.column("total_revenue_e4").to_numpy().sum())]),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_size=None, batch_format="pyarrow"))
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (textops/bm25.py): top-20 documents for a
+    fixed query-term set, integer-exact Okapi scoring (rationalized
+    saturation + micro-nat idf), one tokenize pass, bounded gathers."""
+    from rayspatial.textops.bm25 import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, rows_per_block=512),
+        ["join", "hash", "merge", "sort", "window"], k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -2445,6 +2598,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left": _q_customer_orders_left,
         "customer_orders_full": _q_customer_orders_full,
         "docs_quality_band": _q_docs_quality_band,
+        "top_unshipped_orders": _q_top_unshipped_orders,
+        "promo_revenue": _q_promo_revenue,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -3409,5 +3565,59 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn = (90 * c + 99) // 100) AS hi) "
             "SELECT doc_id, n_chars FROM documents, t "
             "WHERE n_chars BETWEEN t.lo AND t.hi"
+        ),
+        "top_unshipped_orders": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'), "
+            "o AS (SELECT o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o_orderpriority FROM orders JOIN customer "
+            "ON c_custkey = o_custkey "
+            "WHERE o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND c_mktsegment = 'BUILDING') "
+            "SELECT o.o_orderkey, CAST(SUM(l.rev) AS BIGINT) AS revenue_e4, "
+            "o.o_orderdate, o.o_orderpriority "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY 1, 3, 4 "
+            "ORDER BY revenue_e4 DESC, o_orderdate, o_orderkey LIMIT 10"
+        ),
+        "promo_revenue": (
+            "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev "
+            "ELSE 0 END) AS BIGINT) AS promo_revenue_e4, "
+            "CAST(SUM(rev) AS BIGINT) AS total_revenue_e4 "
+            "FROM (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01') l "
+            "JOIN part ON p_partkey = l_partkey"
+        ),
+        "bm25_topk": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), "
+            r"'\s+') AS ws FROM documents WHERE trim(text) <> ''), "
+            "t AS (SELECT doc_id, unnest(ws) AS term FROM w), "
+            "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl "
+            "FROM t GROUP BY 1), "
+            "stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, "
+            "(SELECT COALESCE(SUM(dl), 0) FROM dl) AS tt), "
+            "q(term) AS (VALUES ('join'), ('hash'), ('merge'), "
+            "('sort'), ('window')), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM t JOIN q USING(term) GROUP BY 1, 2), "
+            "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY 1), "
+            "idf AS (SELECT term, CAST(round(ln((n - df + 0.5) / "
+            "(df + 0.5) + 1.0) * 1000000) AS BIGINT) AS idf_micro "
+            "FROM dfq CROSS JOIN stats), "
+            "contrib AS (SELECT tf.doc_id, idf.idf_micro * "
+            "((tf.tf * 22000 * s.tt) // "
+            "(10 * s.tt * tf.tf + 3 * s.tt + 9 * d.dl * s.n)) AS c "
+            "FROM tf JOIN idf USING(term) JOIN dl d USING(doc_id) "
+            "CROSS JOIN stats s) "
+            "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_scaled "
+            "FROM contrib GROUP BY 1 "
+            "ORDER BY score_scaled DESC, doc_id LIMIT 20"
         ),
     }

@@ -1607,3 +1607,73 @@ def test_weighted_sample_distribution_and_determinism(ray_session):
     df2.loc[df2.doc_id < 10000, "n_chars"] = 0
     sel2 = weighted_sample(rd.from_pandas(df2), k=200).to_pandas()
     assert (sel2["doc_id"] >= 10000).all()
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def _bm25_reference(texts, query_terms, k):
+    """Serial reference of the exact integer BM25 contract
+    (textops/bm25.py): rationalized Okapi saturation, micro-nat
+    Lucene idf, floor division."""
+    import math
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    tt = sum(len(w) for w in toks)
+    scores = {}
+    for term in set(query_terms):
+        df = sum(term in w for w in toks)
+        if df == 0:
+            continue
+        idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+        for i, w in enumerate(toks):
+            tf = w.count(term)
+            if tf:
+                sat = (tf * 22000 * tt) // (
+                    10 * tt * tf + 3 * tt + 9 * len(w) * n)
+                scores[i] = scores.get(i, 0) + idf * sat
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def test_bm25_topk_matches_serial_reference(ray_session):
+    import ray.data as rd
+
+    from rayspatial.textops.bm25 import bm25_topk
+
+    rng = np.random.default_rng(7)
+    vocab = ["join", "hash", "scan", "sort", "merge", "row", "col"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+             for _ in range(300)]
+    texts += ["", "   "]  # empty docs count toward N, own zero tokens
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    q = ["join", "sort", "merge"]
+    exp = _bm25_reference(texts, q, 15)
+    for parts in (1, 7):
+        out = bm25_topk(rd.from_arrow(docs).repartition(parts), q, k=15) \
+            .to_pandas()
+        got = list(zip(out["doc_id"], out["score_scaled"]))
+        assert got == exp, parts  # chunking-invariant, score-exact
+
+
+def test_bm25_topk_edges(ray_session):
+    import ray.data as rd
+
+    from rayspatial.textops.bm25 import bm25_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["join join join", "nothing here", "join once"]),
+    })
+    out = bm25_topk(rd.from_arrow(docs), ["join"], k=10).to_pandas()
+    # doc 1 matches no query term -> absent; higher tf ranks first
+    # (same dl would be needed for a pure-tf statement; here doc 0 has
+    # both higher tf and equal-length, so it must lead)
+    assert list(out["doc_id"]) == [0, 2]
+    assert (out["score_scaled"] > 0).all()
+    with pytest.raises(ValueError):
+        bm25_topk(rd.from_arrow(docs), [], k=5)
