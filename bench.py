@@ -364,6 +364,12 @@ def run_micro() -> dict:
     out["strtree_query_bulk_2k_rows_per_s"] = best_of(
         lambda: tree.query_bulk(probes, predicate="intersects"), 2000
     )
+    # box probes x box tree (tile-join shape; r4 interval fast path)
+    bc = rng.random((2000, 2)) * 510
+    box_probes = g.box(bc[:, 0], bc[:, 1], bc[:, 0] + 8, bc[:, 1] + 8)
+    out["strtree_query_bulk_2k_boxprobes_rows_per_s"] = best_of(
+        lambda: tree.query_bulk(box_probes, predicate="intersects"), 2000
+    )
     out["strtree_nearest_2k_rows_per_s"] = best_of(lambda: tree.nearest(probes), 2000)
     # the engine's REAL nearest path is the vectorized cell-ring kNN
     from rayspatial.ops.knn import KnnJoiner

@@ -230,6 +230,20 @@ class STRtree:
         # fastest path: ALL probes points + ALL tree geoms axis-aligned
         # boxes -> one pure-numpy location pass over the pair arrays
         # (no per-tree-item grouping at all)
+        # box-probe fast path: ALL probes axis-aligned positive-area
+        # rectangles x ALL tree geoms boxes -> every predicate in
+        # `fast` is closed-form interval arithmetic on the bounds
+        # (tile-join workloads: box layers probed with box tiles).
+        if predicate in fast and self._all_boxes():
+            bb = self._geom_bounds[tree_items]
+            tree_pos = ((bb[:, 2] > bb[:, 0]) & (bb[:, 3] > bb[:, 1]))
+            if (
+                tree_pos.all()
+                and not probe_is_point[probe_rows].any()
+                and _pos_box_mask(probes)[probe_rows].all()
+            ):
+                return _box_box_predicate(
+                    probes.bounds()[probe_rows], bb, predicate)
         if (
             predicate in fast
             and probe_is_point[probe_rows].all()
@@ -440,6 +454,75 @@ class STRtree:
 
 # ---------------------------------------------------------------------------
 # helpers
+
+
+def _pos_box_mask(ga: GeomArray) -> np.ndarray:
+    """Geometries that are a single-ring axis-aligned POSITIVE-AREA
+    rectangle (5-point closed ring, every edge axis-parallel, exactly
+    2 distinct x and 2 distinct y values).  Stricter than the tree's
+    _all_boxes (rejects bowtie vertex orders and degenerate boxes) —
+    the box-box closed forms assume nonempty interiors."""
+    n = len(ga)
+    ok = np.zeros(n, dtype=bool)
+    if not ga.n_parts:
+        return ok
+    counts = np.bincount(ga.part_geom, minlength=n)
+    sizes = np.diff(ga.part_off)
+    cand = (
+        (ga.part_kind == 2) & (sizes == 5)
+        & (counts[ga.part_geom] == 1) & (ga.types[ga.part_geom] == 3)
+    )
+    if not cand.any():
+        return ok
+    pid = np.flatnonzero(cand)
+    idx = ga.part_off[pid][:, None] + np.arange(5)[None, :]
+    xs = ga.coords[idx, 0]
+    ys = ga.coords[idx, 1]
+    xmin, xmax = xs.min(1), xs.max(1)
+    ymin, ymax = ys.min(1), ys.max(1)
+    corner = (
+        ((xs == xmin[:, None]) | (xs == xmax[:, None])).all(1)
+        & ((ys == ymin[:, None]) | (ys == ymax[:, None])).all(1)
+    )
+    closed = (xs[:, 0] == xs[:, 4]) & (ys[:, 0] == ys[:, 4])
+    # each edge changes exactly ONE coordinate -> true rectangle
+    # traversal, not a self-intersecting corner order
+    rect = np.logical_xor(
+        xs[:, :-1] == xs[:, 1:], ys[:, :-1] == ys[:, 1:]).all(1)
+    isbox = corner & closed & rect & (xmin < xmax) & (ymin < ymax)
+    ok[ga.part_geom[pid[isbox]]] = True
+    return ok
+
+
+def _box_box_predicate(a: np.ndarray, b: np.ndarray,
+                       predicate: str) -> np.ndarray:
+    """Vectorized predicate(A, B) for paired positive-area axis-aligned
+    boxes given as (n, 4) [xmin ymin xmax ymax] bounds rows.  Closed
+    forms are exact for nonempty interiors: closed containment of a
+    positive-area box implies interior intersection, so
+    contains == covers on this domain (reference ufuncs.c predicate
+    table semantics)."""
+    ax0, ay0, ax1, ay1 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    bx0, by0, bx1, by1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    ix = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+    cx = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    acb = (ax0 <= bx0) & (ax1 >= bx1) & (ay0 <= by0) & (ay1 >= by1)
+    bca = (bx0 <= ax0) & (bx1 >= ax1) & (by0 <= ay0) & (by1 >= ay1)
+    if predicate == "intersects":
+        return cx
+    if predicate in ("covers", "contains"):
+        return acb
+    if predicate in ("covered_by", "within"):
+        return bca
+    if predicate == "contains_properly":
+        return (ax0 < bx0) & (ax1 > bx1) & (ay0 < by0) & (ay1 > by1)
+    if predicate == "touches":
+        return cx & ~ix
+    if predicate == "overlaps":
+        return ix & ~acb & ~bca
+    if predicate == "crosses":  # equal-dimension areas never cross
+        return np.zeros(len(a), dtype=bool)
+    raise AssertionError(f"unreachable box-box predicate {predicate!r}")
 
 
 def _single_point_mask(ga: GeomArray) -> np.ndarray:
