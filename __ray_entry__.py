@@ -2485,6 +2485,42 @@ def _q_promo_revenue(sf_dir: str):
             .map_batches(final, batch_size=None, batch_format="pyarrow"))
 
 
+_GRID_START_US = 1_704_067_200_000_000   # 2024-01-01T00:00:00Z
+_GRID_END_US = 1_706_659_200_000_000     # 2024-01-31T00:00:00Z
+_GRID_STEP_US = 21_600_000_000           # 6 h
+
+
+def _q_user_value_resampled(sf_dir: str):
+    """Gap-fill resample (ops/resample.py): every user's latest event
+    (id + cents value) forward-filled onto a fixed 6-hour tick grid —
+    one key exchange, grid synthesized inside partitions, int64-exact
+    sentinel rows for ticks before a user's first event."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.resample import resample_ffill
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "value_cents": pc.cast(pc.round(
+                pc.multiply(b.column("value"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return resample_ffill(
+        ev, by="user_id", ts_col="ts", id_col="event_id",
+        value_col="value_cents", start_us=_GRID_START_US,
+        end_us=_GRID_END_US, step_us=_GRID_STEP_US)
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 ranked retrieval (textops/bm25.py): top-20 documents for a
     fixed query-term set, integer-exact Okapi scoring (rationalized
@@ -2601,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": _q_top_unshipped_orders,
         "promo_revenue": _q_promo_revenue,
         "bm25_topk": _q_bm25_topk,
+        "user_value_resampled": _q_user_value_resampled,
     }
 
 
@@ -3619,5 +3656,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_scaled "
             "FROM contrib GROUP BY 1 "
             "ORDER BY score_scaled DESC, doc_id LIMIT 20"
+        ),
+        "user_value_resampled": (
+            f"WITH g AS (SELECT u.user_id, r.range AS grid_us "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            f"CROSS JOIN range({_GRID_START_US}, {_GRID_END_US}, "
+            f"{_GRID_STEP_US}) r), "
+            "e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS value_cents "
+            "FROM events), "
+            "sel AS (SELECT g.user_id, g.grid_us, e.event_id, "
+            "e.value_cents, ROW_NUMBER() OVER (PARTITION BY g.user_id, "
+            "g.grid_us ORDER BY e.us DESC, e.event_id DESC) AS rn "
+            "FROM g LEFT JOIN e ON e.user_id = g.user_id "
+            "AND e.us <= g.grid_us) "
+            "SELECT user_id, grid_us, "
+            "COALESCE(event_id, -1) AS event_id, "
+            "COALESCE(value_cents, -1) AS value_cents "
+            "FROM sel WHERE rn = 1"
         ),
     }
