@@ -2521,6 +2521,61 @@ def _q_user_value_resampled(sf_dir: str):
         end_us=_GRID_END_US, step_us=_GRID_STEP_US)
 
 
+def _q_latest_order_per_customer(sf_dir: str):
+    """Greatest-row-per-group (ops/window.extreme_row_by_group): each
+    customer's most recent order ROW (date desc, orderkey desc total
+    order) — per-batch head(1) partials, one hash exchange of
+    one-row-per-(group, block) survivors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.window import extreme_row_by_group
+    from rayspatial.util import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": pc.strftime(b.column("o_orderdate"), "%Y-%m-%d"),
+            "total_cents": pc.cast(pc.round(
+                pc.multiply(b.column("o_totalprice"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return extreme_row_by_group(
+        orders, group_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        ascending=[False, False])
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """Categorical pivot (ops/window.pivot_counts): per-day wide
+    event-type counts over a fixed domain — per-batch crosstab
+    partials, one exchange of wide rows, column-sum combine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.window import pivot_counts
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).map_batches(
+        lambda b: pa.table({
+            "day": pc.strftime(b.column("ts"), "%Y-%m-%d"),
+            "event_type": b.column("event_type"),
+        }),
+        batch_format="pyarrow",
+    )
+    return pivot_counts(
+        ev, row_cols=["day"], col_col="event_type",
+        domain=["click", "error", "purchase", "signup", "view"])
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 ranked retrieval (textops/bm25.py): top-20 documents for a
     fixed query-term set, integer-exact Okapi scoring (rationalized
@@ -2638,6 +2693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "bm25_topk": _q_bm25_topk,
         "user_value_resampled": _q_user_value_resampled,
+        "latest_order_per_customer": _q_latest_order_per_customer,
+        "events_pivot_daily": _q_events_pivot_daily,
     }
 
 
@@ -3674,5 +3731,28 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(event_id, -1) AS event_id, "
             "COALESCE(value_cents, -1) AS value_cents "
             "FROM sel WHERE rn = 1"
+        ),
+        "latest_order_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_orderdate, total_cents "
+            "FROM (SELECT o_custkey, o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+            "FROM orders) WHERE rn = 1"
+        ),
+        "events_pivot_daily": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_click, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_error, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_purchase, "
+            "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_signup, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1"
         ),
     }

@@ -333,3 +333,80 @@ def top_k_by_group(ds, group_cols: list[str], value_col: str, k: int,
     return survivors.repartition(1).map_batches(
         final_head, batch_size=None, batch_format="pyarrow"
     )
+
+
+def extreme_row_by_group(ds, group_cols: list[str], order_cols: list[str],
+                         ascending: list[bool],
+                         num_partitions: int | None = None):
+    """Greatest-row-per-group: the FULL first row of each group under
+    ``order_cols``/``ascending`` (SQL ``ROW_NUMBER() OVER (PARTITION BY
+    g ORDER BY ...) = 1``) — unlike top_k_by_group this retrieves the
+    row, not an aggregate.
+
+    Decomposable two-stage plan: a per-batch head(1)-per-group partial
+    (taking the extreme row commutes with blocking), so at most one
+    row per (group, block) enters the ONE hash exchange; the
+    per-partition head finishes every key exactly (keys co-located).
+
+    Determinism contract: ``order_cols`` must be a total order within
+    each group (include a unique id as the last column) — otherwise
+    which tied row survives depends on block boundaries.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    def head1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending, kind="stable")
+        return df.groupby(group_cols, sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(head1(batch.to_pandas()),
+                                    preserve_index=False)
+
+    surv = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic output order inside the partition (driver
+        # hashes are row-order-sensitive)
+        return head1(df).sort_values(group_cols, kind="stable")
+
+    return hash_partitioned_agg(surv, group_cols, per_partition,
+                                num_partitions=num_partitions)
+
+
+def pivot_counts(ds, row_cols: list[str], col_col: str,
+                 domain: list[str], prefix: str = "n_",
+                 num_partitions: int | None = None):
+    """Pivot a categorical column into per-value count columns: one
+    output row per ``row_cols`` key with ``prefix+value`` int64 counts
+    for every value in ``domain`` (a fixed, caller-known list — the
+    schema of a distributed pipeline must not depend on discovering
+    categories at run time; values outside the domain are IGNORED).
+
+    Scale shape: the pivot happens per batch (vectorized crosstab-style
+    groupby), so the exchange moves one wide partial row per
+    (key, block) and the combine is a plain column-wise sum.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    cols = [f"{prefix}{v}" for v in domain]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = {c: df[c] for c in row_cols}
+        cat = df[col_col]
+        for v, c in zip(domain, cols):
+            out[c] = (cat == v).astype(np.int64)
+        wide = pd.DataFrame(out).groupby(row_cols, sort=False).sum(
+        ).reset_index()
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(row_cols, sort=False).sum().reset_index()
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out.sort_values(row_cols, kind="stable")
+
+    return hash_partitioned_agg(part, row_cols, per_partition,
+                                num_partitions=num_partitions)

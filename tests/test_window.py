@@ -419,3 +419,55 @@ def test_asof_join_salted_extra_left_keep_dtype(ray_session):
     pd.testing.assert_frame_equal(
         plain[["event_id", "payload", "event_id_right"]],
         salted[["event_id", "payload", "event_id_right"]])
+
+
+def test_extreme_row_by_group_matches_serial(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.window import extreme_row_by_group
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 80, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),   # heavy ties
+        "uid": np.arange(n, dtype=np.int64),
+        "payload": rng.integers(-9, 9, n).astype(np.int64),
+    })
+    exp = (df.sort_values(["v", "uid"], ascending=[False, False],
+                          kind="stable")
+           .groupby("g", sort=False).head(1)
+           .sort_values("g").reset_index(drop=True))
+    for parts in (1, 8):
+        got = extreme_row_by_group(
+            rd.from_pandas(df).repartition(parts), ["g"],
+            ["v", "uid"], ascending=[False, False],
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.window import pivot_counts
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    cats = np.array(["a", "b", "c"])
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "cat": cats[rng.integers(0, 3, n)],
+    })
+    # some rows outside the declared domain must be ignored
+    df.loc[df.index[:100], "cat"] = "zzz"
+    exp = (pd.crosstab(df["k"], df["cat"])
+           .reindex(columns=["a", "b"], fill_value=0)
+           .astype(np.int64).reset_index()
+           .rename(columns={"a": "n_a", "b": "n_b"})
+           .rename_axis(columns=None))
+    for parts in (1, 6):
+        got = pivot_counts(
+            rd.from_pandas(df).repartition(parts), ["k"], "cat",
+            domain=["a", "b"],
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "n_a", "n_b"]], exp)
