@@ -2521,6 +2521,19 @@ def _q_user_value_resampled(sf_dir: str):
         end_us=_GRID_END_US, step_us=_GRID_STEP_US)
 
 
+def _q_rolling_distinct_users(sf_dir: str):
+    """Exact 7-day sliding distinct users per observed day
+    (ops/analytic.rolling_distinct): linear interval-union plan — no
+    per-window re-count, no per-window user sets; one user-keyed
+    exchange of per-block-deduped (user, day) rows."""
+    from rayspatial.ops.analytic import rolling_distinct
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rolling_distinct(ev, "user_id", "ts", window=7)
+
+
 def _q_latest_order_per_customer(sf_dir: str):
     """Greatest-row-per-group (ops/window.extreme_row_by_group): each
     customer's most recent order ROW (date desc, orderkey desc total
@@ -2695,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_resampled": _q_user_value_resampled,
         "latest_order_per_customer": _q_latest_order_per_customer,
         "events_pivot_daily": _q_events_pivot_daily,
+        "rolling_distinct_users": _q_rolling_distinct_users,
     }
 
 
@@ -3754,5 +3768,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_view "
             "FROM events GROUP BY 1"
+        ),
+        "rolling_distinct_users": (
+            "WITH e AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS unit FROM events), "
+            "days AS (SELECT DISTINCT unit FROM e) "
+            "SELECT d.unit AS unit, "
+            "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users "
+            "FROM days d JOIN e "
+            "ON e.unit BETWEEN d.unit - 6 AND d.unit GROUP BY 1"
         ),
     }

@@ -393,3 +393,98 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return hash_partitioned_agg(partials, ["cohort_week", "week_offset"],
                                 combine)
+
+
+def rolling_distinct(ds, user_col: str, ts_col: str, window: int = 7,
+                     unit_us: int = 86_400_000_000,
+                     num_partitions: int | None = None):
+    """EXACT sliding-window distinct-user counts: for every observed
+    time unit ``d`` (default: day), the number of distinct users active
+    in ``[d - window + 1, d]`` — the DAU/WAU curve, computed without
+    per-window distinct sets.
+
+    Exact sliding COUNT(DISTINCT) does not decompose into mergeable
+    per-window partials, so the usual plan re-counts each window (w
+    scans) or ships per-window user sets.  This plan is linear instead:
+
+    1. map_batches: (user, unit) with per-batch dedupe — the exchange
+       moves at most one 16-byte row per (user, unit, block).
+    2. ONE hash shuffle by user.  Per partition, each user's sorted
+       unique units expand to the units their activity covers (every
+       active unit d makes the user count toward d..d+window-1): an
+       interval-union merge (numpy, no per-user loop) emits each
+       covered unit ONCE per user — bounded by the observed time span,
+       NOT by the user's event count.
+    3. per-batch (unit, partial-count) sums -> a tiny final combine
+       keyed by the unit.
+
+    Only units that actually occur in the stream are reported (the
+    grid-completion variant is ops/resample.resample_ffill's job).
+    Returns (unit, n_users) with unit = epoch-``unit_us`` int64.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    if window < 1:
+        raise ValueError("rolling_distinct: window must be >= 1")
+
+    def prune(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        df = pd.DataFrame({
+            user_col: batch.column(user_col).to_numpy(),
+            "unit": us.to_numpy() // unit_us,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # materialize the REDUCED pairs once: consumed twice (observed-unit
+    # gather + the user shuffle); per-block-deduped 16-byte rows are
+    # safe to pin/spill, re-tokenizing the raw stream twice is not
+    pairs = ds.map_batches(prune, batch_format="pyarrow").materialize()
+    # bounded gather: the distinct observed units (a time range — days
+    # over years, not data-sized); broadcast to filter covered units
+    observed = np.unique(pairs.map_batches(
+        lambda b: pa.table({"unit": pa.array(
+            np.unique(b.column("unit").to_numpy()))}),
+        batch_format="pyarrow",
+    ).to_pandas()["unit"].to_numpy())
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"unit": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        df = df.drop_duplicates().sort_values([user_col, "unit"],
+                                              kind="stable")
+        u = df[user_col].to_numpy()
+        d = df["unit"].to_numpy()
+        # merged coverage intervals [d, d+window-1] per user: a new
+        # interval starts at a user change or a gap > window
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > window)
+        starts = d[new]
+        # interval end = last unit of its run + window - 1
+        run_id = np.cumsum(new) - 1
+        last = np.zeros(run_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(last, run_id, d)
+        ends = last + window - 1
+        lens = (ends - starts + 1).astype(np.int64)
+        # expand each merged interval to its units (vectorized ragged
+        # arange), then keep only OBSERVED units
+        total = int(lens.sum())
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        units = np.repeat(starts, lens) + (np.arange(total) - offs)
+        units = units[np.isin(units, observed)]
+        out = pd.DataFrame({"unit": units})
+        return (out.groupby("unit", sort=True).size()
+                .reset_index(name="n"))
+
+    partials = hash_partitioned_agg(pairs, [user_col], cover,
+                                    num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("unit", sort=True)["n"].sum().reset_index(
+            name="n_users")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return hash_partitioned_agg(partials, ["unit"], combine,
+                                num_partitions=num_partitions)

@@ -279,3 +279,51 @@ def test_retention_cohorts_vs_brute(ray_session):
     gm = {(int(r.cohort_week), int(r.week_offset)): int(r.n_users)
           for r in got.itertuples()}
     assert gm == dict(want)
+
+
+def test_rolling_distinct_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import rolling_distinct
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    day_us = 86_400_000_000
+    # sparse activity with gaps bigger than the window to exercise the
+    # interval-union split
+    us = (rng.integers(0, 90, n) * day_us
+          + rng.integers(0, day_us, n)).astype(np.int64)
+    users = rng.integers(0, 60, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(users),
+                  "ts": pa.array(us).cast(pa.timestamp("us"))})
+    days = us // day_us
+    observed = np.unique(days)
+    exp = {
+        int(d): len({int(u) for u, dd in zip(users, days)
+                     if d - 6 <= dd <= d})
+        for d in observed
+    }
+    for parts, w in ((1, 7), (8, 7), (8, 1)):
+        if w == 1:
+            exp_w = {int(d): len({int(u) for u, dd in zip(users, days)
+                                  if dd == d}) for d in observed}
+        else:
+            exp_w = exp
+        got = rolling_distinct(
+            rd.from_arrow(t).repartition(parts), "user_id", "ts",
+            window=w,
+        ).to_pandas()
+        assert dict(zip(got["unit"].astype(int),
+                        got["n_users"].astype(int))) == exp_w, (parts, w)
+
+
+def test_rolling_distinct_validation(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import rolling_distinct
+
+    t = pa.table({"user_id": pa.array([1], type=pa.int64()),
+                  "ts": pa.array([0], type=pa.int64()
+                                 ).cast(pa.timestamp("us"))})
+    with pytest.raises(ValueError):
+        rolling_distinct(rd.from_arrow(t), "user_id", "ts", window=0)
