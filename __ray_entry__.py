@@ -2521,6 +2521,23 @@ def _q_user_value_resampled(sf_dir: str):
         end_us=_GRID_END_US, step_us=_GRID_STEP_US)
 
 
+def _q_streaming_dedup(sf_dir: str):
+    """Streaming TTL dedup / throttle (ops/streaming.StreamingDeduper):
+    first (user, event_type) event per trailing 1-day event-time
+    horizon survives; watermark-late arrivals drop; state bounded by
+    watermark eviction.  Partition = user_id % 8, arrival = event_id —
+    the SQL-reproducible scope used by all streaming oracles here."""
+    from rayspatial.ops.streaming import streaming_dedup
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "event_id", "ts"])
+    return streaming_dedup(
+        ev, ttl_s=86_400, lateness_s=3_600, num_partitions=8,
+        part_col="user_id", key_cols=["user_id", "event_type"])
+
+
 def _q_rolling_distinct_users(sf_dir: str):
     """Exact 7-day sliding distinct users per observed day
     (ops/analytic.rolling_distinct): linear interval-union plan — no
@@ -2709,6 +2726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": _q_latest_order_per_customer,
         "events_pivot_daily": _q_events_pivot_daily,
         "rolling_distinct_users": _q_rolling_distinct_users,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -3777,5 +3795,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users "
             "FROM days d JOIN e "
             "ON e.unit BETWEEN d.unit - 6 AND d.unit GROUP BY 1"
+        ),
+        "streaming_dedup": (
+            "WITH base AS (SELECT user_id % 8 AS part, user_id, "
+            "event_type, event_id, epoch_us(ts) AS us FROM events), "
+            "l AS (SELECT *, MAX(us) OVER (PARTITION BY part "
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS prior_max FROM base), "
+            "f AS (SELECT *, (prior_max IS NOT NULL AND "
+            "us < prior_max - 3600000000) AS late FROM l), "
+            "m AS (SELECT *, MAX(CASE WHEN NOT late THEN us END) OVER "
+            "(PARTITION BY part, user_id, event_type ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS key_max FROM f) "
+            "SELECT user_id, event_type, event_id, us AS ts_us FROM m "
+            "WHERE NOT late AND (key_max IS NULL "
+            "OR key_max < us - 86400000000)"
         ),
     }

@@ -580,3 +580,124 @@ def streaming_interval_join_salted(left_ds, right_ds, before_s: int,
 
     return hash_partitioned_agg(tagged, ["_bucket", "_ksalt"],
                                 join_partition)
+
+
+class StreamingDeduper:
+    """Streaming TTL dedup / throttle for ONE partition: an event is
+    EMITTED iff it is not late (event time >= partition watermark) and
+    its key has no prior non-late event with event time inside the
+    trailing ``ttl`` horizon — the exactly-once-ingestion /
+    notification-throttle primitive.
+
+    State is a per-key max non-late event time, bounded by the
+    watermark: a key whose stored time drops below watermark - ttl can
+    never suppress again (future non-late events have ts >= watermark),
+    so ``evict()`` keeps state proportional to keys ACTIVE within the
+    horizon, not all keys ever seen.  Late arrivals and suppressed
+    duplicates are counted (``late_dropped`` / ``suppressed``).
+    Chunking-invariant: the watermark is per event (running max of
+    prior event times - lateness), exactly as WatermarkWindower."""
+
+    def __init__(self, ttl_s: int, lateness_s: int):
+        self.ttl_us = ttl_s * 1_000_000
+        self.lateness_us = lateness_s * 1_000_000
+        self.key_max: dict = {}
+        self.watermark = -np.inf
+        self.late_dropped = 0
+        self.suppressed = 0
+
+    def process(self, keys: np.ndarray, ts_us: np.ndarray,
+                ids: np.ndarray) -> np.ndarray:
+        """Consume arrival-ordered events; return the boolean EMIT mask
+        (callers slice their own payload columns with it)."""
+        prior_max = np.maximum.accumulate(
+            np.concatenate([[np.int64(-(2 ** 62))], ts_us[:-1]]))
+        wm = prior_max - self.lateness_us
+        if self.watermark > -np.inf:
+            wm = np.maximum(wm, int(self.watermark))
+        late = ts_us < wm
+        self.late_dropped += int(late.sum())
+        df = pd.DataFrame({"k": keys, "t": ts_us})
+        tsn = np.where(late, np.int64(-(2 ** 62)), ts_us)
+        df["tsn"] = tsn
+        g = df.groupby("k", sort=False)
+        prior_key = g["tsn"].cummax().astype(np.float64)
+        prior_key = prior_key.groupby(df["k"], sort=False).shift(1)
+        seeded = df["k"].map(self.key_max).astype(np.float64)
+        prior_key = np.fmax(prior_key.to_numpy(), seeded.to_numpy())
+        emit = (~late) & (np.isnan(prior_key)
+                          | (prior_key < ts_us - self.ttl_us))
+        self.suppressed += int(((~late) & ~emit).sum())
+        # fold this chunk's non-late maxima into the state
+        upd = df[~late].groupby("k", sort=False)["t"].max()
+        for k, v in upd.items():
+            cur = self.key_max.get(k)
+            self.key_max[k] = int(v) if cur is None else max(cur, int(v))
+        if len(ts_us):
+            self.watermark = max(self.watermark,
+                                 int(ts_us.max()) - self.lateness_us)
+        self.evict()
+        return emit
+
+    def evict(self):
+        if self.watermark == -np.inf:
+            return
+        floor = self.watermark - self.ttl_us
+        drop = [k for k, v in self.key_max.items() if v < floor]
+        for k in drop:
+            del self.key_max[k]
+
+
+def streaming_dedup(events_ds, ttl_s: int, lateness_s: int,
+                    num_partitions: int = 8, chunk: int = 256,
+                    part_col: str = "user_id",
+                    key_cols: list[str] | None = None,
+                    ts_col: str = "ts", id_col: str = "event_id"):
+    """-> the EMITTED events (part_col, key_cols, id_col, ts_us) after
+    per-partition streaming TTL dedup (partition = ``part_col %
+    num_partitions`` so a SQL oracle reproduces the watermark scope,
+    arrival order = ``id_col``).  Same bounded-dataset replay shape as
+    streaming_tumbling_window: ONE hash exchange, per-partition
+    arrival-order chunked replay through StreamingDeduper."""
+    from rayspatial.util import hash_partitioned_agg
+
+    key_cols = key_cols or [part_col]
+    P = num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        t = pa.table({
+            "_spart": pa.array(
+                (batch.column(part_col).to_numpy() % P).astype(np.int64)),
+            part_col: batch.column(part_col),
+            id_col: batch.column(id_col),
+            "ts_us": us,
+            **{c: batch.column(c) for c in key_cols if c != part_col},
+        })
+        return t
+
+    def replay(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("_spart", sort=True):
+            g = g.sort_values(id_col, kind="stable")
+            keys = (g[key_cols[0]].astype(str)
+                    if len(key_cols) == 1 else
+                    g[key_cols].astype(str).agg("\x1f".join, axis=1))
+            ts = g["ts_us"].to_numpy()
+            ids = g[id_col].to_numpy()
+            dd = StreamingDeduper(ttl_s, lateness_s)
+            emit = np.zeros(len(g), dtype=bool)
+            for s in range(0, len(g), chunk):
+                emit[s:s + chunk] = dd.process(
+                    keys.to_numpy()[s:s + chunk], ts[s:s + chunk],
+                    ids[s:s + chunk])
+            outs.append(g[emit])
+        cols = [part_col] + [c for c in key_cols if c != part_col] \
+            + [id_col, "ts_us"]
+        if not outs:
+            return pd.DataFrame(columns=cols)
+        out = pd.concat(outs)[cols]
+        return out.sort_values(id_col, kind="stable")
+
+    ds = events_ds.map_batches(add_part, batch_format="pyarrow")
+    return hash_partitioned_agg(ds, ["_spart"], replay)

@@ -295,3 +295,102 @@ def test_streaming_interval_join_salted_equals_plain(ray_session):
     sl = streaming_interval_join_salted(lds, rds, output="late", **kw
                                         ).to_pandas().groupby("side")["n_late"].sum()
     assert (pl == sl).all()
+
+
+# ------------------------------------------------------- TTL dedup
+
+
+def _dedup_serial(keys, ts, lateness_us, ttl_us):
+    """Arrival-order reference of the StreamingDeduper contract."""
+    wm = -np.inf
+    key_max = {}
+    emit, late_n, supp_n = [], 0, 0
+    for k, t in zip(keys, ts):
+        if t < wm:
+            emit.append(False)
+            late_n += 1
+        else:
+            prior = key_max.get(k)
+            e = prior is None or prior < t - ttl_us
+            emit.append(e)
+            supp_n += 0 if e else 1
+            key_max[k] = t if prior is None else max(prior, t)
+        wm = max(wm, t - lateness_us)
+    return np.array(emit), late_n, supp_n
+
+
+def test_streaming_deduper_chunking_invariant_and_counts():
+    from rayspatial.ops.streaming import StreamingDeduper
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    keys = rng.integers(0, 25, n).astype(str)
+    # mostly increasing event time with out-of-order jitter -> real
+    # late drops and real suppressions
+    ts = (np.arange(n) * 1000 + rng.integers(-40_000, 40_000, n)
+          ).astype(np.int64)
+    exp, late_n, supp_n = _dedup_serial(keys, ts, 5_000, 120_000)
+    for chunk in (1, 97, n):
+        dd = StreamingDeduper(ttl_s=0, lateness_s=0)
+        dd.ttl_us, dd.lateness_us = 120_000, 5_000   # sub-second grid
+        got = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            got[s:s + chunk] = dd.process(
+                keys[s:s + chunk], ts[s:s + chunk],
+                np.arange(s, min(s + chunk, n)))
+        assert (got == exp).all(), chunk
+        assert dd.late_dropped == late_n and dd.suppressed == supp_n
+    assert late_n > 0 and supp_n > 0  # the fixture exercises both paths
+
+
+def test_streaming_deduper_state_bounded():
+    from rayspatial.ops.streaming import StreamingDeduper
+
+    dd = StreamingDeduper(ttl_s=1, lateness_s=0)
+    n = 50_000
+    keys = np.arange(n).astype(str)          # every key unique
+    ts = (np.arange(n) * 1_000_000).astype(np.int64)  # 1s apart
+    for s in range(0, n, 1000):
+        dd.process(keys[s:s + 1000], ts[s:s + 1000],
+                   np.arange(s, s + 1000))
+    # ttl horizon = 1s at 1 event/s -> state holds O(horizon), not O(n)
+    assert len(dd.key_max) <= 4, len(dd.key_max)
+
+
+def test_streaming_dedup_dataset_matches_serial(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.streaming import streaming_dedup
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    user = rng.integers(0, 30, n).astype(np.int64)
+    etype = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    us = (np.arange(n) * 50_000 + rng.integers(-2_000_000, 2_000_000, n)
+          ).astype(np.int64)
+    t = pa.table({
+        "user_id": pa.array(user),
+        "event_type": pa.array(etype),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(us).cast(pa.timestamp("us")),
+    })
+    P, lat, ttl = 4, 1, 30
+    # serial expectation per partition scope
+    exp_ids = []
+    import pandas as pd
+    df = pd.DataFrame({"user_id": user, "event_type": etype,
+                       "event_id": np.arange(n), "us": us,
+                       "part": user % P})
+    for _, g in df.groupby("part"):
+        g = g.sort_values("event_id")
+        k = (g["user_id"].astype(str) + "\x1f" + g["event_type"]).to_numpy()
+        m, _, _ = _dedup_serial(k, g["us"].to_numpy(),
+                                lat * 1_000_000, ttl * 1_000_000)
+        exp_ids.extend(g["event_id"].to_numpy()[m].tolist())
+    for parts in (1, 6):
+        out = streaming_dedup(
+            rd.from_arrow(t).repartition(parts), ttl_s=ttl,
+            lateness_s=lat, num_partitions=P, chunk=111,
+            part_col="user_id", key_cols=["user_id", "event_type"],
+        ).to_pandas()
+        assert sorted(out["event_id"]) == sorted(exp_ids), parts
