@@ -141,6 +141,16 @@ def _q_tile_counts(sf_dir: str):
     return tile_counts(points_dataset(sf_dir), res=6)
 
 
+def _q_tile_pyramid(sf_dir: str):
+    """Multi-resolution tile pyramid (ops/tiles.tile_pyramid): counts
+    at res 6..2 from one raw pass — coarser levels roll up the
+    previous level's bounded aggregate by quad-parent halving."""
+    from rayspatial.ops.tiles import tile_pyramid
+    from rayspatial.pipeline.flagship import points_dataset
+
+    return tile_pyramid(points_dataset(sf_dir), res_hi=6, res_lo=2)
+
+
 def _q_pip_join(sf_dir: str):
     from rayspatial.ops.join import join_points_polygons
     from rayspatial.pipeline.flagship import points_dataset
@@ -2727,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": _q_events_pivot_daily,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "streaming_dedup": _q_streaming_dedup,
+        "tile_pyramid": _q_tile_pyramid,
     }
 
 
@@ -3811,5 +3822,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, event_id, us AS ts_us FROM m "
             "WHERE NOT late AND (key_max IS NULL "
             "OR key_max < us - 86400000000)"
+        ),
+        "tile_pyramid": (
+            f"WITH {_PTS_CTE} "
+            + " UNION ALL ".join(
+                f"SELECT CAST({r} AS BIGINT) AS res, "
+                f"{_cell_expr('lon', 180.0, 360.0, 1 << r)} AS cell_x, "
+                f"{_cell_expr('lat', 90.0, 180.0, 1 << r)} AS cell_y, "
+                "CAST(COUNT(*) AS BIGINT) AS n_points "
+                "FROM pts GROUP BY 2, 3"
+                for r in (6, 5, 4, 3, 2))
         ),
     }

@@ -205,3 +205,69 @@ def vectorize_tiles(raster_ds, res: int, tile_res: int, threshold: int = 1):
         )
 
     return raster_ds.map_batches(per_tile, batch_format="pyarrow")
+
+
+def tile_pyramid(points_ds, res_hi: int, res_lo: int,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 combine: str = "gather"):
+    """Multi-resolution tile counts (the map-rendering / heat-map
+    pyramid): per-cell point counts at EVERY resolution in
+    ``[res_lo, res_hi]`` from ONE pass over the raw points.
+
+    Only the finest level touches the input; each coarser level rolls
+    up the PREVIOUS LEVEL'S aggregate (already bounded by tile
+    cardinality, KBs) by the quad-parent halving ``coord >> 1`` —
+    exact because floor(u * 2^(r-1)) == floor(u * 2^r) >> 1 on the
+    clamped unit grid, so level r-1 equals a direct aggregation at
+    r-1 without rescanning 10^12 rows.  Levels materialize (tiny) so
+    the lazy plan doesn't recompute the chain per consumer.
+
+    -> (res, cell_x, cell_y, n_points), each level sorted by
+    (cell_x, cell_y) for deterministic output order.
+    """
+    if not (0 <= res_lo <= res_hi):
+        raise ValueError("tile_pyramid: need 0 <= res_lo <= res_hi")
+
+    def tag(ds, r):
+        def add_res(batch: pa.Table) -> pa.Table:
+            t = batch.sort_by([("cell_x", "ascending"),
+                               ("cell_y", "ascending")])
+            return pa.table({
+                "res": pa.array(np.full(len(t), r, dtype=np.int64)),
+                "cell_x": t.column("cell_x"),
+                "cell_y": t.column("cell_y"),
+                "n_points": t.column("n_points"),
+            })
+        return ds.map_batches(add_res, batch_size=None,
+                              batch_format="pyarrow")
+
+    cur = tile_counts(points_ds, res_hi, lon_col=lon_col,
+                      lat_col=lat_col, combine=combine).materialize()
+    levels = [tag(cur, res_hi)]
+    for r in range(res_hi - 1, res_lo - 1, -1):
+        def merge(batch: pa.Table, shift: int) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "cell_x": batch.column("cell_x").to_numpy() >> shift,
+                "cell_y": batch.column("cell_y").to_numpy() >> shift,
+                "n_points": batch.column("n_points").to_numpy(),
+            })
+            out = (df.groupby(["cell_x", "cell_y"], sort=False)
+                   ["n_points"].sum().reset_index())
+            out["n_points"] = out["n_points"].astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        # halve once in the per-block partial; the post-gather merge
+        # only re-sums (shift=0)
+        cur = (cur.map_batches(lambda b: merge(b, 1),
+                               batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(lambda b: merge(b, 0), batch_size=None,
+                            batch_format="pyarrow")
+               .materialize())
+        levels.append(tag(cur, r))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

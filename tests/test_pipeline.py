@@ -244,3 +244,24 @@ def test_join_subdivided_salted_equals_plain(ray_ds):
         salt_target=50,
     ).select_columns(["doc_id", "poly_id"]).to_pandas()
     assert set(zip(a["doc_id"], a["poly_id"])) == set(zip(b["doc_id"], b["poly_id"]))
+
+
+def test_tile_pyramid_levels_equal_direct(ray_ds):
+    """Every pyramid level must equal a direct aggregation at that
+    resolution (the quad-parent rollup is exact), and each level's
+    total preserves the point count."""
+    from rayspatial.ops.tiles import tile_counts, tile_pyramid
+    from rayspatial.pipeline.flagship import points_dataset
+
+    pyr = tile_pyramid(points_dataset(SF), res_hi=6, res_lo=3).to_pandas()
+    n_docs = points_dataset(SF).count()
+    for r in (6, 5, 4, 3):
+        lv = pyr[pyr["res"] == r].reset_index(drop=True)
+        direct = tile_counts(points_dataset(SF), res=r).to_pandas()
+        assert lv["n_points"].sum() == n_docs, r
+        key = lambda d: sorted(zip(d["cell_x"], d["cell_y"], d["n_points"]))
+        assert key(lv) == key(direct), r
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tile_pyramid(points_dataset(SF), res_hi=2, res_lo=5)
