@@ -177,3 +177,56 @@ def cells_covering_box(
     ys = np.arange(cy0, cy1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return encode_xy(gx.ravel(), gy.ravel(), res)
+
+
+def cell_compact(cells: np.ndarray) -> np.ndarray:
+    """H3-style covering compression: recursively replace every
+    COMPLETE sibling quartet with its parent (mixed input resolutions
+    allowed; duplicates collapse).  The result covers exactly the same
+    area with the minimum number of quad cells.  Vectorized per
+    resolution level — no Python loop over cells."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    if not len(cells):
+        return cells
+    res = cell_res(cells)
+    by_res: dict[int, np.ndarray] = {
+        int(r): cells[res == r] for r in np.unique(res)}
+    out: list[np.ndarray] = []
+    for r in range(max(by_res), 0, -1):
+        cur = np.unique(by_res.get(r, np.empty(0, np.int64)))
+        if not len(cur):
+            continue
+        parents = cell_parent(cur)
+        ps, idx, counts = np.unique(parents, return_inverse=True,
+                                    return_counts=True)
+        promote = counts == 4  # all four siblings present
+        out.append(cur[~promote[idx]])
+        if promote.any():
+            lower = by_res.get(r - 1, np.empty(0, np.int64))
+            by_res[r - 1] = np.concatenate([lower, ps[promote]])
+    out.append(np.unique(by_res.get(0, np.empty(0, np.int64))))
+    return np.sort(np.concatenate(out))
+
+
+def cell_uncompact(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand every cell to ALL its descendants at resolution ``res``
+    (inverse of cell_compact for a uniform target level).  Morton
+    ordering makes each cell's descendants one contiguous id range —
+    ``4**(res - r)`` ids generated by a vectorized ragged arange."""
+    cells = np.asarray(cells, dtype=np.int64)
+    if not len(cells):
+        return cells.copy()
+    c = cells.astype(np.uint64)
+    r = (c >> np.uint64(52)).astype(np.int64)
+    if np.any(r > res):
+        raise ValueError("cell_uncompact: a cell is finer than res")
+    morton = c & ((np.uint64(1) << np.uint64(52)) - np.uint64(1))
+    d = (res - r).astype(np.uint64)
+    base = (morton << (np.uint64(2) * d)).astype(np.int64)
+    lens = (np.int64(1) << (2 * (res - r))).astype(np.int64)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    seq = np.arange(int(lens.sum()), dtype=np.int64) - offs
+    ids = np.repeat(base, lens) + seq
+    return np.unique(
+        (ids.astype(np.uint64)
+         | (np.uint64(res) << np.uint64(52))).astype(np.int64))

@@ -1,6 +1,7 @@
 """Cell index tests (engine-native operator; see SURVEY.md §2.12)."""
 
 import numpy as np
+import pytest
 
 from rayspatial import cell
 
@@ -75,3 +76,43 @@ def test_morton_locality():
     b = cell.cell_encode(np.asarray([0.01]), np.asarray([0.0]), 16)[0]
     c = cell.cell_encode(np.asarray([170.0]), np.asarray([80.0]), 16)[0]
     assert abs(int(a) - int(b)) < abs(int(a) - int(c))
+
+
+def test_cell_compact_uncompact():
+    from rayspatial.cell import cell_children, cell_compact, cell_encode
+
+    # a full quartet collapses to its parent
+    parent = int(cell_encode(np.array([10.0]), np.array([20.0]), 4)[0])
+    kids = cell_children(parent)
+    assert list(cell_compact(kids)) == [parent]
+    # recursive: all 16 grandchildren collapse two levels
+    gks = np.concatenate([cell_children(int(k)) for k in kids])
+    assert list(cell_compact(gks)) == [parent]
+    # an incomplete quartet stays put
+    assert len(cell_compact(kids[:3])) == 3
+
+
+def test_cell_compact_no_false_merge():
+    from rayspatial.cell import cell_children, cell_compact, cell_encode
+
+    # parent + 3 of its children is a REDUNDANT covering with no full
+    # quartet: compact must not merge it (only dedupes), 4 ids survive
+    parent = int(cell_encode(np.array([10.0]), np.array([20.0]), 4)[0])
+    kids = cell_children(parent)
+    mixed = np.concatenate([kids[:3], [parent], [parent]])
+    comp = cell_compact(mixed)
+    assert len(comp) == 4 and parent in comp
+
+
+def test_cell_uncompact_roundtrip_random():
+    from rayspatial.cell import cell_compact, cell_encode, cell_uncompact
+
+    rng = np.random.default_rng(7)
+    cells = np.unique(cell_encode(rng.uniform(-180, 180, 2000),
+                                  rng.uniform(-90, 90, 2000), 5))
+    comp = cell_compact(cells)
+    assert len(comp) < len(cells)          # something promoted at res 5
+    assert set(cell_uncompact(comp, 5)) == set(cells)
+    assert len(cell_uncompact(np.array([], dtype=np.int64), 5)) == 0
+    with pytest.raises(ValueError):
+        cell_uncompact(cells, 3)           # finer than target
