@@ -2548,6 +2548,54 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_props_k_stats(sf_dir: str):
+    """Flat-JSON field extraction (textops/jsonops.extract_json_int,
+    Arrow regex — no per-row parser) -> per-event-type stats of the
+    props.k integer: partial aggregates per batch, tiny key combine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.textops.jsonops import extract_json_int
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    HI, LO = np.int64(2 ** 62), np.int64(-(2 ** 62))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = extract_json_int(b.column("props"), "k").to_pandas()
+        pres = ~pd.isna(ks)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            # sentinels keep absent-field rows out of min/max/sum while
+            # staying int64 (resolved to 0 after the final combine)
+            "k": ks.fillna(0).astype(np.int64),
+            "kmin": ks.fillna(HI).astype(np.int64),
+            "kmax": ks.fillna(LO).astype(np.int64),
+            "has_k": pres.astype(np.int64),
+        })
+        out = df.groupby("event_type", sort=False).agg(
+            n=("has_k", "size"), n_k=("has_k", "sum"), sum_k=("k", "sum"),
+            min_k=("kmin", "min"), max_k=("kmax", "max")).reset_index()
+        for c in ("n", "n_k", "sum_k", "min_k", "max_k"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", sort=True).agg(
+            n=("n", "sum"), n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max")).reset_index()
+        none = out["n_k"] == 0
+        out.loc[none, ["min_k", "max_k"]] = 0
+        return out
+
+    return hash_partitioned_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], combine)
+
+
 def _q_rolling_distinct_users(sf_dir: str):
     """Exact 7-day sliding distinct users per observed day
     (ops/analytic.rolling_distinct): linear interval-union plan — no
@@ -2738,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users": _q_rolling_distinct_users,
         "streaming_dedup": _q_streaming_dedup,
         "tile_pyramid": _q_tile_pyramid,
+        "props_k_stats": _q_props_k_stats,
     }
 
 
@@ -3832,5 +3881,16 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(COUNT(*) AS BIGINT) AS n_points "
                 "FROM pts GROUP BY 2, 3"
                 for r in (6, 5, 4, 3, 2))
+        ),
+        "props_k_stats": (
+            "WITH e AS (SELECT event_type, TRY_CAST(regexp_extract("
+            r"props, '\"k\"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(k) AS BIGINT) AS n_k, "
+            "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k, "
+            "CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k, "
+            "CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_k "
+            "FROM e GROUP BY 1"
         ),
     }

@@ -1677,3 +1677,16 @@ def test_bm25_topk_edges(ray_session):
     assert (out["score_scaled"] > 0).all()
     with pytest.raises(ValueError):
         bm25_topk(rd.from_arrow(docs), [], k=5)
+
+
+def test_extract_json_int():
+    import pyarrow as pa
+
+    from rayspatial.textops.jsonops import extract_json_int
+
+    col = pa.array([
+        '{"k": 69}', '{"a": 1, "k": -7}', '{"k":0}', '{"a": 2}',
+        None, '{"kk": 5}', '{"k" : 12 }',
+    ])
+    got = extract_json_int(col, "k").to_pylist()
+    assert got == [69, -7, 0, None, None, None, 12]
