@@ -2390,10 +2390,14 @@ def _q_top_unshipped_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(o_prep, batch_format="pyarrow")
+    # materialize the filtered+joined orders side ONCE: it is consumed
+    # twice downstream (Bloom-filter build pass + the shuffle join
+    # union) and a lazy plan would re-run the scan + broadcast probe
+    # per consumer.  Post-filter it is the small side (spillable).
     orders = hash_join(
         orders, customer, on="custkey",
         left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
-        right_cols=[], mode="broadcast")
+        right_cols=[], mode="broadcast").materialize()
 
     def li_prep(b: pa.Table) -> pa.Table:
         keep = b.column("l_shipdate").to_numpy() > cutoff
