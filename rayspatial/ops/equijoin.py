@@ -47,7 +47,12 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     BEFORE the all-to-all — at 100 TB the exchange only moves probe
     rows that can possibly join.  False positives just ride the
     shuffle; the partition merge stays exact, so results are
-    identical with or without it."""
+    identical with or without it.
+
+    NOTE (lazy-plan cost): with ``bloom_bits`` the RIGHT side is
+    consumed twice (filter build + shuffle union).  If it is itself an
+    expensive pipeline, ``.materialize()`` it first or the plan re-runs
+    it per consumer — a raw ``read_parquet`` right side is fine as-is."""
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unknown join how: {how!r}")
     on = [on] if isinstance(on, str) else list(on)
