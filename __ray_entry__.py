@@ -2552,6 +2552,64 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_customers_above_nation_avg(sf_dir: str):
+    """Correlated-subquery shape, integer-exact: customers whose
+    account balance exceeds their nation's average — per-nation
+    (sum_cents, n) partials combine to a TINY broadcast table, then
+    one streaming filter compares bal_cents * n > sum_cents (cross-
+    multiplied so no float average ever exists).  The fact stream
+    never shuffles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from rayspatial.util import read_parquet_sized
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "nation": b.column("c_nationkey"),
+            "bal_cents": pc.cast(pc.round(
+                pc.multiply(b.column("c_acctbal"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"nation": b.column("nation").to_numpy(),
+                           "s": b.column("bal_cents").to_numpy(),
+                           "n": np.ones(len(b), np.int64)})
+        out = df.groupby("nation", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = (cust.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("nation").sum().reset_index())
+    ref = ray.put({int(r.nation): (int(r.s), int(r.n))
+                   for r in stats.itertuples()})
+
+    def flt(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        # dense int-keyed lookup (nation ids are small): one fancy-index
+        # gather per batch, no per-row Python
+        hi = max(m) + 1
+        arr_s = np.zeros(hi, dtype=np.int64)
+        arr_n = np.ones(hi, dtype=np.int64)
+        for k, (s, n) in m.items():
+            arr_s[k], arr_n[k] = s, n
+        nat = b.column("nation").to_numpy()
+        bal = b.column("bal_cents").to_numpy()
+        keep = bal * arr_n[nat] > arr_s[nat]
+        return b.filter(pa.array(keep)).select(["c_custkey", "bal_cents"])
+
+    return cust.map_batches(flt, batch_format="pyarrow")
+
+
 def _q_props_k_stats(sf_dir: str):
     """Flat-JSON field extraction (textops/jsonops.extract_json_int,
     Arrow regex — no per-row parser) -> per-event-type stats of the
@@ -2791,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup": _q_streaming_dedup,
         "tile_pyramid": _q_tile_pyramid,
         "props_k_stats": _q_props_k_stats,
+        "customers_above_nation_avg": _q_customers_above_nation_avg,
     }
 
 
@@ -3896,5 +3955,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k, "
             "CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_k "
             "FROM e GROUP BY 1"
+        ),
+        "customers_above_nation_avg": (
+            "WITH c AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents "
+            "FROM customer), "
+            "g AS (SELECT c_nationkey, CAST(SUM(bal_cents) AS BIGINT) "
+            "AS s, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1) "
+            "SELECT c_custkey, bal_cents FROM c JOIN g USING(c_nationkey) "
+            "WHERE bal_cents * n > s"
         ),
     }
