@@ -441,11 +441,18 @@ def rolling_distinct(ds, user_col: str, ts_col: str, window: int = 7,
     pairs = ds.map_batches(prune, batch_format="pyarrow").materialize()
     # bounded gather: the distinct observed units (a time range — days
     # over years, not data-sized); broadcast to filter covered units
-    observed = np.unique(pairs.map_batches(
+    obs_df = pairs.map_batches(
         lambda b: pa.table({"unit": pa.array(
             np.unique(b.column("unit").to_numpy()))}),
         batch_format="pyarrow",
-    ).to_pandas()["unit"].to_numpy())
+    ).to_pandas()
+    if obs_df.empty:        # zero input blocks: schema-typed empty out
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "unit": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64())}))
+    observed = np.unique(obs_df["unit"].to_numpy())
 
     def cover(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

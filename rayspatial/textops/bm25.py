@@ -115,6 +115,8 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 20,
         })
 
     summ = rows.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    if summ.empty:          # zero input blocks: no schema, no corpus
+        raise ValueError("bm25_topk: empty corpus")
     n_docs = int(summ["n_docs"].sum())
     total_toks = int(summ["toks"].sum())
     dfmap = summ[summ["term"] != ""].groupby("term")["c"].sum()

@@ -1690,3 +1690,41 @@ def test_extract_json_int():
     ])
     got = extract_json_int(col, "k").to_pylist()
     assert got == [69, -7, 0, None, None, None, 12]
+
+
+def test_round4_ops_empty_inputs(ray_session):
+    """Round-4 operators survive empty inputs (schema-preserving empty
+    results or a clear error) — empty filter results occur in plans."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import rolling_distinct
+    from rayspatial.ops.resample import resample_ffill
+    from rayspatial.ops.streaming import streaming_dedup
+    from rayspatial.ops.window import extreme_row_by_group, pivot_counts
+    from rayspatial.textops.bm25 import bm25_topk
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "text": pd.Series(dtype="str"),
+    }))
+    with pytest.raises(ValueError):      # empty corpus is a clear error
+        bm25_topk(docs, ["x"], k=3)
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "event_id": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "value_cents": pd.Series(dtype="int64"),
+        "event_type": pd.Series(dtype="str"),
+    }))
+    assert resample_ffill(ev, by="user_id", ts_col="ts",
+                          id_col="event_id", value_col="value_cents",
+                          start_us=0, end_us=1000,
+                          step_us=500).count() == 0
+    assert rolling_distinct(ev, "user_id", "ts", window=7).count() == 0
+    assert streaming_dedup(ev, ttl_s=1, lateness_s=1,
+                           key_cols=["user_id", "event_type"]).count() == 0
+    assert extreme_row_by_group(ev, ["user_id"], ["value_cents"],
+                                ascending=[False]).count() == 0
+    assert pivot_counts(ev, ["user_id"], "event_type",
+                        domain=["a"]).count() == 0
