@@ -2552,6 +2552,37 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_redacted_docs(sf_dir: str):
+    """PII-style regex scrub (textops/curation.redact_pattern): every
+    whole-word 'hash' replaced by '[T]'; emits per-doc redaction count
+    + post-scrub byte length (Arrow regex, no per-row Python)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.textops.curation import redact_pattern
+
+    out = redact_pattern(_docs(sf_dir, rows_per_block=512),
+                         r"\bhash\b", "[T]")
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_redacted": b.column("n_redacted"),
+            "new_len": pc.cast(pc.utf8_length(b.column("text")),
+                               pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_phrase_docs(sf_dir: str):
+    """Corpus grep (textops/curation.phrase_docs): ids of documents
+    containing the literal phrase 'hash join' — streaming
+    match_substring filter, no shuffle."""
+    from rayspatial.textops.curation import phrase_docs
+
+    return phrase_docs(_docs(sf_dir, rows_per_block=512), "hash join")
+
+
 def _q_customers_above_nation_avg(sf_dir: str):
     """Correlated-subquery shape, integer-exact: customers whose
     account balance exceeds their nation's average — per-nation
@@ -2850,6 +2881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "props_k_stats": _q_props_k_stats,
         "customers_above_nation_avg": _q_customers_above_nation_avg,
+        "redacted_docs": _q_redacted_docs,
+        "phrase_docs": _q_phrase_docs,
     }
 
 
@@ -3964,5 +3997,16 @@ def oracle_sql() -> dict[str, str]:
             "AS s, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1) "
             "SELECT c_custkey, bal_cents FROM c JOIN g USING(c_nationkey) "
             "WHERE bal_cents * n > s"
+        ),
+        "redacted_docs": (
+            "SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(text, '\bhash\b')) AS BIGINT) "
+            "AS n_redacted, "
+            r"CAST(length(regexp_replace(text, '\bhash\b', '[T]', 'g')) "
+            "AS BIGINT) AS new_len FROM documents"
+        ),
+        "phrase_docs": (
+            "SELECT doc_id FROM documents "
+            "WHERE strpos(text, 'hash join') > 0"
         ),
     }

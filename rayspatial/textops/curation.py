@@ -105,3 +105,39 @@ def canonical_urls(ds, url_col: str = "url", id_col: str = "doc_id"):
         return out[[id_col, "canon_url"]]
 
     return hash_partitioned_agg(hashed, ["h"], first)
+
+
+def redact_pattern(ds, pattern: str, replacement: str,
+                   text_col: str = "text"):
+    """PII-style scrub pass: replace every regex match in ``text_col``
+    with ``replacement`` and count the redactions per row — the
+    email/phone/SSN removal stage every shipped corpus needs.  Pure
+    Arrow (``replace_substring_regex`` + ``count_substring_regex``):
+    no per-row Python, content never shuffles, composes in front of
+    any downstream dedup/quality stage (run BEFORE hashing so
+    redaction-equal docs dedup together)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        red = pc.replace_substring_regex(t, pattern, replacement)
+        n = pc.cast(pc.count_substring_regex(t, pattern), pa.int64())
+        i = batch.column_names.index(text_col)
+        out = batch.set_column(i, text_col, red)
+        return out.append_column("n_redacted", n)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def phrase_docs(ds, phrase: str, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Corpus grep: ids of documents containing the literal
+    ``phrase`` (Arrow ``match_substring`` — memchr-class scan per
+    batch, streaming filter, no shuffle)."""
+    import pyarrow.compute as pc
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column(text_col), phrase)
+        return batch.filter(keep).select([id_col])
+
+    return ds.map_batches(flt, batch_format="pyarrow")

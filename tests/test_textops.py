@@ -1728,3 +1728,22 @@ def test_round4_ops_empty_inputs(ray_session):
                                 ascending=[False]).count() == 0
     assert pivot_counts(ev, ["user_id"], "event_type",
                         domain=["a"]).count() == 0
+
+
+def test_redact_and_phrase(ray_session):
+    import ray.data as rd
+
+    from rayspatial.textops.curation import phrase_docs, redact_pattern
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["call 555-1234 or 555-9999 now",
+                          "no numbers here", "x 555-0000"]),
+    })
+    out = redact_pattern(rd.from_arrow(docs), r"\d{3}-\d{4}", "[PHONE]"
+                         ).to_pandas().sort_values("doc_id")
+    assert list(out["n_redacted"]) == [2, 0, 1]
+    assert out["text"].iloc[0] == "call [PHONE] or [PHONE] now"
+    assert out["text"].iloc[1] == "no numbers here"
+    hits = phrase_docs(rd.from_arrow(docs), "555-99").to_pandas()
+    assert list(hits["doc_id"]) == [0]
