@@ -2552,6 +2552,37 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_triangle_count(sf_dir: str):
+    """Exact distributed triangle count (ops/graph.py) over the
+    deterministic ring-lattice + chord graph i -> (i+1, i+2, 7i+3)
+    mod N (every consecutive triple {i, i+1, i+2} closes, chords add
+    irregular ones): canonical dedup -> min-endpoint wedge generation
+    -> packed-key semi-join closure, all hash exchanges, no broadcast
+    of the edge set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayspatial.ops.graph import triangle_count
+    from rayspatial.util import read_parquet_sized
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        rows_per_block=512)
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def links(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.tile(i, 3)),
+            "dst": pa.array(np.concatenate([
+                (i + 1) % n, (i + 2) % n, (i * 7 + 3) % n,
+            ])),
+        })
+
+    return triangle_count(docs.map_batches(links, batch_format="pyarrow"))
+
+
 def _q_redacted_docs(sf_dir: str):
     """PII-style regex scrub (textops/curation.redact_pattern): every
     whole-word 'hash' replaced by '[T]'; emits per-doc redaction count
@@ -2883,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_above_nation_avg": _q_customers_above_nation_avg,
         "redacted_docs": _q_redacted_docs,
         "phrase_docs": _q_phrase_docs,
+        "triangle_count": _q_triangle_count,
     }
 
 
@@ -4008,5 +4040,19 @@ def oracle_sql() -> dict[str, str]:
         "phrase_docs": (
             "SELECT doc_id FROM documents "
             "WHERE strpos(text, 'hash join') > 0"
+        ),
+        "triangle_count": (
+            "WITH nn AS (SELECT COUNT(*) AS n FROM documents), "
+            "raw AS (SELECT doc_id AS s, (doc_id+1) % n AS d "
+            "FROM documents CROSS JOIN nn UNION ALL "
+            "SELECT doc_id, (doc_id+2) % n FROM documents "
+            "CROSS JOIN nn UNION ALL "
+            "SELECT doc_id, (doc_id*7+3) % n FROM documents "
+            "CROSS JOIN nn), "
+            "e AS (SELECT DISTINCT LEAST(s, d) AS a, "
+            "GREATEST(s, d) AS b FROM raw WHERE s != d) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
         ),
     }
