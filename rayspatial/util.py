@@ -193,3 +193,45 @@ def quiet_thp():
                 pass
 
     return restore
+
+
+def read_csv_sized(path: str, rows_hint: int | None = None,
+                   rows_per_block: int | None = None, **kwargs):
+    """read_csv with the same volume-driven block sizing contract as
+    read_parquet_sized (file bytes stand in for serialized size; row
+    count estimated from a 64 KB head sample when no hint is given).
+    Extra kwargs pass through to ``ray.data.read_csv`` (e.g.
+    arrow-csv parse/convert options)."""
+    import os
+
+    import ray.data as rd
+
+    size = os.path.getsize(path)
+    rows = rows_hint
+    if rows is None:
+        with open(path, "rb") as f:
+            head = f.read(64 << 10)
+        nl = max(head.count(b"\n"), 1)
+        rows = max(int(size / max(len(head) / nl, 1)) - 1, 1)
+    nb = num_blocks_for(rows, size, rows_per_block=rows_per_block)
+    return rd.read_csv(path, override_num_blocks=nb, **kwargs)
+
+
+def read_json_sized(path: str, rows_hint: int | None = None,
+                    rows_per_block: int | None = None, **kwargs):
+    """read_json (JSONL) with the volume-driven block sizing contract
+    of read_parquet_sized; same head-sample row estimate as
+    read_csv_sized."""
+    import os
+
+    import ray.data as rd
+
+    size = os.path.getsize(path)
+    rows = rows_hint
+    if rows is None:
+        with open(path, "rb") as f:
+            head = f.read(64 << 10)
+        nl = max(head.count(b"\n"), 1)
+        rows = max(int(size / max(len(head) / nl, 1)), 1)
+    nb = num_blocks_for(rows, size, rows_per_block=rows_per_block)
+    return rd.read_json(path, override_num_blocks=nb, **kwargs)

@@ -265,3 +265,26 @@ def test_tile_pyramid_levels_equal_direct(ray_ds):
 
     with _pt.raises(ValueError):
         tile_pyramid(points_dataset(SF), res_hi=2, res_lo=5)
+
+
+def test_csv_json_sized_sources(ray_ds, tmp_path):
+    """CSV/JSONL sources read the same rows as the parquet source and
+    split into >1 block under a rows_per_block override."""
+    import duckdb
+
+    from rayspatial.util import read_csv_sized, read_json_sized
+
+    csv = tmp_path / "docs.csv"
+    jl = tmp_path / "docs.jsonl"
+    duckdb.sql(f"COPY (SELECT doc_id, lang, n_chars FROM "
+               f"'{SF}/documents.parquet') TO '{csv}' (HEADER)")
+    duckdb.sql(f"COPY (SELECT doc_id, lang, n_chars FROM "
+               f"'{SF}/documents.parquet') TO '{jl}'")
+    exp = duckdb.sql(
+        f"SELECT COUNT(*), SUM(n_chars) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    for reader, p in ((read_csv_sized, csv), (read_json_sized, jl)):
+        ds = reader(str(p), rows_per_block=64).materialize()
+        df = ds.to_pandas()
+        assert (len(df), df["n_chars"].sum()) == exp
+        assert ds.num_blocks() > 1
