@@ -2552,6 +2552,53 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_png_features(sf_dir: str):
+    """COMPRESSED-format multimodal decode end-to-end: a 12x10 RGB PNG
+    is synthesized per document (pixel j = (doc_id*17 + j) % 256 —
+    closed form for the SQL oracle), zlib-deflated into a real PNG
+    payload, shipped through the actor-pool feature stage, and decoded
+    back with the stdlib-zlib + numpy-unfilter parser
+    (textops/multimodal.decode_png)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.textops.multimodal import (FEATURE_DIM, binary_features,
+                                               encode_png)
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"], rows_per_block=2048)
+    H, W = 12, 10
+    NB = H * W * 3
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        vals = ((ids[:, None] * 17 + np.arange(NB)[None, :]) % 256
+                ).astype(np.uint8).reshape(-1, H, W, 3)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "img": pa.array([encode_png(v) for v in vals],
+                            type=pa.binary()),
+        })
+
+    feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
+                            binary_col="img", id_col="doc_id",
+                            decoder="png", batch_size=512)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        f = (batch.column("features").combine_chunks().flatten()
+             .to_numpy().reshape(-1, FEATURE_DIM))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "width": pa.array(f[:, 0]), "height": pa.array(f[:, 1]),
+            "channels": pa.array(f[:, 2]), "sum_c0": pa.array(f[:, 3]),
+            "sum_all": pa.array(f[:, 4]), "min_v": pa.array(f[:, 5]),
+            "max_v": pa.array(f[:, 6]), "n_pixels": pa.array(f[:, 7]),
+        })
+
+    return feats.map_batches(unpack, batch_format="pyarrow")
+
+
 def _q_triangle_count(sf_dir: str):
     """Exact distributed triangle count (ops/graph.py) over the
     deterministic ring-lattice + chord graph i -> (i+1, i+2, 7i+3)
@@ -2915,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_docs": _q_redacted_docs,
         "phrase_docs": _q_phrase_docs,
         "triangle_count": _q_triangle_count,
+        "png_features": _q_png_features,
     }
 
 
@@ -2957,6 +3005,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX((d.doc_id * 31 + t.j) % 256) AS BIGINT) AS max_v, "
             "CAST(SUM((d.doc_id * 31 + t.j) % 256) AS BIGINT) AS sum_all "
             "FROM documents d CROSS JOIN generate_series(0, 767) AS t(j) "
+            "GROUP BY d.doc_id"
+        ),
+        # pixel j of the synthesized 12x10 RGB PNG is
+        # (doc_id*17 + j) % 256 — SQL recomputes the DECODED statistics
+        # the Ray side gets back through zlib inflate + unfilter
+        "png_features": (
+            "SELECT d.doc_id, CAST(10 AS BIGINT) AS width, "
+            "CAST(12 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "
+            "CAST(SUM(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 17 + t.j) "
+            "% 256 END) AS BIGINT) AS sum_c0, "
+            "CAST(SUM((d.doc_id * 17 + t.j) % 256) AS BIGINT) AS sum_all, "
+            "CAST(MIN((d.doc_id * 17 + t.j) % 256) AS BIGINT) AS min_v, "
+            "CAST(MAX((d.doc_id * 17 + t.j) % 256) AS BIGINT) AS max_v, "
+            "CAST(120 AS BIGINT) AS n_pixels "
+            "FROM documents d CROSS JOIN generate_series(0, 359) AS t(j) "
             "GROUP BY d.doc_id"
         ),
         # sample j of the synthesized WAV is ((doc_id*17 + j*31) %

@@ -1747,3 +1747,63 @@ def test_redact_and_phrase(ray_session):
     assert out["text"].iloc[1] == "no numbers here"
     hits = phrase_docs(rd.from_arrow(docs), "555-99").to_pandas()
     assert list(hits["doc_id"]) == [0]
+
+
+def test_png_codec_roundtrip_and_filters():
+    """decode_png inverts encode_png for grey/RGB/RGBA, and unfilters
+    ALL five PNG scanline filter types (independently re-encoded)."""
+    import struct
+    import zlib
+
+    from rayspatial.textops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(2)
+    for shape in ((7, 5), (16, 16, 3), (9, 4, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        assert (got.squeeze() == img.squeeze()).all(), shape
+
+    def ref_png(img, ftype):
+        # independent encoder emitting the CHOSEN filter on every row
+        h, w, ch = img.shape
+        raw = bytearray()
+        prev = np.zeros(w * ch, np.int32)
+        for y in range(h):
+            cur = img[y].reshape(-1).astype(np.int32)
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = (cur - left) & 0xFF
+            elif ftype == 2:
+                enc = (cur - prev) & 0xFF
+            elif ftype == 3:
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            else:
+                p = left + prev - ul
+                pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                               np.abs(p - ul))
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) & 0xFF
+            raw.append(ftype)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = cur
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body +
+                    struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        return (sig + chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", img.shape[1], img.shape[0], 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+    img = rng.integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(ref_png(img, f)) == img).all(), f
+
+    with pytest.raises(ValueError):
+        decode_png(b"nope" * 20)
