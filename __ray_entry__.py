@@ -2552,6 +2552,33 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_value_outliers(sf_dir: str):
+    """Robust per-user anomaly detection (ops/quantile.mad_outliers):
+    events whose cents value deviates from the user's exact median by
+    more than 3x the user's MAD — one exchange, stats + filter in a
+    single co-located pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.quantile import mad_outliers
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "cents": pc.cast(pc.round(
+                pc.multiply(b.column("value"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return mad_outliers(ev, "user_id", "event_id", "cents", k_mad=3)
+
+
 def _q_png_features(sf_dir: str):
     """COMPRESSED-format multimodal decode end-to-end: a 12x10 RGB PNG
     is synthesized per document (pixel j = (doc_id*17 + j) % 256 —
@@ -2963,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_docs": _q_phrase_docs,
         "triangle_count": _q_triangle_count,
         "png_features": _q_png_features,
+        "value_outliers": _q_value_outliers,
     }
 
 
@@ -4117,5 +4145,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
             "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
             "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "value_outliers": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT user_id, cents AS med FROM "
+            "(SELECT user_id, cents, ROW_NUMBER() OVER (PARTITION BY "
+            "user_id ORDER BY cents) AS rn, COUNT(*) OVER (PARTITION BY "
+            "user_id) AS n FROM e) WHERE rn = (50 * n + 99) // 100), "
+            "d AS (SELECT e.user_id, e.event_id, e.cents, m.med, "
+            "ABS(e.cents - m.med) AS dev FROM e JOIN m USING(user_id)), "
+            "md AS (SELECT user_id, dev AS mad FROM "
+            "(SELECT user_id, dev, ROW_NUMBER() OVER (PARTITION BY "
+            "user_id ORDER BY dev) AS rn, COUNT(*) OVER (PARTITION BY "
+            "user_id) AS n FROM d) WHERE rn = (50 * n + 99) // 100) "
+            "SELECT d.user_id, d.event_id, d.cents, d.med, md.mad "
+            "FROM d JOIN md USING(user_id) WHERE d.dev > 3 * md.mad"
         ),
     }

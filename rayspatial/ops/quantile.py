@@ -496,3 +496,47 @@ def approx_quantiles(ds, col: str, pcts: list[int], k: int = 256):
         "value": pa.array([acc.quantile(p) for p in pcts],
                           type=pa.float64()),
     })
+
+
+def mad_outliers(ds, group_col: str, id_col: str, col: str,
+                 k_mad: int = 3, num_partitions: int | None = None):
+    """Robust per-group anomaly detection: rows where
+    ``|x - median_g| > k_mad * MAD_g`` (MAD = median of absolute
+    deviations, both medians the exact ceil(n/2)-th order statistic —
+    the grouped_quantiles selection contract, so a SQL oracle
+    reproduces every threshold bit-for-bit on integer inputs).
+
+    ONE hash exchange: the group's rows co-locate, so median, MAD and
+    the filter all happen in a single per-partition pass — no stats
+    join, nothing but the surviving outlier rows leaves the partition.
+    A constant-valued group has MAD 0: any deviation flags (the
+    textbook degenerate case; pre-filter if unwanted).
+    Output (group, id, value, med, mad), sorted by (group, id).
+    """
+    import pandas as pd
+
+    from rayspatial.util import hash_partitioned_agg
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in pdf.groupby(group_col, sort=False):
+            v = sub[col].to_numpy()
+            n = len(v)
+            kth = (50 * n + 99) // 100          # ceil(n/2), 1-based
+            med = int(np.partition(v, kth - 1)[kth - 1])
+            dev = np.abs(v - med)
+            mad = int(np.partition(dev, kth - 1)[kth - 1])
+            keep = dev > k_mad * mad
+            if keep.any():
+                o = sub[keep].copy()
+                o["med"] = np.int64(med)
+                o["mad"] = np.int64(mad)
+                outs.append(o)
+        if not outs:
+            return pd.DataFrame(columns=[group_col, id_col, col,
+                                         "med", "mad"])
+        out = pd.concat(outs)[[group_col, id_col, col, "med", "mad"]]
+        return out.sort_values([group_col, id_col], kind="stable")
+
+    return hash_partitioned_agg(ds, [group_col], per_partition,
+                                num_partitions=num_partitions)

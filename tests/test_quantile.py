@@ -163,3 +163,38 @@ def test_quantile_sketch_error_bound_and_merge(ray_session):
         assert abs(rank - p) < 1.0, (p, rank)
     with pytest.raises(ValueError, match="percentile"):
         approx_quantiles(rd.from_pandas(df), "v", [0])
+
+
+def test_mad_outliers_matches_serial(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import mad_outliers
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 50, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    # inject obvious outliers + one constant group (MAD 0)
+    df.loc[df.index[:20], "v"] = 100000
+    df.loc[df["g"] == 49, "v"] = 7
+
+    def serial(sub):
+        v = sub["v"].to_numpy()
+        kth = (50 * len(v) + 99) // 100
+        med = int(np.sort(v)[kth - 1])
+        dev = np.abs(v - med)
+        mad = int(np.sort(dev)[kth - 1])
+        return sub[dev > 3 * mad]
+
+    exp = sorted(pd.concat([serial(s) for _, s in df.groupby("g")])["id"])
+    for parts in (1, 6):
+        got = mad_outliers(rd.from_pandas(df).repartition(parts),
+                           "g", "id", "v").to_pandas()
+        assert sorted(got["id"]) == exp, parts
+        assert (np.abs(got["v"] - got["med"]) > 3 * got["mad"]).all()
+    # constant group flags nothing
+    assert not (np.array(exp) // 1 < 0).any()
+    assert 49 not in set(got["g"])
