@@ -2552,6 +2552,37 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_streaming_sessions(sf_dir: str):
+    """Streaming SESSION windows (ops/streaming.StreamingSessionizer):
+    gap-closed sessions emitted when the watermark passes end + gap;
+    out-of-order events may extend or MERGE open sessions (interval
+    single-linkage, insertion-order independent), so the closed set
+    equals batch sessionization of the non-late events — which is the
+    DuckDB oracle.  Partition = user_id % 8, arrival = event_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.streaming import streaming_sessions
+    from rayspatial.util import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "value_cents": pc.cast(pc.round(
+                pc.multiply(b.column("value"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return streaming_sessions(ev, gap_s=3600, lateness_s=1800,
+                              num_partitions=8)
+
+
 def _q_value_outliers(sf_dir: str):
     """Robust per-user anomaly detection (ops/quantile.mad_outliers):
     events whose cents value deviates from the user's exact median by
@@ -2991,6 +3022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "png_features": _q_png_features,
         "value_outliers": _q_value_outliers,
+        "streaming_sessions": _q_streaming_sessions,
     }
 
 
@@ -4161,5 +4193,26 @@ def oracle_sql() -> dict[str, str]:
             "user_id) AS n FROM d) WHERE rn = (50 * n + 99) // 100) "
             "SELECT d.user_id, d.event_id, d.cents, d.med, md.mad "
             "FROM d JOIN md USING(user_id) WHERE d.dev > 3 * md.mad"
+        ),
+        "streaming_sessions": (
+            "WITH base AS (SELECT user_id % 8 AS part, user_id, "
+            "event_id, epoch_us(ts) AS us, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "l AS (SELECT *, MAX(us) OVER (PARTITION BY part "
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS prior_max FROM base), "
+            "f AS (SELECT * FROM l WHERE prior_max IS NULL "
+            "OR us >= prior_max - 1800000000), "
+            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY "
+            "user_id ORDER BY us, event_id) > 3600000000 THEN 1 "
+            "ELSE 0 END AS brk FROM f), "
+            "sid AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM s) "
+            "SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us, "
+            "CAST(MAX(us) AS BIGINT) AS session_end_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value "
+            "FROM sid GROUP BY user_id, sess"
         ),
     }

@@ -701,3 +701,135 @@ def streaming_dedup(events_ds, ttl_s: int, lateness_s: int,
 
     ds = events_ds.map_batches(add_part, batch_format="pyarrow")
     return hash_partitioned_agg(ds, ["_spart"], replay)
+
+
+class StreamingSessionizer:
+    """Streaming SESSION windows for ONE partition: gap-based sessions
+    over an out-of-order event stream, emitted as soon as the
+    watermark guarantees no future event can extend them.
+
+    Out-of-order events inside the lateness horizon may extend a
+    session backwards or MERGE two open sessions, so per-key state is
+    a list of open [start, end, n, sum] intervals maintained under
+    single-linkage gap clustering — which is insertion-order
+    independent, so the closed sessions equal batch sessionization
+    (ops/window.sessionize) over the non-late event subset, the
+    property the SQL oracle checks.  A session closes when
+    ``watermark > end + gap`` (any future non-late event has
+    ts >= watermark and so cannot join).  Late arrivals (behind the
+    per-partition watermark) drop and are counted."""
+
+    def __init__(self, gap_s: int, lateness_s: int):
+        self.gap_us = gap_s * 1_000_000
+        self.lateness_us = lateness_s * 1_000_000
+        self.open: dict = {}            # key -> list of [s, e, n, sum]
+        self.watermark = -np.inf
+        self.late_dropped = 0
+
+    def process(self, keys: np.ndarray, ts_us: np.ndarray,
+                values: np.ndarray) -> list[tuple]:
+        """Consume arrival-ordered events; return closed-session rows
+        (key, start_us, end_us, n_events, sum_value)."""
+        prior_max = np.maximum.accumulate(
+            np.concatenate([[np.int64(-(2 ** 62))], ts_us[:-1]]))
+        wm = prior_max - self.lateness_us
+        if self.watermark > -np.inf:
+            wm = np.maximum(wm, int(self.watermark))
+        late = ts_us < wm
+        self.late_dropped += int(late.sum())
+        g = self.gap_us
+        for k, t, v in zip(keys[~late], ts_us[~late], values[~late]):
+            t = int(t)
+            ivs = self.open.setdefault(k, [])
+            hit = [i for i, iv in enumerate(ivs)
+                   if iv[0] - g <= t <= iv[1] + g]
+            if not hit:
+                ivs.append([t, t, 1, int(v)])
+            else:
+                first = hit[0]
+                iv = ivs[first]
+                iv[0] = min(iv[0], t)
+                iv[1] = max(iv[1], t)
+                iv[2] += 1
+                iv[3] += int(v)
+                for i in reversed(hit[1:]):     # merge chained sessions
+                    o = ivs.pop(i)
+                    iv[0] = min(iv[0], o[0])
+                    iv[1] = max(iv[1], o[1])
+                    iv[2] += o[2]
+                    iv[3] += o[3]
+        if len(ts_us):
+            self.watermark = max(self.watermark,
+                                 int(ts_us.max()) - self.lateness_us)
+        return self._close(self.watermark)
+
+    def _close(self, wm) -> list[tuple]:
+        out = []
+        for k in list(self.open):
+            keep = []
+            for s, e, n, sm in self.open[k]:
+                if wm > e + self.gap_us:
+                    out.append((k, s, e, n, sm))
+                else:
+                    keep.append([s, e, n, sm])
+            if keep:
+                self.open[k] = keep
+            else:
+                del self.open[k]
+        return out
+
+    def flush(self) -> list[tuple]:
+        """End-of-stream: emit every still-open session."""
+        out = [(k, s, e, n, sm)
+               for k, ivs in self.open.items() for s, e, n, sm in ivs]
+        self.open.clear()
+        return out
+
+
+def streaming_sessions(events_ds, gap_s: int, lateness_s: int,
+                       num_partitions: int = 8, chunk: int = 256,
+                       part_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       value_col: str = "value_cents"):
+    """-> closed sessions (part_col, session_start_us, session_end_us,
+    n_events, sum_value) from a per-partition streaming replay
+    (partition = ``part_col % num_partitions``, arrival = ``id_col`` —
+    the SQL-reproducible scope shared by every streaming oracle here).
+    Equals batch sessionization of the non-late event subset."""
+    from rayspatial.util import hash_partitioned_agg
+
+    P = num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "_spart": pa.array(
+                (batch.column(part_col).to_numpy() % P).astype(np.int64)),
+            part_col: batch.column(part_col),
+            id_col: batch.column(id_col),
+            "ts_us": us,
+            value_col: batch.column(value_col),
+        })
+
+    def replay(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, gdf in df.groupby("_spart", sort=True):
+            gdf = gdf.sort_values(id_col, kind="stable")
+            keys = gdf[part_col].to_numpy()
+            ts = gdf["ts_us"].to_numpy()
+            vals = gdf[value_col].to_numpy()
+            ss = StreamingSessionizer(gap_s, lateness_s)
+            for s in range(0, len(gdf), chunk):
+                rows.extend(ss.process(keys[s:s + chunk],
+                                       ts[s:s + chunk], vals[s:s + chunk]))
+            rows.extend(ss.flush())
+        out = pd.DataFrame(
+            rows, columns=[part_col, "session_start_us", "session_end_us",
+                           "n_events", "sum_value"])
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out.sort_values([part_col, "session_start_us"],
+                               kind="stable")
+
+    ds = events_ds.map_batches(add_part, batch_format="pyarrow")
+    return hash_partitioned_agg(ds, ["_spart"], replay)

@@ -394,3 +394,95 @@ def test_streaming_dedup_dataset_matches_serial(ray_session):
             part_col="user_id", key_cols=["user_id", "event_type"],
         ).to_pandas()
         assert sorted(out["event_id"]) == sorted(exp_ids), parts
+
+
+# -------------------------------------------------- session windows
+
+
+def test_streaming_sessionizer_merges_and_matches_batch():
+    """Closed+flushed sessions equal batch gap-sessionization of the
+    non-late subset, chunk-size invariant, including an out-of-order
+    event that MERGES two open sessions."""
+    from rayspatial.ops.streaming import StreamingSessionizer
+
+    def batch_sessions(keys, ts, vals):
+        df = pd.DataFrame({"k": keys, "t": ts, "v": vals}).sort_values(
+            ["k", "t"], kind="stable")
+        out = []
+        for k, g in df.groupby("k"):
+            t = g["t"].to_numpy()
+            v = g["v"].to_numpy()
+            brk = np.ones(len(t), bool)
+            brk[1:] = np.diff(t) > GAP_US
+            sid = np.cumsum(brk) - 1
+            for s in range(sid[-1] + 1):
+                m = sid == s
+                out.append((k, int(t[m].min()), int(t[m].max()),
+                            int(m.sum()), int(v[m].sum())))
+        return sorted(out)
+
+    GAP_US = 100
+    rng = np.random.default_rng(17)
+    n = 2500
+    keys = rng.integers(0, 10, n)
+    ts = (np.arange(n) * 7 + rng.integers(-60, 60, n)).astype(np.int64)
+    vals = rng.integers(0, 9, n).astype(np.int64)
+    # explicit merge case: two bursts 150 apart for key 99, then a
+    # bridging event between them arriving later (within lateness)
+    keys = np.concatenate([keys, [99, 99, 99]])
+    ts = np.concatenate([ts, [ts.max() + 1000, ts.max() + 1150,
+                              ts.max() + 1075]])
+    vals = np.concatenate([vals, [1, 1, 1]])
+
+    # serial: which events are late at arrival (per full stream)?
+    wm = -np.inf
+    keep = []
+    lateness = 50 * 1_000_000 // 1_000_000  # 50 us horizon
+    for t in ts:
+        keep.append(t >= wm)
+        wm = max(wm, t - 50)
+    keep = np.array(keep)
+    exp = batch_sessions(keys[keep], ts[keep], vals[keep])
+    n_late = int((~keep).sum())
+
+    for chunk in (1, 173, len(ts)):
+        ss = StreamingSessionizer(gap_s=0, lateness_s=0)
+        ss.gap_us, ss.lateness_us = 100, 50        # sub-second grid
+        rows = []
+        for s in range(0, len(ts), chunk):
+            rows.extend(ss.process(keys[s:s + chunk], ts[s:s + chunk],
+                                   vals[s:s + chunk]))
+        closed_early = len(rows)
+        rows.extend(ss.flush())
+        assert sorted(rows) == exp, chunk
+        assert ss.late_dropped == n_late
+        if chunk == 1:
+            assert closed_early > 0    # sessions DO close mid-stream
+
+
+def test_streaming_sessions_dataset_oracle_shape(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.streaming import streaming_sessions
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((np.arange(n) * 1_000_000
+                        + rng.integers(-5_000_000, 5_000_000, n)
+                        ).astype(np.int64)).cast(pa.timestamp("us")),
+        "value_cents": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+    })
+    outs = []
+    for parts in (1, 5):
+        out = streaming_sessions(
+            rd.from_arrow(t).repartition(parts), gap_s=3, lateness_s=2,
+            num_partitions=4, chunk=97,
+        ).to_pandas().sort_values(
+            ["user_id", "session_start_us"]).reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["session_end_us"] >= outs[0]["session_start_us"]).all()
+    assert outs[0]["n_events"].sum() <= n  # late events dropped
