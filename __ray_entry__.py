@@ -2552,6 +2552,32 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_cm_term_counts(sf_dir: str):
+    """Count-Min sketch term-frequency estimates (ops/cmsketch.py):
+    one streaming pass over tokenized docs emits fixed dense grids per
+    block (keys never shuffle); estimates for a fixed probe-term list.
+    Rows-only check (the estimate depends on the sketch's hash layout,
+    not SQL-expressible); the one-sided >= contract is pytest."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.cmsketch import cm_sketch
+    from rayspatial.textops.hashing import hash_strings, split_words
+
+    def terms(batch: pa.Table) -> pa.Table:
+        words, _ = split_words(batch.column("text"))
+        return pa.table({"term": words})
+
+    ds = _docs(sf_dir, rows_per_block=512).map_batches(
+        terms, batch_format="pyarrow")
+    sk = cm_sketch(ds, "term", width=4096, depth=5)
+    probes = ["join", "hash", "merge", "sort", "window",
+              "scan", "filter", "nosuchterm"]
+    est = sk.estimate(hash_strings(pa.array(probes)))
+    return pa.table({"term": pa.array(probes),
+                     "est_count": pa.array(est.astype(np.int64))})
+
+
 def _q_streaming_sessions(sf_dir: str):
     """Streaming SESSION windows (ops/streaming.StreamingSessionizer):
     gap-closed sessions emitted when the watermark passes end + gap;
@@ -3023,6 +3049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_features": _q_png_features,
         "value_outliers": _q_value_outliers,
         "streaming_sessions": _q_streaming_sessions,
+        "cm_term_counts": _q_cm_term_counts,
     }
 
 
