@@ -2552,6 +2552,56 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_user_twap(sf_dir: str):
+    """Time-weighted average (TWAP) per user, integer-exact: each
+    event's cents value weighted by its holding interval (next event's
+    ts minus its own); emits the (numerator, denominator) pair so no
+    float division exists anywhere.  ONE hash exchange; lead/diff and
+    the group sums happen together in the co-located pass."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "us": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pc.cast(pc.round(
+                pc.multiply(b.column("value"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["us"].to_numpy()
+        v = df["cents"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[:-1] = u[:-1] == u[1:]
+        dt = np.zeros(len(df), dtype=np.int64)
+        dt[:-1] = t[1:] - t[:-1]
+        contrib = np.where(same, v * dt, 0)
+        out = (pd.DataFrame({"user_id": u, "num": contrib, "t": t})
+               .groupby("user_id", sort=True)
+               .agg(twap_num_e6=("num", "sum"), tmin=("t", "min"),
+                    tmax=("t", "max")).reset_index())
+        out["twap_num_e6"] = out["twap_num_e6"].astype(np.int64)
+        out["twap_den_us"] = (out["tmax"] - out["tmin"]).astype(np.int64)
+        return out[["user_id", "twap_num_e6", "twap_den_us"]]
+
+    return hash_partitioned_agg(ev, ["user_id"], per_partition)
+
+
 def _q_cm_term_counts(sf_dir: str):
     """Count-Min sketch term-frequency estimates (ops/cmsketch.py):
     one streaming pass over tokenized docs emits fixed dense grids per
@@ -3050,6 +3100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q_value_outliers,
         "streaming_sessions": _q_streaming_sessions,
         "cm_term_counts": _q_cm_term_counts,
+        "user_twap": _q_user_twap,
     }
 
 
@@ -4241,5 +4292,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_value "
             "FROM sid GROUP BY user_id, sess"
+        ),
+        "user_twap": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "w AS (SELECT *, LEAD(us) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id) AS nxt FROM e) "
+            "SELECT user_id, "
+            "CAST(COALESCE(SUM(cents * (nxt - us)), 0) AS BIGINT) "
+            "AS twap_num_e6, "
+            "CAST(MAX(us) - MIN(us) AS BIGINT) AS twap_den_us "
+            "FROM w GROUP BY 1"
         ),
     }
