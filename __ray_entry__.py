@@ -2552,6 +2552,75 @@ def _q_streaming_dedup(sf_dir: str):
         part_col="user_id", key_cols=["user_id", "event_type"])
 
 
+def _q_stream_knn_join(sf_dir: str):
+    """Distributed STREAM kNN join (the Stream-KNN-Join shape, PAPERS
+    SIGMOD'21): for every surviving purchase, the k=3 clicks of the
+    same user inside [-30 min, +30 min] whose cents value is nearest —
+    composition of the watermarked interval join (candidate pairs),
+    size-gated broadcast value attach, and a per-left bounded top-k
+    (head(k) per group, one exchange).  No stage ever ranks more than
+    one window's candidates."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.ops.streaming import streaming_interval_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def only(kind):
+        def fn(batch):
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+        return fn
+
+    pur = ds.map_batches(only("purchase"), batch_format="pyarrow")
+    clk = ds.map_batches(only("click"), batch_format="pyarrow")
+    pairs = streaming_interval_join(
+        pur, clk, before_s=1800, after_s=1800, lateness_s=600,
+        num_partitions=8)
+    cents = ds.map_batches(
+        lambda b: pa.table({
+            "eid": b.column("event_id"),
+            "cents": pc.cast(pc.round(
+                pc.multiply(b.column("value"), 100.0),
+                round_mode="half_towards_infinity"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice (left + right attach)
+    pairs = pairs.map_batches(
+        lambda b: pa.table({"l_id": b.column("l_id"),
+                            "r_id": b.column("r_id")}),
+        batch_format="pyarrow")
+    withr = hash_join(
+        pairs, cents.map_batches(
+            lambda b: b.rename_columns(["r_id", "r_cents"]),
+            batch_format="pyarrow"),
+        on="r_id", left_cols=["l_id", "r_id"], right_cols=["r_cents"],
+        mode="broadcast")
+    both = hash_join(
+        withr, cents.map_batches(
+            lambda b: b.rename_columns(["l_id", "l_cents"]),
+            batch_format="pyarrow"),
+        on="l_id", left_cols=["l_id", "r_id", "r_cents"],
+        right_cols=["l_cents"], mode="broadcast")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dist"] = np.abs(df["l_cents"].to_numpy()
+                            - df["r_cents"].to_numpy()).astype(np.int64)
+        df = df.sort_values(["l_id", "dist", "r_id"], kind="stable")
+        out = df.groupby("l_id", sort=False).head(3)
+        return out[["l_id", "r_id", "dist"]]
+
+    return hash_partitioned_agg(both, ["l_id"], topk)
+
+
 def _q_user_twap(sf_dir: str):
     """Time-weighted average (TWAP) per user, integer-exact: each
     event's cents value weighted by its holding interval (next event's
@@ -3101,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessions": _q_streaming_sessions,
         "cm_term_counts": _q_cm_term_counts,
         "user_twap": _q_user_twap,
+        "stream_knn_join": _q_stream_knn_join,
     }
 
 
@@ -4292,6 +4362,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_value "
             "FROM sid GROUP BY user_id, sess"
+        ),
+        "stream_knn_join": (
+            "WITH lw AS (SELECT user_id % 8 AS part, user_id, event_id, "
+            "epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS c, "
+            "MAX(epoch_us(ts)) OVER (PARTITION BY "
+            "user_id % 8 ORDER BY event_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING) AS pm FROM events "
+            "WHERE event_type = 'purchase'), "
+            "lk AS (SELECT * FROM lw WHERE pm IS NULL OR t >= pm - 600000000), "
+            "rw AS (SELECT user_id % 8 AS part, user_id, event_id, "
+            "epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS c, "
+            "MAX(epoch_us(ts)) OVER (PARTITION BY "
+            "user_id % 8 ORDER BY event_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING) AS pm FROM events "
+            "WHERE event_type = 'click'), "
+            "rk AS (SELECT * FROM rw WHERE pm IS NULL OR t >= pm - 600000000), "
+            "p AS (SELECT lk.event_id AS l_id, rk.event_id AS r_id, "
+            "ABS(lk.c - rk.c) AS dist "
+            "FROM lk JOIN rk ON lk.user_id = rk.user_id "
+            "AND rk.t BETWEEN lk.t - 1800000000 AND lk.t + 1800000000), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_id "
+            "ORDER BY dist, r_id) AS rn FROM p) "
+            "SELECT l_id, r_id, CAST(dist AS BIGINT) AS dist "
+            "FROM r WHERE rn <= 3"
         ),
         "user_twap": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
