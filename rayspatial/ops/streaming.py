@@ -717,7 +717,14 @@ class StreamingSessionizer:
     property the SQL oracle checks.  A session closes when
     ``watermark > end + gap`` (any future non-late event has
     ts >= watermark and so cannot join).  Late arrivals (behind the
-    per-partition watermark) drop and are counted."""
+    per-partition watermark) drop and are counted.
+
+    Hot keys: a key's events all land in its ``key % P`` partition;
+    state stays bounded (open sessions only) but replay wall time is
+    that partition's share of the stream — a single pathological key
+    needs the batch path's salted stitcher (ops/window.
+    sessionize_salted: time-bucket salt + boundary-session stitch),
+    whose two-pass argument carries over to a live deployment."""
 
     def __init__(self, gap_s: int, lateness_s: int):
         self.gap_us = gap_s * 1_000_000
