@@ -1,22 +1,24 @@
 """Distributed triangle counting (graph analytics next to
 ops/pagerank.py and textops/components.py).
 
-Compact-forward / node-iterator shape, three bounded exchanges:
+Compact-forward / node-iterator shape, TWO bounded exchanges:
 
-1. canonicalize: every directed edge becomes the undirected pair
-   ``(a, b) = (min, max)``, self-loops drop, duplicates collapse in a
-   hash-partitioned dedup (16-byte rows).
-2. wedge generation: one hash exchange by the LOW endpoint; each
-   partition emits, per node, every ordered neighbor pair
+1. canonicalize + dedup + wedge generation fused in one hash exchange
+   by the LOW endpoint (dedup and wedges share the partitioning key):
+   every directed edge becomes the undirected ``(a, b) = (min, max)``
+   pair (self-loops drop, duplicates collapse per partition), then
+   each partition emits, per node, every ordered neighbor pair
    ``(b, c), b < c`` — a vectorized stride sweep (loop over pair
    distance, each step one numpy mask over the partition), never a
-   per-node Python loop.  Wedge count is sum_a d(a)^2/2 on the
-   min-endpoint orientation — the standard mitigation for skewed
-   degree is orienting by (degree, id); with id orientation a hot
-   MAX-degree hub contributes no wedges unless it is the smallest id,
-   which the caller can arrange by renumbering ids by descending
-   degree (documented contract, cheap at ingest).
-3. closure test: a wedge (b, c) is a triangle iff the edge (b, c)
+   per-node Python loop.  Deduped edge keys and wedge keys leave the
+   pass side-tagged in one (materialized, spillable) table.  Wedge
+   count is sum_a d(a)^2/2 on the min-endpoint orientation — the
+   standard mitigation for skewed degree is orienting by (degree, id);
+   with id orientation a hot MAX-degree hub contributes no wedges
+   unless it is the smallest id, which the caller can arrange by
+   renumbering ids by descending degree (documented contract, cheap at
+   ingest).
+2. closure test: a wedge (b, c) is a triangle iff the edge (b, c)
    exists — ONE semi-join on the packed ``b * 2^32 + c`` key
    (ops/relational.semi_join, hash co-location, no broadcast), then a
    two-level count reduce.
@@ -56,47 +58,55 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
 
     canon_ds = edges_ds.map_batches(canon, batch_format="pyarrow")
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates().sort_values(["a", "b"], kind="stable")
-
-    edges = hash_partitioned_agg(canon_ds, ["a"], dedup,
-                                 num_partitions=num_partitions)
-
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        # rows sorted by (a, b); neighbors of each a are contiguous.
-        # stride sweep: pair row r with row r+o while both share `a` —
-        # o runs to the partition's max degree, each step vectorized.
-        df = df.sort_values(["a", "b"], kind="stable")
+    def dedup_and_wedge(df: pd.DataFrame) -> pd.DataFrame:
+        """One co-located pass per a-partition: dedup, then the wedge
+        stride sweep (pair row r with row r+o while both share `a`; o
+        runs to the partition's max degree, each step one numpy mask)
+        — dedup and wedge generation share the same partitioning key,
+        so fusing them saves a whole all-to-all.  Output rows carry a
+        side tag: 0 = deduped edge key (for the closure probe),
+        1 = wedge key."""
+        df = df.drop_duplicates().sort_values(["a", "b"], kind="stable")
         a = df["a"].to_numpy()
         b = df["b"].to_numpy()
         outs_b, outs_c = [], []
         o = 1
-        while True:
-            if o >= len(a):
-                break
+        while o < len(a):
             same = a[:-o] == a[o:]
             if not same.any():
                 break
             outs_b.append(b[:-o][same])
             outs_c.append(b[o:][same])
             o += 1
-        if not outs_b:
-            return pd.DataFrame({"key": np.array([], dtype=np.int64)})
-        wb = np.concatenate(outs_b)
-        wc = np.concatenate(outs_c)
-        return pd.DataFrame({"key": wb * _PACK + wc})
+        ekeys = a * _PACK + b
+        if outs_b:
+            wkeys = np.concatenate(outs_b) * _PACK + np.concatenate(outs_c)
+        else:
+            wkeys = np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "key": np.concatenate([ekeys, wkeys]),
+            "side": np.concatenate([
+                np.zeros(len(ekeys), np.int8),
+                np.ones(len(wkeys), np.int8)]).astype(np.int64),
+        })
 
-    wedge_ds = hash_partitioned_agg(edges, ["a"], wedges,
-                                    num_partitions=num_partitions)
+    # materialize once: both closure sides read it, and the lazy plan
+    # would otherwise re-run canon + dedup + wedge per consumer
+    tagged = hash_partitioned_agg(canon_ds, ["a"], dedup_and_wedge,
+                                  num_partitions=num_partitions
+                                  ).materialize()
 
-    def edge_keys(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": pa.array(
-            batch.column("a").to_numpy() * _PACK
-            + batch.column("b").to_numpy())})
+    def split(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    closed = semi_join(wedge_ds, edges.map_batches(
-        edge_keys, batch_format="pyarrow"), "key", ["key"],
-        num_partitions=num_partitions)
+            return batch.filter(
+                pc.equal(batch.column("side"), side)).select(["key"])
+        return fn
+
+    closed = semi_join(tagged.map_batches(split(1), batch_format="pyarrow"),
+                       tagged.map_batches(split(0), batch_format="pyarrow"),
+                       "key", ["key"], num_partitions=num_partitions)
 
     def partial(batch: pa.Table) -> pa.Table:
         return pa.table({"n_triangles": pa.array([len(batch)], pa.int64())})
