@@ -3049,6 +3049,324 @@ def _q_bm25_topk(sf_dir: str):
         ["join", "hash", "merge", "sort", "window"], k=20)
 
 
+def _events_us(sf_dir: str, extra: list[str] | None = None):
+    """events with ts as epoch-us int64 + exact cent-quantized value —
+    the shared prep for the round-4 analytic queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.util import read_parquet_sized
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    return read_parquet_sized(f"{sf_dir}/events.parquet",
+                              columns=cols).map_batches(
+        prep, batch_format="pyarrow")
+
+
+def _q_part_skyline(sf_dir: str):
+    """Distributed Pareto frontier (ops/advanced.skyline): parts where
+    no other part is both cheaper and larger — per-block vectorized
+    frontier prune, one tiny final exchange of the survivors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.advanced import skyline
+    from rayspatial.util import read_parquet_sized
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(b.column("p_retailprice"), 100.0),
+                         round_mode="half_towards_infinity"), pa.int64()),
+            "p_size": pc.cast(b.column("p_size"), pa.int64()),
+        })
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return skyline(ds, ["price_cents", "p_size"],
+                   maximize=[False, True]).sort(
+        ["price_cents", "p_size", "p_partkey"])
+
+
+def _q_peak_concurrency(sf_dir: str):
+    """Interval max-concurrency sweep (ops/advanced.max_concurrency):
+    each event opens a [ts, ts + (cents % 7200 + 60) s) interval; the
+    exact distributed +-1 sweep (range-partitioned on quantile splits,
+    bounded one-triple-per-partition gather) reports the peak and the
+    first instant it is reached."""
+    import pyarrow as pa
+
+    from rayspatial.ops.advanced import max_concurrency
+
+    def iv(b: pa.Table) -> pa.Table:
+        s = b.column("ts_us").to_numpy()
+        dur = (b.column("cents").to_numpy() % 7200 + 60) * 1_000_000
+        return pa.table({"s": pa.array(s), "e": pa.array(s + dur)})
+
+    ds = _events_us(sf_dir).map_batches(iv, batch_format="pyarrow")
+    r = max_concurrency(ds, "s", "e")
+    return pa.table({
+        "max_concurrent": pa.array([r["max_concurrent"]], pa.int64()),
+        "at_ts_us": pa.array([r["at_ts"]], pa.int64()),
+    })
+
+
+def _q_user_mode_event(sf_dir: str):
+    """Per-user MODE event type (ops/advanced.mode_by_group): map-side
+    (user, type) pre-counts shrink the exchange to the key domain, one
+    hash shuffle finishes the deterministic argmax (ties -> smallest)."""
+    from rayspatial.ops.advanced import mode_by_group
+
+    return mode_by_group(
+        _events_us(sf_dir), ["user_id"], "event_type").sort("user_id")
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's ordered
+    event stream (ops/advanced.transition_counts): one hash shuffle
+    co-locates users, lag + pair-count vectorized per partition, tiny
+    (5x5 here) state-pair partials fold in one final task."""
+    import pyarrow as pa
+
+    from rayspatial.ops.advanced import transition_counts
+
+    out = transition_counts(_events_us(sf_dir), "user_id",
+                            ["ts_us", "event_id"], "event_type")
+    return out.map_batches(
+        lambda b: b.rename_columns(["prev_type", "next_type", "n"]),
+        batch_format="pyarrow")
+
+
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority) over orders in one pass
+    (ops/advanced.cube_agg): the map side emits all 2^k subset partials,
+    one level-tagged hash shuffle finishes every cube cell together."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.advanced import cube_agg
+    from rayspatial.util import read_parquet_sized
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), 100.0),
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = cube_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
+    return out.sort(["o_orderstatus", "o_orderpriority"])
+
+
+def _q_value_hour_moments(sf_dir: str):
+    """Mergeable bivariate moments per event type
+    (ops/advanced.grouped_moments): integer-exact n / sum(x) / sum(y) /
+    sum(xy) + covariance numerator for (value cents, hour-of-day) —
+    map-side partials, one tiny exchange."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.advanced import grouped_moments
+
+    def xy(b: pa.Table) -> pa.Table:
+        us = b.column("ts_us").to_numpy()
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "x": b.column("cents"),
+            "y": pa.array(hour.astype(np.int64)),
+        })
+
+    ds = _events_us(sf_dir).map_batches(xy, batch_format="pyarrow")
+    return grouped_moments(ds, ["event_type"], "x", "y").sort("event_type")
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape: local-supplier revenue per ASIA nation for one
+    order year.  Dimension chain (region -> nation -> supplier /
+    customer) broadcast once; orders x customer via the size-gated
+    broadcast hash_join; lineitem never shuffles — it probes the
+    orders map and the supplier map streaming, then two-level partial
+    aggregation by nation.  Exact 1e-4-cent revenue units."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import read_parquet_sized
+
+    lo, hi = np.datetime64("1997-01-01"), np.datetime64("1998-01-01")
+
+    nat = read_parquet_sized(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = read_parquet_sized(f"{sf_dir}/region.parquet").to_pandas()
+    asia = set(reg.loc[reg.r_name == "ASIA", "r_regionkey"])
+    nat = nat[nat.n_regionkey.isin(asia)]
+    names = {int(k): str(v) for k, v in zip(nat.n_nationkey, nat.n_name)}
+
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup.s_nationkey.isin(names)]
+    sup_ref = ray.put(dict(zip(sup.s_suppkey.astype(np.int64),
+                               sup.s_nationkey.astype(np.int64))))
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("c_nationkey"),
+                        value_set=pa.array(sorted(names), pa.int32()))
+        t = b.filter(keep)
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "c_nat": pc.cast(t.column("c_nationkey"), pa.int64()),
+        })
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_prep, batch_format="pyarrow")
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy()
+        t = b.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table({"orderkey": t.column("o_orderkey"),
+                         "custkey": t.column("o_custkey")})
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    ord_nat = hash_join(orders, cust, on="custkey",
+                        left_cols=["orderkey", "custkey"],
+                        right_cols=["c_nat"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price_c = np.round(
+            b.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round(
+            b.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "orderkey": b.column("l_orderkey"),
+            "suppkey": b.column("l_suppkey"),
+            "rev_e4": pa.array(price_c * (100 - disc_pct)),
+        })
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = hash_join(li, ord_nat, on="orderkey",
+                       left_cols=["orderkey", "suppkey", "rev_e4"],
+                       right_cols=["c_nat"])
+
+    def _gather_map(m: dict, keys: np.ndarray) -> np.ndarray:
+        # vectorized dict probe: sorted-key searchsorted, miss -> -1
+        if not m:
+            return np.full(len(keys), -1, np.int64)
+        ks = np.fromiter(m.keys(), np.int64, len(m))
+        vs = np.fromiter(m.values(), np.int64, len(m))
+        o = np.argsort(ks)
+        ks, vs = ks[o], vs[o]
+        pos = np.searchsorted(ks, keys)
+        pos[pos >= len(ks)] = 0
+        return np.where(ks[pos] == keys, vs[pos], -1).astype(np.int64)
+
+    def local_nat(b: pa.Table) -> pa.Table:
+        sm = ray.get(sup_ref)
+        sk = b.column("suppkey").to_numpy()
+        s_nat = _gather_map(sm, sk)
+        keep = s_nat == b.column("c_nat").to_numpy()
+        df = pd.DataFrame({"nat": s_nat[keep],
+                           "revenue_e4": b.column("rev_e4").to_numpy()[keep]})
+        out = df.groupby("nat", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = joined.map_batches(local_nat, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue_e4": pa.array([], pa.int64())})
+    agg = parts.groupby("nat").sum().reset_index()
+    agg["n_name"] = agg["nat"].map(names)
+    agg = agg.sort_values("n_name", ignore_index=True)
+    out = pa.table({
+        "n_name": pa.array(agg["n_name"], pa.string()),
+        "revenue_e4": pa.array(agg["revenue_e4"].astype(np.int64)),
+    })
+    return out
+
+
+def _q_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size) via
+    lineitem — map-side (partkey, suppkey) pair dedup shrinks the
+    exchange, part attributes attach through the size-gated broadcast
+    join, one hash shuffle by (brand, size) finishes the exact
+    distinct count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"partkey": b.column("l_partkey").to_numpy(),
+                           "suppkey": b.column("l_suppkey").to_numpy()})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    pairs = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"],
+    ).map_batches(pair_dedup, batch_format="pyarrow")
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "partkey": b.column("p_partkey"),
+            "p_brand": b.column("p_brand"),
+            "p_size": pc.cast(b.column("p_size"), pa.int64()),
+        })
+
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(part_prep, batch_format="pyarrow")
+
+    attached = hash_join(pairs, part, on="partkey",
+                         left_cols=["suppkey"],
+                         right_cols=["p_brand", "p_size"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["p_brand", "p_size"], sort=False)["suppkey"]
+               .nunique().rename("supplier_cnt").reset_index())
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        return out
+
+    return hash_partitioned_agg(attached, ["p_brand", "p_size"],
+                                finish).sort(["p_brand", "p_size"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -3171,6 +3489,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_term_counts": _q_cm_term_counts,
         "user_twap": _q_user_twap,
         "stream_knn_join": _q_stream_knn_join,
+        "part_skyline": _q_part_skyline,
+        "peak_concurrency": _q_peak_concurrency,
+        "user_mode_event": _q_user_mode_event,
+        "event_transitions": _q_event_transitions,
+        "orders_cube": _q_orders_cube,
+        "value_hour_moments": _q_value_hour_moments,
+        "tpch_q5": _q_tpch_q5,
+        "supplier_cnt": _q_supplier_cnt,
     }
 
 
@@ -4397,5 +4723,85 @@ def oracle_sql() -> dict[str, str]:
             "AS twap_num_e6, "
             "CAST(MAX(us) - MIN(us) AS BIGINT) AS twap_den_us "
             "FROM w GROUP BY 1"
+        ),
+        "part_skyline": (
+            "WITH p AS (SELECT p_partkey, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, "
+            "CAST(p_size AS BIGINT) AS p_size FROM part) "
+            "SELECT p_partkey, price_cents, p_size FROM p a "
+            "WHERE NOT EXISTS (SELECT 1 FROM p b "
+            "WHERE b.price_cents <= a.price_cents "
+            "AND b.p_size >= a.p_size "
+            "AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)) "
+            "ORDER BY price_cents, p_size, p_partkey"
+        ),
+        "peak_concurrency": (
+            "WITH iv AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + "
+            "((CAST(round(value * 100) AS BIGINT) % 7200) + 60) * 1000000 "
+            "AS e FROM events), "
+            "d AS (SELECT s AS t, 1 AS dd FROM iv "
+            "UNION ALL SELECT e, -1 FROM iv), "
+            "r AS (SELECT t, SUM(dd) OVER (ORDER BY t, dd "
+            "ROWS UNBOUNDED PRECEDING) AS run FROM d) "
+            "SELECT CAST(run AS BIGINT) AS max_concurrent, "
+            "CAST(t AS BIGINT) AS at_ts_us FROM r "
+            "ORDER BY run DESC, t ASC LIMIT 1"
+        ),
+        "user_mode_event": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, event_type ASC) AS rn FROM c) "
+            "SELECT user_id, event_type AS mode_value, n AS mode_count "
+            "FROM r WHERE rn = 1 ORDER BY user_id"
+        ),
+        "event_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS prev_type, event_type AS next_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "orders_cube": (
+            "SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' "
+            "ELSE o_orderstatus END AS o_orderstatus, "
+            "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' "
+            "ELSE o_orderpriority END AS o_orderpriority, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_v, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+            "ORDER BY 1, 2"
+        ),
+        "value_hour_moments": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS x, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, "
+            "CAST(SUM(y) AS BIGINT) AS sum_y, "
+            "CAST(SUM(x * y) AS BIGINT) AS sum_xy, "
+            "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) "
+            "AS cov_num FROM e GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q5": (
+            "SELECT n_name, CAST(SUM("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= DATE '1997-01-01' "
+            "AND o_orderdate < DATE '1998-01-01' "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "supplier_cnt": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }

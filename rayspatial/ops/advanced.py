@@ -1,0 +1,360 @@
+"""Advanced relational / analytic operators: Pareto skyline, interval
+max-concurrency sweep, per-group mode, Markov transition counts, CUBE
+aggregation, and mergeable covariance moments.
+
+All operators follow the engine's scale rules: partial aggregation
+inside ``map_batches`` before any exchange, bounded gathers (one small
+tuple per partition, never the data), and integer-exact arithmetic so
+driver oracles hash-match bit-for-bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["skyline", "max_concurrency", "mode_by_group",
+           "transition_counts", "cube_agg", "grouped_moments"]
+
+
+# ---------------------------------------------------------------- skyline
+
+def _local_skyline(vals: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Row indices of the Pareto frontier of ``vals`` (n x d, float64,
+    ALL objectives minimized).  Dominance: a dominates b iff a <= b on
+    every column and a < b on at least one.
+
+    Vectorized frontier scan: rows are processed in lexicographic order
+    (a row can only be dominated by a lexicographically earlier row),
+    in chunks — each chunk is tested against the accumulated frontier
+    with one broadcast compare, then within-chunk dominance is resolved
+    with one chunk x chunk broadcast.  No per-row Python loop.
+    """
+    n, d = vals.shape
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort(vals.T[::-1])  # sort by col0, then col1, ...
+    sv = vals[order]
+    frontier = np.empty((0, d), dtype=np.float64)
+    keep_sorted: list[np.ndarray] = []
+    for lo in range(0, n, chunk):
+        c = sv[lo:lo + chunk]                      # (m, d)
+        m = len(c)
+        alive = np.ones(m, dtype=bool)
+        if len(frontier):
+            # f dominates c: all(f <= c) and any(f < c)
+            le = (frontier[:, None, :] <= c[None, :, :]).all(axis=2)
+            lt = (frontier[:, None, :] < c[None, :, :]).any(axis=2)
+            alive &= ~(le & lt).any(axis=0)
+        # within-chunk: row i can dominate row j only if i < j (lex
+        # order); dominance is transitive, so even a DEAD dominator is a
+        # valid witness (its own killer dominates j too) — no alive-mask
+        le = (c[:, None, :] <= c[None, :, :]).all(axis=2)
+        lt = (c[:, None, :] < c[None, :, :]).any(axis=2)
+        dom = le & lt & np.tri(m, m, -1, dtype=bool).T  # i<j upper tri
+        alive &= ~dom.any(axis=0)
+        keep_sorted.append(np.flatnonzero(alive) + lo)
+        frontier = np.concatenate([frontier, c[alive]])
+    return order[np.concatenate(keep_sorted)]
+
+
+def skyline(ds, cols: list[str], maximize: list[bool] | None = None,
+            out_cols: list[str] | None = None):
+    """Distributed Pareto frontier (skyline) over objective columns.
+
+    ``maximize[i]`` flips objective i (default: all minimized).  Exact:
+    skyline(S) == skyline(union of per-block skylines), so each block is
+    pruned locally (map_batches, vectorized frontier scan) and only the
+    survivors — typically O(polylog n) rows for independent objectives —
+    move to ONE final task for the exact global pass.  Worst case
+    (fully anti-correlated objectives) the frontier IS the dataset and
+    no algorithm can shrink it; the local prune is still never wrong.
+    Output rows are sorted by the objective columns (deterministic).
+    """
+    maximize = maximize or [False] * len(cols)
+    signs = np.array([-1.0 if m else 1.0 for m in maximize])
+    out_cols = out_cols or None
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        if out_cols:
+            batch = batch.select(out_cols)
+        if not len(batch):
+            return batch
+        vals = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols]) * signs
+        return batch.take(pa.array(_local_skyline(vals)))
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+    # survivors are tiny; finish exactly in one task (not on the driver)
+    final = pruned.repartition(1).map_batches(
+        _prune, batch_size=None, batch_format="pyarrow")
+    return final.sort(cols)
+
+
+# ------------------------------------------------------- max_concurrency
+
+def max_concurrency(ds, start_col: str, end_col: str,
+                    num_parts: int | None = None) -> dict:
+    """Peak number of simultaneously-open ``[start, end)`` intervals
+    (both int64, e.g. epoch micros) and the FIRST instant it is
+    reached.  Exact distributed sweep, TeraSort shape:
+
+    1. flatten to a +-1 delta stream (one map),
+    2. range-partition by (t, delta) on exact quantile splits — equal
+       keys co-locate, and delta=-1 sorts before +1 at equal t so an
+       interval ending at t frees its slot before one starting at t,
+    3. per-partition sort + cumsum; the bounded gather is ONE
+       (sum, max, argmax_t) triple per partition — never the events,
+    4. exclusive prefix of the sums gives each partition's entering
+       offset; global peak = max(offset + local max), earliest t wins.
+
+    Returns ``{"max_concurrent": int, "at_ts": int}``.
+    """
+    import ray
+
+    from rayspatial.ops.quantile import exact_quantiles
+    from rayspatial.util import cluster_cpus
+
+    def _deltas(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col).to_numpy().astype(np.int64)
+        e = batch.column(end_col).to_numpy().astype(np.int64)
+        return pa.table({
+            "t": pa.array(np.concatenate([s, e])),
+            "d": pa.array(np.concatenate([
+                np.ones(len(s), np.int64), -np.ones(len(e), np.int64)])),
+        })
+
+    dl = ds.map_batches(_deltas, batch_format="pyarrow")
+
+    P = num_parts or 2 * cluster_cpus()
+    pcts = sorted({round(i * 100 / P) for i in range(1, P)} - {0, 100})
+    qt = exact_quantiles(dl, "t", pcts) if pcts else None
+    qvals = ([v for v in qt.column("value").to_pylist() if v is not None]
+             if qt is not None else [])
+    splits = np.sort(np.asarray(qvals, np.float64))
+    sref = ray.put(splits)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        sp = ray.get(sref)
+        part = np.searchsorted(sp, batch.column("t").to_numpy(),
+                               side="left").astype(np.int64)
+        return batch.append_column("_part", pa.array(part))
+
+    def _scan(df: pd.DataFrame) -> pa.Table:
+        t = df["t"].to_numpy()
+        d = df["d"].to_numpy()
+        o = np.lexsort((d, t))  # (t asc, d asc): -1 before +1 at equal t
+        run = np.cumsum(d[o])
+        i = int(np.argmax(run))
+        return pa.table({
+            "_part": pa.array([np.int64(df["_part"].iloc[0])]),
+            "s": pa.array([np.int64(run[-1])]),
+            "m": pa.array([np.int64(run[i])]),
+            "at": pa.array([np.int64(t[o][i])]),
+        })
+
+    rows = (dl.map_batches(_assign, batch_format="pyarrow")
+            .groupby("_part").map_groups(_scan, batch_format="pandas")
+            .take_all())
+    if not rows:
+        return {"max_concurrent": 0, "at_ts": None}
+    rows.sort(key=lambda r: r["_part"])
+    best, at, off = -np.inf, None, 0
+    for r in rows:
+        peak = off + r["m"]
+        if peak > best:
+            best, at = peak, r["at"]
+        off += r["s"]
+    return {"max_concurrent": int(best), "at_ts": int(at)}
+
+
+# --------------------------------------------------------- mode_by_group
+
+def mode_by_group(ds, group_cols: list[str], value_col: str,
+                  num_partitions: int | None = None):
+    """Per-group MODE (most frequent value; ties -> smallest value).
+
+    Map side pre-counts (group, value) pairs inside each block — the
+    exchange carries counts, not rows, so a low-cardinality value
+    domain shrinks the shuffle by ~rows/|domain|.  One hash shuffle by
+    group key finishes the argmax.  Output: group_cols + (mode_value,
+    mode_count), SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY n
+    DESC, v ASC) = 1``.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    keys = group_cols + [value_col]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        out = (df.groupby(keys, sort=False).size()
+               .rename("_n").reset_index())
+        out["_n"] = out["_n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(keys, sort=False)["_n"].sum().reset_index())
+        tot = tot.sort_values(group_cols + ["_n", value_col],
+                              ascending=[True] * len(group_cols)
+                              + [False, True], kind="stable")
+        top = tot.groupby(group_cols, sort=False).head(1)
+        top = top.rename(columns={value_col: "mode_value",
+                                  "_n": "mode_count"})
+        top["mode_count"] = top["mode_count"].astype(np.int64)
+        return top.reset_index(drop=True)
+
+    return hash_partitioned_agg(partials, group_cols, _finish,
+                                num_partitions=num_partitions)
+
+
+# ----------------------------------------------------- transition_counts
+
+def transition_counts(ds, part_col: str, order_cols: list[str],
+                      state_col: str, num_partitions: int | None = None):
+    """First-order Markov transition counts: for each entity (ordered by
+    ``order_cols``), count (previous state -> state) pairs, summed over
+    all entities.  One hash shuffle co-locates each entity, the lag and
+    pair-count are vectorized per partition, and the (state x state)
+    partials — a tiny fixed domain — fold in one final task.
+    Output: (prev, next, n) sorted, == SQL ``LAG(state) OVER (PARTITION
+    BY entity ORDER BY ...)`` then GROUP BY.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    def _pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([part_col] + order_cols, kind="stable",
+                            ignore_index=True)
+        ent = df[part_col].to_numpy()
+        st = df[state_col].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = ent[1:] == ent[:-1]
+        sel = np.flatnonzero(same)
+        out = (pd.DataFrame({"prev": st[sel - 1], "next": st[sel]})
+               .groupby(["prev", "next"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = hash_partitioned_agg(ds, [part_col], _pairs,
+                                    num_partitions=num_partitions)
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        df = batch.to_pandas()
+        out = (df.groupby(["prev", "next"], sort=False)["n"].sum()
+               .reset_index().sort_values(["prev", "next"],
+                                          ignore_index=True))
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (partials.map_batches(_fold, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_fold, batch_size=None, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------- cube_agg
+
+def cube_agg(ds, group_cols: list[str], value_col: str,
+             total_marker: str = "ALL",
+             num_partitions: int | None = None):
+    """GROUP BY CUBE(group_cols): SUM(value) + COUNT(*) at every SUBSET
+    of the grouping columns (2^k levels) in one pass — the map side
+    emits each row's partials once per subset with the rolled-up
+    columns relabeled ``total_marker``, one hash shuffle finishes all
+    levels together.  Same level-tag discipline as ``rollup_agg``
+    (mapops.py): an explicit ``_lv`` bitmask rides the shuffle so a
+    genuine group value equal to the marker never merges with totals.
+    ``value_col`` must be integer; group columns must be strings.
+    2^k map amplification — meant for k <= 4.
+    """
+    from rayspatial.ops.mapops import rollup_agg  # noqa: F401  (spec kin)
+    from rayspatial.util import hash_partitioned_agg
+
+    k = len(group_cols)
+    if k > 4:
+        raise ValueError("cube_agg: 2^k map fan-out — use k <= 4")
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    for c in group_cols:
+        t = types[c]
+        ok = (pa.types.is_string(t) or pa.types.is_large_string(t)
+              ) if isinstance(t, pa.DataType) else np.dtype(t).kind in "OUS"
+        if not ok:
+            raise ValueError(f"cube_agg group column {c!r} must be string")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            **{c: batch.column(c).to_numpy(zero_copy_only=False)
+               for c in group_cols},
+            "_v": batch.column(value_col).to_numpy().astype(np.int64),
+        })
+        outs = []
+        for mask in range(1 << k):
+            g = df.copy()
+            for i, c in enumerate(group_cols):
+                if mask & (1 << i):
+                    g[c] = total_marker
+            g["_lv"] = np.int8(mask)
+            agg = (g.groupby(group_cols + ["_lv"], sort=False)["_v"]
+                   .agg([("sum_v", "sum"), ("n_rows", "size")])
+                   .reset_index())
+            outs.append(agg)
+        out = pd.concat(outs, ignore_index=True)
+        out["sum_v"] = out["sum_v"].astype(np.int64)
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(group_cols + ["_lv"], sort=False)
+               [["sum_v", "n_rows"]].sum().reset_index())
+        return out.drop(columns=["_lv"])
+
+    return hash_partitioned_agg(partials, group_cols + ["_lv"], _combine,
+                                num_partitions=num_partitions)
+
+
+# -------------------------------------------------------- grouped_moments
+
+def grouped_moments(ds, group_cols: list[str], x_col: str, y_col: str,
+                    num_partitions: int | None = None):
+    """Mergeable bivariate sufficient statistics per group: n, sum(x),
+    sum(y), sum(x*y), and the integer-exact covariance numerator
+    ``cov_num = n*sum_xy - sum_x*sum_y`` (= n^2 * covar_pop).  x, y
+    must be int64, quantized upstream; the caller guarantees
+    ``n * |x*y|_max < 2^63`` (documented bound — e.g. cents x hour over
+    10^9 rows is safe).  Map-side partial moments, one tiny shuffle.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy().astype(np.int64)
+        y = batch.column(y_col).to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            **{c: batch.column(c).to_numpy(zero_copy_only=False)
+               for c in group_cols},
+            "n": np.ones(len(batch), np.int64),
+            "sum_x": x, "sum_y": y, "sum_xy": x * y,
+        })
+        out = df.groupby(group_cols, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(group_cols, sort=False)
+               [["n", "sum_x", "sum_y", "sum_xy"]].sum().reset_index())
+        for c in ("n", "sum_x", "sum_y", "sum_xy"):
+            out[c] = out[c].astype(np.int64)
+        out["cov_num"] = out["n"] * out["sum_xy"] - out["sum_x"] * out["sum_y"]
+        return out
+
+    return hash_partitioned_agg(partials, group_cols, _finish,
+                                num_partitions=num_partitions)

@@ -143,6 +143,10 @@ def exact_quantiles(ds, col: str, pcts: list[int],
     agg = ds.aggregate(Min(col, alias_name="lo"),
                        Max(col, alias_name="hi"),
                        Count(alias_name="n"))
+    if agg is None or agg["n"] is None or int(agg["n"]) == 0:
+        # empty input: no k-th smallest exists — typed-null values
+        return pa.table({"pct": pa.array(sorted(pcts), pa.int64()),
+                         "value": pa.nulls(len(pcts), pa.float64())})
     lo, hi, n = float(agg["lo"]), float(agg["hi"]), int(agg["n"])
     ds = ds.materialize()      # every level re-scans the same blocks
     ks = {p: -(-p * n // 100) for p in pcts}

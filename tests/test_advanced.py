@@ -1,0 +1,184 @@
+"""Skyline / max-concurrency / mode / transitions / cube / moments vs
+brute-force in-process oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_skyline(vals: np.ndarray) -> np.ndarray:
+    """O(n^2) reference: indices of non-dominated rows (all minimized)."""
+    n = len(vals)
+    le = (vals[:, None, :] <= vals[None, :, :]).all(axis=2)
+    lt = (vals[:, None, :] < vals[None, :, :]).any(axis=2)
+    dom = le & lt
+    return np.flatnonzero(~dom.any(axis=0))
+
+
+def test_local_skyline_matches_brute():
+    from rayspatial.ops.advanced import _local_skyline
+
+    rng = np.random.default_rng(7)
+    for n, d in [(1, 2), (50, 2), (500, 3), (3000, 2), (1200, 4)]:
+        # duplicates + discrete grid to exercise ties
+        vals = rng.integers(0, 12, size=(n, d)).astype(np.float64)
+        got = np.sort(_local_skyline(vals, chunk=256))
+        want = np.sort(_brute_skyline(vals))
+        assert np.array_equal(got, want), (n, d)
+
+
+def test_skyline_distributed(ray_session):
+    from rayspatial.ops.advanced import skyline
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "a": rng.integers(0, 1000, n).astype(np.int64),
+        "b": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = skyline(ds, ["a", "b"], maximize=[False, True]).to_pandas()
+    # brute: minimize a, maximize b  ->  minimize (a, -b)
+    vals = np.column_stack([df["a"], -df["b"]]).astype(np.float64)
+    want = (df.iloc[_brute_skyline(vals)]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    got = got[["id", "a", "b"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["a", "b", "id"], ignore_index=True),
+        want[["id", "a", "b"]].sort_values(["a", "b", "id"],
+                                           ignore_index=True))
+
+
+def test_max_concurrency(ray_session):
+    from rayspatial.ops.advanced import max_concurrency
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    s = rng.integers(0, 100_000, n).astype(np.int64)
+    e = s + rng.integers(1, 5_000, n)
+    ds = rd.from_arrow(pa.table({"s": s, "e": e})).repartition(7)
+    got = max_concurrency(ds, "s", "e")
+
+    # brute sweep
+    t = np.concatenate([s, e])
+    d = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+    o = np.lexsort((d, t))
+    run = np.cumsum(d[o])
+    i = int(np.argmax(run))
+    assert got["max_concurrent"] == int(run[i])
+    assert got["at_ts"] == int(t[o][i])
+
+
+def test_max_concurrency_empty(ray_session):
+    from rayspatial.ops.advanced import max_concurrency
+
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([], pa.int64()), "e": pa.array([], pa.int64())}))
+    got = max_concurrency(ds, "s", "e")
+    assert got["max_concurrent"] == 0 and got["at_ts"] is None
+
+
+def test_mode_by_group(ray_session):
+    from rayspatial.ops.advanced import mode_by_group
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    ds = rd.from_pandas(ev).repartition(6)
+    got = (mode_by_group(ds, ["user_id"], "event_type").to_pandas()
+           .sort_values("user_id", ignore_index=True))
+
+    cnt = (ev.groupby(["user_id", "event_type"]).size().rename("n")
+           .reset_index()
+           .sort_values(["user_id", "n", "event_type"],
+                        ascending=[True, False, True], kind="stable"))
+    want = (cnt.groupby("user_id").head(1)
+            .rename(columns={"event_type": "mode_value", "n": "mode_count"})
+            .sort_values("user_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "mode_value", "mode_count"]],
+        want[["user_id", "mode_value", "mode_count"]])
+
+
+def test_transition_counts(ray_session):
+    from rayspatial.ops.advanced import transition_counts
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    ds = rd.from_pandas(ev).repartition(6)
+    got = transition_counts(ds, "user_id", ["ts", "event_id"],
+                            "event_type").to_pandas()
+
+    sv = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    prev = sv.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"prev": prev, "next": sv["event_type"]}).dropna()
+    want = (pairs.groupby(["prev", "next"]).size().rename("n")
+            .reset_index().sort_values(["prev", "next"],
+                                       ignore_index=True))
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_cube_agg(ray_session):
+    from rayspatial.ops.advanced import cube_agg
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    got = (cube_agg(ds, ["a", "b"], "v").to_pandas()
+           .sort_values(["a", "b"], ignore_index=True))
+
+    outs = []
+    for mask in range(4):
+        g = df.copy()
+        if mask & 1:
+            g["a"] = "ALL"
+        if mask & 2:
+            g["b"] = "ALL"
+        outs.append(g.groupby(["a", "b"])["v"]
+                    .agg([("sum_v", "sum"), ("n_rows", "size")])
+                    .reset_index())
+    want = (pd.concat(outs, ignore_index=True)
+            .sort_values(["a", "b"], ignore_index=True))
+    want["sum_v"] = want["sum_v"].astype(np.int64)
+    want["n_rows"] = want["n_rows"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["a", "b", "sum_v", "n_rows"]], want)
+
+
+def test_grouped_moments(ray_session):
+    from rayspatial.ops.advanced import grouped_moments
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.choice(["u", "v", "w"], n),
+        "x": rng.integers(0, 10_000, n).astype(np.int64),
+        "y": rng.integers(0, 24, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    got = (grouped_moments(ds, ["g"], "x", "y").to_pandas()
+           .sort_values("g", ignore_index=True))
+
+    agg = df.groupby("g").apply(
+        lambda t: pd.Series({
+            "n": len(t), "sum_x": t.x.sum(), "sum_y": t.y.sum(),
+            "sum_xy": (t.x * t.y).sum()}), include_groups=False
+    ).reset_index()
+    agg["cov_num"] = agg["n"] * agg["sum_xy"] - agg["sum_x"] * agg["sum_y"]
+    for c in ("n", "sum_x", "sum_y", "sum_xy", "cov_num"):
+        agg[c] = agg[c].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got[["g", "n", "sum_x", "sum_y", "sum_xy", "cov_num"]], agg)
