@@ -3099,8 +3099,7 @@ def _q_part_skyline(sf_dir: str):
         columns=["p_partkey", "p_retailprice", "p_size"],
     ).map_batches(prep, batch_format="pyarrow")
     return skyline(ds, ["price_cents", "p_size"],
-                   maximize=[False, True]).sort(
-        ["price_cents", "p_size", "p_partkey"])
+                   maximize=[False, True], tie_cols=["p_partkey"])
 
 
 def _q_peak_concurrency(sf_dir: str):
@@ -3367,6 +3366,64 @@ def _q_supplier_cnt(sf_dir: str):
                                 finish).sort(["p_brand", "p_size"])
 
 
+def _q_value_ntile(sf_dir: str):
+    """Exact global NTILE(4) (ops/quantile.ntile: quantile range splits
+    -> range shuffle -> offset arange -> bucket formula), folded to
+    per-bucket count + exact cent sums — no global sort, the only
+    gathers are one int per partition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.ops.quantile import ntile
+
+    bucketed = ntile(
+        _events_us(sf_dir).map_batches(
+            lambda b: b.select(["event_id", "cents"]),
+            batch_format="pyarrow"),
+        "cents", "event_id", k=4, num_parts=16)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"bucket": b.column("bucket").to_numpy(),
+                           "n": np.ones(len(b), np.int64),
+                           "sum_cents": b.column("cents").to_numpy()})
+        out = df.groupby("bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _fold(b: pa.Table) -> pa.Table:
+        if not len(b):
+            return b
+        df = b.to_pandas()
+        out = (df.groupby("bucket", sort=False)[["n", "sum_cents"]].sum()
+               .reset_index().sort_values("bucket", ignore_index=True))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (bucketed.map_batches(_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_fold, batch_size=None, batch_format="pyarrow"))
+
+
+def _q_type_cooccurrence(sf_dir: str):
+    """Market-basket pair counts over each user's distinct event-type
+    set (ops/advanced.cooccurrence_pairs): one hash shuffle co-locates
+    users, per-partition distinct-set self-merge, tiny pair-domain
+    fold."""
+    from rayspatial.ops.advanced import cooccurrence_pairs
+
+    return cooccurrence_pairs(_events_us(sf_dir), "user_id", "event_type")
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event value cents (width 10.00):
+    map-side occupied-bin partials, one-task fold — the exchange
+    carries bin summaries, never rows (ops/advanced.histogram_fixed)."""
+    from rayspatial.ops.advanced import histogram_fixed
+
+    return histogram_fixed(_events_us(sf_dir), "cents", width=1000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_points": _q_extract_points,
@@ -3497,6 +3554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
+        "value_ntile": _q_value_ntile,
+        "type_cooccurrence": _q_type_cooccurrence,
+        "value_histogram": _q_value_histogram,
     }
 
 
@@ -4803,5 +4863,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "value_ntile": (
+            "WITH e AS (SELECT event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "t AS (SELECT cents, NTILE(4) OVER (ORDER BY cents, event_id) "
+            "AS bucket FROM e) "
+            "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM t "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS item_a, b.event_type AS item_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_entities "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "value_histogram": (
+            "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) "
+            "AS cents FROM events) "
+            "SELECT CAST(floor(cents / 1000.0) AS BIGINT) AS bin, "
+            "CAST(floor(cents / 1000.0) AS BIGINT) * 1000 AS bin_lo, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_v FROM e "
+            "GROUP BY 1 ORDER BY 1"
         ),
     }

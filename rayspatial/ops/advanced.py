@@ -14,52 +14,75 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["skyline", "max_concurrency", "mode_by_group",
-           "transition_counts", "cube_agg", "grouped_moments"]
+           "transition_counts", "cube_agg", "grouped_moments",
+           "cooccurrence_pairs", "histogram_fixed"]
 
 
 # ---------------------------------------------------------------- skyline
 
-def _local_skyline(vals: np.ndarray, chunk: int = 2048) -> np.ndarray:
+def _local_skyline(vals: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """Row indices of the Pareto frontier of ``vals`` (n x d, float64,
     ALL objectives minimized).  Dominance: a dominates b iff a <= b on
     every column and a < b on at least one.
 
-    Vectorized frontier scan: rows are processed in lexicographic order
-    (a row can only be dominated by a lexicographically earlier row),
-    in chunks — each chunk is tested against the accumulated frontier
-    with one broadcast compare, then within-chunk dominance is resolved
-    with one chunk x chunk broadcast.  No per-row Python loop.
+    d == 2 runs the O(n log n) closed form: after a lexicographic sort,
+    a row survives iff its y equals its x-group's minimum AND beats the
+    strict prefix-minimum of earlier x-groups.  General d processes the
+    lex order in chunks — each chunk is pruned against the accumulated
+    frontier with one broadcast compare FIRST (which kills almost
+    everything on typical data), and only the survivors pay the
+    quadratic within-chunk resolution.  No per-row Python loop.
     """
     n, d = vals.shape
     if n == 0:
         return np.empty(0, dtype=np.int64)
     order = np.lexsort(vals.T[::-1])  # sort by col0, then col1, ...
     sv = vals[order]
+
+    if d == 2:
+        x, y = sv[:, 0], sv[:, 1]
+        new_x = np.empty(n, dtype=bool)
+        new_x[0] = True
+        new_x[1:] = x[1:] != x[:-1]
+        starts = np.flatnonzero(new_x)
+        gidx = np.cumsum(new_x) - 1
+        gmin = y[starts]                 # y sorted asc within a group
+        pm = np.empty(len(starts))
+        pm[0] = np.inf                   # strict prefix-min of gmin
+        if len(starts) > 1:
+            np.minimum.accumulate(gmin[:-1], out=pm[1:])
+        keep = (y == gmin[gidx]) & (y < pm[gidx])
+        return order[np.flatnonzero(keep)]
+
     frontier = np.empty((0, d), dtype=np.float64)
     keep_sorted: list[np.ndarray] = []
     for lo in range(0, n, chunk):
         c = sv[lo:lo + chunk]                      # (m, d)
-        m = len(c)
-        alive = np.ones(m, dtype=bool)
+        alive = np.ones(len(c), dtype=bool)
         if len(frontier):
             # f dominates c: all(f <= c) and any(f < c)
             le = (frontier[:, None, :] <= c[None, :, :]).all(axis=2)
             lt = (frontier[:, None, :] < c[None, :, :]).any(axis=2)
             alive &= ~(le & lt).any(axis=0)
-        # within-chunk: row i can dominate row j only if i < j (lex
-        # order); dominance is transitive, so even a DEAD dominator is a
-        # valid witness (its own killer dominates j too) — no alive-mask
-        le = (c[:, None, :] <= c[None, :, :]).all(axis=2)
-        lt = (c[:, None, :] < c[None, :, :]).any(axis=2)
-        dom = le & lt & np.tri(m, m, -1, dtype=bool).T  # i<j upper tri
-        alive &= ~dom.any(axis=0)
+        # within-chunk, on frontier-survivors only: row i can dominate
+        # row j only if i < j (lex order); dominance is transitive, so
+        # a dominator that later dies is still a valid witness
+        sub_idx = np.flatnonzero(alive)
+        if len(sub_idx) > 1:
+            s = c[sub_idx]
+            m = len(s)
+            le = (s[:, None, :] <= s[None, :, :]).all(axis=2)
+            lt = (s[:, None, :] < s[None, :, :]).any(axis=2)
+            dom = le & lt & np.tri(m, m, -1, dtype=bool).T  # i<j
+            alive[sub_idx[dom.any(axis=0)]] = False
         keep_sorted.append(np.flatnonzero(alive) + lo)
         frontier = np.concatenate([frontier, c[alive]])
     return order[np.concatenate(keep_sorted)]
 
 
 def skyline(ds, cols: list[str], maximize: list[bool] | None = None,
-            out_cols: list[str] | None = None):
+            out_cols: list[str] | None = None,
+            tie_cols: list[str] | None = None):
     """Distributed Pareto frontier (skyline) over objective columns.
 
     ``maximize[i]`` flips objective i (default: all minimized).  Exact:
@@ -69,7 +92,9 @@ def skyline(ds, cols: list[str], maximize: list[bool] | None = None,
     move to ONE final task for the exact global pass.  Worst case
     (fully anti-correlated objectives) the frontier IS the dataset and
     no algorithm can shrink it; the local prune is still never wrong.
-    Output rows are sorted by the objective columns (deterministic).
+    Output rows are sorted by the objective columns then ``tie_cols``
+    (deterministic), IN the final task — the frontier is one small
+    block, so no Dataset.sort all-to-all is ever scheduled.
     """
     maximize = maximize or [False] * len(cols)
     signs = np.array([-1.0 if m else 1.0 for m in maximize])
@@ -85,11 +110,15 @@ def skyline(ds, cols: list[str], maximize: list[bool] | None = None,
             for c in cols]) * signs
         return batch.take(pa.array(_local_skyline(vals)))
 
+    sort_keys = [(c, "ascending") for c in cols + (tie_cols or [])]
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return _prune(batch).sort_by(sort_keys)
+
     pruned = ds.map_batches(_prune, batch_format="pyarrow")
     # survivors are tiny; finish exactly in one task (not on the driver)
-    final = pruned.repartition(1).map_batches(
-        _prune, batch_size=None, batch_format="pyarrow")
-    return final.sort(cols)
+    return pruned.repartition(1).map_batches(
+        _final, batch_size=None, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- max_concurrency
@@ -319,6 +348,84 @@ def cube_agg(ds, group_cols: list[str], value_col: str,
 
     return hash_partitioned_agg(partials, group_cols + ["_lv"], _combine,
                                 num_partitions=num_partitions)
+
+
+# ----------------------------------------------------- cooccurrence_pairs
+
+def cooccurrence_pairs(ds, entity_col: str, item_col: str,
+                       num_partitions: int | None = None):
+    """Market-basket co-occurrence: for each unordered item pair
+    (a < b), the number of entities holding BOTH.  One hash shuffle
+    co-locates each entity; per partition the distinct (entity, item)
+    set self-merges into pairs (fan-out C(t,2) per entity — meant for
+    small per-entity item sets, e.g. categorical event types), and the
+    tiny pair-domain partials fold in one final task.  Output:
+    (item_a, item_b, n_entities) sorted."""
+    from rayspatial.util import hash_partitioned_agg
+
+    def _pairs(df: pd.DataFrame) -> pa.Table:
+        d = df[[entity_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=entity_col, suffixes=("_a", "_b"))
+        a, b = item_col + "_a", item_col + "_b"
+        m = m[m[a] < m[b]]
+        out = (m.groupby([a, b], sort=False).size()
+               .rename("n_entities").reset_index()
+               .rename(columns={a: "item_a", b: "item_b"}))
+        out["n_entities"] = out["n_entities"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = hash_partitioned_agg(ds, [entity_col], _pairs,
+                                    num_partitions=num_partitions)
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        df = batch.to_pandas()
+        out = (df.groupby(["item_a", "item_b"], sort=False)["n_entities"]
+               .sum().reset_index()
+               .sort_values(["item_a", "item_b"], ignore_index=True))
+        out["n_entities"] = out["n_entities"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (partials.map_batches(_fold, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_fold, batch_size=None, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------- histogram_fixed
+
+def histogram_fixed(ds, col: str, width: int):
+    """Fixed-width integer histogram: bin = floor(col / width) with
+    per-bin count + exact sum.  Map-side partials (one row per occupied
+    bin per block), folded in one final task — the exchange never
+    carries rows, only the occupied-bin summaries.  Output:
+    (bin, bin_lo, n, sum_v) sorted by bin."""
+    w = int(width)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy().astype(np.int64)
+        b = np.floor_divide(v, w)
+        df = pd.DataFrame({"bin": b, "n": np.ones(len(v), np.int64),
+                           "sum_v": v})
+        out = df.groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        df = batch.to_pandas()
+        out = (df.groupby("bin", sort=False)[["n", "sum_v"]].sum()
+               .reset_index().sort_values("bin", ignore_index=True))
+        out["bin_lo"] = out["bin"] * w
+        for c in ("bin", "bin_lo", "n", "sum_v"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out[["bin", "bin_lo", "n", "sum_v"]],
+                                    preserve_index=False)
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .map_batches(_fold, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_fold, batch_size=None, batch_format="pyarrow"))
 
 
 # -------------------------------------------------------- grouped_moments

@@ -363,6 +363,47 @@ def range_partitioned_rank(ds, key_col: str, tie_col: str,
         rank_part, batch_format="pandas")
 
 
+def ntile(ds, key_col: str, tie_col: str, k: int,
+          num_parts: int | None = None):
+    """EXACT global NTILE(k) by (key, tie): the ``range_partitioned_rank``
+    machinery (quantile splits -> range shuffle -> per-part offset
+    arange) plus the standard bucket formula — with n rows, q = n//k
+    and m = n%k, the first m buckets take q+1 rows.  Output:
+    (tie, key, rank, bucket); bucket is SQL ``NTILE(k) OVER (ORDER BY
+    key, tie)``.  The total row count rides the same bounded per-part
+    count gather that rank already does (re-derived from the ranked
+    stream's own partial counts — no extra full pass)."""
+    from ray.data.aggregate import Max
+
+    ranked = range_partitioned_rank(ds, key_col, tie_col,
+                                    num_parts=num_parts)
+
+    # n = max(rank)+1, a tiny aggregate over the already-shuffled stream
+    ranked = ranked.materialize()
+    agg = ranked.aggregate(Max("rank"))
+    n = int(agg["max(rank)"]) + 1 if agg and agg.get(
+        "max(rank)") is not None else 0
+    if n == 0:
+        return ranked.map_batches(
+            lambda b: b.append_column("bucket",
+                                      pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    q, m = divmod(n, k)
+    cut = m * (q + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy()
+        if q == 0:
+            b = r + 1  # fewer rows than buckets: one row per bucket
+        else:
+            b = np.where(r < cut, r // (q + 1) + 1,
+                         m + (r - cut) // q + 1)
+        return batch.append_column("bucket",
+                                   pa.array(b.astype(np.int64)))
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # mergeable approximate quantiles (MRL / deterministic-KLL shape)
 

@@ -182,3 +182,68 @@ def test_grouped_moments(ray_session):
         agg[c] = agg[c].astype(np.int64)
     pd.testing.assert_frame_equal(
         got[["g", "n", "sum_x", "sum_y", "sum_xy", "cov_num"]], agg)
+
+
+def test_cooccurrence_pairs(ray_session):
+    from rayspatial.ops.advanced import cooccurrence_pairs
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    ds = rd.from_pandas(ev).repartition(6)
+    got = cooccurrence_pairs(ds, "user_id", "event_type").to_pandas()
+
+    d = ev.drop_duplicates()
+    m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+    m = m[m["event_type_a"] < m["event_type_b"]]
+    want = (m.groupby(["event_type_a", "event_type_b"]).size()
+            .rename("n_entities").reset_index()
+            .rename(columns={"event_type_a": "item_a",
+                             "event_type_b": "item_b"})
+            .sort_values(["item_a", "item_b"], ignore_index=True))
+    want["n_entities"] = want["n_entities"].astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_histogram_fixed(ray_session):
+    from rayspatial.ops.advanced import histogram_fixed
+
+    rng = np.random.default_rng(21)
+    v = rng.integers(-5000, 5000, 20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(5)
+    got = histogram_fixed(ds, "v", 700).to_pandas()
+
+    b = np.floor_divide(v, 700)
+    want = (pd.DataFrame({"bin": b, "v": v}).groupby("bin")
+            .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
+    want["bin_lo"] = want["bin"] * 700
+    want = want[["bin", "bin_lo", "n", "sum_v"]]
+    for c in want.columns:
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (7, 4), (100, 4), (100, 7),
+                                 (3, 8), (1000, 3)])
+def test_ntile(ray_session, n, k):
+    from rayspatial.ops.quantile import ntile
+
+    rng = np.random.default_rng(n * 31 + k)
+    key = rng.integers(0, max(2, n // 3), n).astype(np.int64)  # dup keys
+    tie = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"key": key, "tie": tie})).repartition(4)
+    got = (ntile(ds, "key", "tie", k=k, num_parts=5).to_pandas()
+           .sort_values(["key", "tie"], ignore_index=True))
+
+    df = pd.DataFrame({"key": key, "tie": tie}).sort_values(
+        ["key", "tie"], ignore_index=True)
+    q, m = divmod(n, k)
+    r = np.arange(n)
+    if q == 0:
+        want_bucket = r + 1
+    else:
+        cut = m * (q + 1)
+        want_bucket = np.where(r < cut, r // (q + 1) + 1,
+                               m + (r - cut) // q + 1)
+    assert np.array_equal(got["bucket"].to_numpy(), want_bucket)
+    assert np.array_equal(got["rank"].to_numpy(), r)
