@@ -3178,6 +3178,36 @@ def _q_orders_cube(sf_dir: str):
     return out.sort(["o_orderstatus", "o_orderpriority"])
 
 
+def _q_orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status),(priority),()) over orders in
+    one pass (ops/advanced.grouping_sets_agg): the map side emits one
+    partial per requested set, a single level-tagged hash shuffle
+    finishes all three margins together — no per-set rescan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.advanced import grouping_sets_agg
+    from rayspatial.util import read_parquet_sized
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), 100.0),
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouping_sets_agg(
+        ds, ["o_orderstatus", "o_orderpriority"], "cents",
+        sets=[["o_orderstatus"], ["o_orderpriority"], []])
+    return out.sort(["o_orderstatus", "o_orderpriority"])
+
+
 def _q_value_hour_moments(sf_dir: str):
     """Mergeable bivariate moments per event type
     (ops/advanced.grouped_moments): integer-exact n / sum(x) / sum(y) /
@@ -3551,6 +3581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event": _q_user_mode_event,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
+        "orders_grouping_sets": _q_orders_grouping_sets,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -4832,6 +4863,16 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_v, CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
             "ORDER BY 1, 2"
+        ),
+        "orders_grouping_sets": (
+            "SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' "
+            "ELSE o_orderstatus END AS o_orderstatus, "
+            "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' "
+            "ELSE o_orderpriority END AS o_orderpriority, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_v, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM orders GROUP BY GROUPING SETS "
+            "((o_orderstatus), (o_orderpriority), ()) ORDER BY 1, 2"
         ),
         "value_hour_moments": (
             "WITH e AS (SELECT event_type, "

@@ -14,8 +14,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["skyline", "max_concurrency", "mode_by_group",
-           "transition_counts", "cube_agg", "grouped_moments",
-           "cooccurrence_pairs", "histogram_fixed"]
+           "transition_counts", "cube_agg", "grouping_sets_agg",
+           "grouped_moments", "cooccurrence_pairs", "histogram_fixed"]
 
 
 # ---------------------------------------------------------------- skyline
@@ -302,12 +302,56 @@ def cube_agg(ds, group_cols: list[str], value_col: str,
     ``value_col`` must be integer; group columns must be strings.
     2^k map amplification — meant for k <= 4.
     """
-    from rayspatial.ops.mapops import rollup_agg  # noqa: F401  (spec kin)
-    from rayspatial.util import hash_partitioned_agg
-
     k = len(group_cols)
     if k > 4:
         raise ValueError("cube_agg: 2^k map fan-out — use k <= 4")
+    return _subset_levels_agg(ds, group_cols, value_col,
+                              list(range(1 << k)), total_marker,
+                              num_partitions)
+
+
+def grouping_sets_agg(ds, group_cols: list[str], value_col: str,
+                      sets: list, total_marker: str = "ALL",
+                      num_partitions: int | None = None):
+    """GROUP BY GROUPING SETS(sets): SUM(value) + COUNT(*) at each
+    REQUESTED subset of the grouping columns in one pass — the general
+    form of ``cube_agg`` (all subsets) and ``rollup_agg`` (prefix
+    subsets).  Each element of ``sets`` is an iterable of column names
+    drawn from ``group_cols``; map amplification is len(sets) per row,
+    one level-tagged hash shuffle finishes every set together.  The
+    same ``_lv`` bitmask discipline keeps a genuine group value equal
+    to ``total_marker`` from merging with rolled-up totals.
+    """
+    pos = {c: i for i, c in enumerate(group_cols)}
+    if len(group_cols) > 7:
+        raise ValueError("grouping_sets_agg: _lv bitmask is int8 — "
+                         "use <= 7 grouping columns")
+    masks = []
+    for s in sets:
+        cols = list(s)
+        bad = [c for c in cols if c not in pos]
+        if bad:
+            raise ValueError(f"grouping_sets_agg: set columns {bad!r} "
+                             f"not in group_cols {group_cols!r}")
+        mask = 0
+        for c in group_cols:
+            if c not in cols:          # column NOT in the set → rolled up
+                mask |= 1 << pos[c]
+        masks.append(mask)
+    if len(set(masks)) != len(masks):
+        raise ValueError("grouping_sets_agg: duplicate grouping set")
+    return _subset_levels_agg(ds, group_cols, value_col, masks,
+                              total_marker, num_partitions)
+
+
+def _subset_levels_agg(ds, group_cols, value_col, masks, total_marker,
+                       num_partitions):
+    """Shared CUBE / GROUPING SETS machinery: emit one partial per row
+    per level mask (bit i set = group_cols[i] relabeled total_marker),
+    then one hash shuffle over (group_cols, _lv) folds everything.
+    Same level-tag discipline as ``rollup_agg`` (mapops.py)."""
+    from rayspatial.util import hash_partitioned_agg
+
     sch = ds.schema()
     types = dict(zip(sch.names, sch.types))
     for c in group_cols:
@@ -315,7 +359,7 @@ def cube_agg(ds, group_cols: list[str], value_col: str,
         ok = (pa.types.is_string(t) or pa.types.is_large_string(t)
               ) if isinstance(t, pa.DataType) else np.dtype(t).kind in "OUS"
         if not ok:
-            raise ValueError(f"cube_agg group column {c!r} must be string")
+            raise ValueError(f"group column {c!r} must be string")
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -324,7 +368,7 @@ def cube_agg(ds, group_cols: list[str], value_col: str,
             "_v": batch.column(value_col).to_numpy().astype(np.int64),
         })
         outs = []
-        for mask in range(1 << k):
+        for mask in masks:
             g = df.copy()
             for i, c in enumerate(group_cols):
                 if mask & (1 << i):
@@ -412,7 +456,9 @@ def histogram_fixed(ds, col: str, width: int):
 
     def _fold(batch: pa.Table) -> pa.Table:
         if not len(batch):
-            return batch
+            # typed empty block in the OUTPUT schema (bin_lo included)
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("bin", "bin_lo", "n", "sum_v")})
         df = batch.to_pandas()
         out = (df.groupby("bin", sort=False)[["n", "sum_v"]].sum()
                .reset_index().sort_values("bin", ignore_index=True))

@@ -158,6 +158,47 @@ def test_cube_agg(ray_session):
     pd.testing.assert_frame_equal(got[["a", "b", "sum_v", "n_rows"]], want)
 
 
+def test_grouping_sets_agg(ray_session):
+    from rayspatial.ops.advanced import grouping_sets_agg
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "ALL"], n),   # marker collision on purpose
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    sets = [["a"], ["b"], []]
+    got = (grouping_sets_agg(ds, ["a", "b"], "v", sets).to_pandas()
+           .sort_values(["a", "b", "sum_v"], ignore_index=True))
+
+    outs = []
+    for keep in sets:
+        g = df.copy()
+        for c in ("a", "b"):
+            if c not in keep:
+                g[c] = "ALL"
+        outs.append(g.groupby(["a", "b"])["v"]
+                    .agg([("sum_v", "sum"), ("n_rows", "size")])
+                    .reset_index())
+    want = (pd.concat(outs, ignore_index=True)
+            .sort_values(["a", "b", "sum_v"], ignore_index=True))
+    want["sum_v"] = want["sum_v"].astype(np.int64)
+    want["n_rows"] = want["n_rows"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["a", "b", "sum_v", "n_rows"]], want)
+
+    # a genuine 'ALL' value in column a must NOT merge with rollup totals:
+    # the ({a},.) level keeps it as a leaf row, distinct from the ({b},.)
+    # level's rolled-up 'ALL' rows — counts must cover all three sets.
+    assert got["n_rows"].sum() == 3 * n
+
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_agg(ds, ["a", "b"], "v", [["a"], ["a"]])
+    with pytest.raises(ValueError, match="not in group_cols"):
+        grouping_sets_agg(ds, ["a", "b"], "v", [["zz"]])
+
+
 def test_grouped_moments(ray_session):
     from rayspatial.ops.advanced import grouped_moments
 
@@ -247,3 +288,32 @@ def test_ntile(ray_session, n, k):
                                m + (r - cut) // q + 1)
     assert np.array_equal(got["bucket"].to_numpy(), want_bucket)
     assert np.array_equal(got["rank"].to_numpy(), r)
+
+
+def test_empty_inputs(ray_session):
+    """Empty datasets keep the documented output schemas."""
+    from rayspatial.ops.advanced import (cooccurrence_pairs,
+                                         histogram_fixed, mode_by_group,
+                                         skyline, transition_counts)
+
+    empty_iv = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()), "v": pa.array([], pa.int64()),
+        "t": pa.array([], pa.int64())}))
+
+    h = histogram_fixed(empty_iv, "v", 10).to_pandas()
+    # Ray collapses an all-empty dataset to zero columns in to_pandas;
+    # when columns survive they must be the documented output schema
+    assert h.empty
+    assert list(h.columns) in ([], ["bin", "bin_lo", "n", "sum_v"])
+
+    s = skyline(empty_iv, ["v", "t"]).to_pandas()
+    assert s.empty
+
+    m = mode_by_group(empty_iv, ["g"], "v").to_pandas()
+    assert m.empty
+
+    tc = transition_counts(empty_iv, "g", ["t"], "v").to_pandas()
+    assert tc.empty
+
+    co = cooccurrence_pairs(empty_iv, "g", "v").to_pandas()
+    assert co.empty
