@@ -3178,6 +3178,151 @@ def _q_orders_cube(sf_dir: str):
     return out.sort(["o_orderstatus", "o_orderpriority"])
 
 
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers, without materializing the left join — map-side
+    partial counts by custkey, ONE hash shuffle, per-partition
+    count-of-counts partials, one tiny final fold; the zero bucket is
+    total customers minus distinct custkeys seen with orders (a parquet
+    metadata count, no second shuffle)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    def partial(b: pa.Table) -> pa.Table:
+        v, c = np.unique(b.column("o_custkey").to_numpy(),
+                         return_counts=True)
+        return pa.table({"custkey": pa.array(v.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    partials = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+    ).map_batches(partial, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("custkey", sort=False)["n"].sum()
+        h = cnt.value_counts()
+        return pd.DataFrame({
+            "c_count": h.index.to_numpy().astype(np.int64),
+            "custdist": h.to_numpy().astype(np.int64)})
+
+    hist = hash_partitioned_agg(partials, ["custkey"], per_part)
+
+    n_customers = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+
+    def fold(b: pa.Table) -> pa.Table:
+        if not len(b):
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "custdist": pa.array([], pa.int64())})
+        df = (b.to_pandas().groupby("c_count", sort=False)["custdist"]
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold_zero(b: pa.Table) -> pa.Table:
+        df = fold(b).to_pandas()
+        zero = n_customers - int(df["custdist"].sum())
+        if zero > 0:
+            df = pd.concat([df, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                           ignore_index=True)
+        df = df.sort_values("c_count", ignore_index=True)
+        df["c_count"] = df["c_count"].astype(np.int64)
+        df["custdist"] = df["custdist"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (hist.map_batches(fold, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(fold_zero, batch_size=None, batch_format="pyarrow"))
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): groupby-HAVING on the
+    fact table (map-side quantity partials by orderkey, one hash
+    shuffle, filter sum > 150) -> the surviving hot-order set joins
+    back to orders via the size-gated hash_join -> customer name via a
+    second equi-join -> bounded per-partition top-100 heads, one final
+    head.  Quantities exact int64; price in cents."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    THRESH = 150
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        q = np.round(b.column("l_quantity").to_numpy()).astype(np.int64)
+        v, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(v), np.int64)
+        np.add.at(s, inv, q)
+        return pa.table({"o_orderkey": pa.array(v.astype(np.int64)),
+                         "q": pa.array(s)})
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def hot(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("o_orderkey", sort=False)["q"].sum()
+        s = s[s > THRESH]
+        return pd.DataFrame({"o_orderkey": s.index.to_numpy(),
+                             "qty_sum": s.to_numpy().astype(np.int64)})
+
+    hot_orders = hash_partitioned_agg(li, ["o_orderkey"], hot)
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "c_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderdate": pc.strftime(b.column("o_orderdate"), "%Y-%m-%d"),
+            "total_cents": pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), 100.0),
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    j = hash_join(orders, hot_orders, on="o_orderkey",
+                  left_cols=["o_orderkey", "c_custkey", "o_orderdate",
+                             "total_cents"],
+                  right_cols=["qty_sum"])
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": pc.cast(b.column("c_custkey"),
+                                                 pa.int64()),
+                            "c_name": b.column("c_name")}),
+        batch_format="pyarrow")
+
+    j = hash_join(j, cust, on="c_custkey",
+                  left_cols=["o_orderkey", "c_custkey", "o_orderdate",
+                             "total_cents", "qty_sum"],
+                  right_cols=["c_name"])
+
+    COLS = ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "total_cents", "qty_sum"]
+
+    def head100(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["total_cents", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True]).head(100)
+        return pa.Table.from_pandas(df[COLS], preserve_index=False)
+
+    return (j.map_batches(head100, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(head100, batch_size=None, batch_format="pyarrow"))
+
+
 def _q_orders_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((status),(priority),()) over orders in
     one pass (ops/advanced.grouping_sets_agg): the map side emits one
@@ -3582,6 +3727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
         "orders_grouping_sets": _q_orders_grouping_sets,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q18": _q_tpch_q18,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -4873,6 +5020,25 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_v, CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM orders GROUP BY GROUPING SETS "
             "((o_orderstatus), (o_orderpriority), ()) ORDER BY 1, 2"
+        ),
+        "tpch_q13": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) "
+            "AS c_count FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY 1) t "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q18": (
+            "WITH hot AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS qty_sum FROM lineitem GROUP BY 1 "
+            "HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150) "
+            "SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey, "
+            "o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, "
+            "qty_sum FROM orders JOIN hot ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY total_cents DESC, o_orderdate, o_orderkey LIMIT 100"
         ),
         "value_hour_moments": (
             "WITH e AS (SELECT event_type, "
