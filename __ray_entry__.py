@@ -3178,6 +3178,18 @@ def _q_orders_cube(sf_dir: str):
     return out.sort(["o_orderstatus", "o_orderpriority"])
 
 
+def _q_typo_pairs(sf_dir: str):
+    """Fuzzy vocabulary join: all term pairs within Levenshtein
+    distance 2 via SymSpell deletion-neighborhood blocking
+    (textops/fuzzy.edit_distance_pairs) — one corpus-sized shuffle for
+    the distinct vocab, then vocab-sized key expansion + candidate
+    verification with a pair-vectorized DP kernel."""
+    from rayspatial.textops.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(_docs(sf_dir, rows_per_block=512),
+                               "text", max_dist=2, min_len=3)
+
+
 def _q_tpch_q13(sf_dir: str):
     """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
     zero-order customers, without materializing the left join — map-side
@@ -3728,6 +3740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "orders_grouping_sets": _q_orders_grouping_sets,
         "tpch_q13": _q_tpch_q13,
+        "typo_pairs": _q_typo_pairs,
         "tpch_q18": _q_tpch_q18,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
@@ -5020,6 +5033,16 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_v, CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM orders GROUP BY GROUPING SETS "
             "((o_orderstatus), (o_orderpriority), ()) ORDER BY 1, 2"
+        ),
+        "typo_pairs": (
+            r"WITH t AS (SELECT unnest(string_split_regex(trim(text), "
+            r"'\s+')) AS term FROM documents), "
+            "v AS (SELECT DISTINCT term FROM t WHERE length(term) >= 3) "
+            "SELECT a.term AS term_a, b.term AS term_b, "
+            "CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist "
+            "FROM v a JOIN v b ON a.term < b.term "
+            "AND abs(length(a.term) - length(b.term)) <= 2 "
+            "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
         ),
         "tpch_q13": (
             "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
