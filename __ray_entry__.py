@@ -3335,6 +3335,91 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (sole late shipper): per multi-supplier order,
+    flag the supplier who is the ONLY one shipping > 60 days after the
+    order date — a within-group multi-condition analysis.  lineitem
+    gains o_orderdate via the size-gated hash_join, lateness is decided
+    per row and pre-reduced per (order, supplier) BEFORE the one
+    order-keyed shuffle; per-partition pandas group logic emits partial
+    per-supplier counts, a second tiny supplier-keyed fold + bounded
+    top-50 heads finish."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    GRACE = np.timedelta64(60, "D")
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table({"okey": b.column("l_orderkey"),
+                            "skey": b.column("l_suppkey"),
+                            "ship": b.column("l_shipdate")}),
+        batch_format="pyarrow")
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: pa.table({"okey": b.column("o_orderkey"),
+                            "odate": b.column("o_orderdate")}),
+        batch_format="pyarrow")
+
+    j = hash_join(li, orders, on="okey",
+                  left_cols=["okey", "skey", "ship"],
+                  right_cols=["odate"])
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        ship = b.column("ship").to_numpy()
+        odate = b.column("odate").to_numpy()
+        df = pd.DataFrame({
+            "okey": b.column("okey").to_numpy().astype(np.int64),
+            "skey": b.column("skey").to_numpy().astype(np.int64),
+            "late": (ship > odate + GRACE).astype(np.int8),
+        })
+        out = (df.groupby(["okey", "skey"], sort=False)["late"].max()
+               .reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = j.map_batches(late_partial, batch_format="pyarrow")
+
+    def solo_late(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["okey", "skey"], sort=False)["late"].max()
+             .reset_index())
+        o = (g.groupby("okey", sort=False)["late"]
+             .agg([("nlate", "sum"), ("nsupp", "size")]))
+        g = g.merge(o, on="okey")
+        g = g[(g["late"] == 1) & (g["nlate"] == 1) & (g["nsupp"] >= 2)]
+        out = (g.groupby("skey", sort=False).size().rename("numwait")
+               .reset_index())
+        out["numwait"] = out["numwait"].astype(np.int64)
+        return out
+
+    per_supp = hash_partitioned_agg(pairs, ["okey"], solo_late)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("skey", sort=False)["numwait"].sum()
+               .reset_index().rename(columns={"skey": "s_suppkey"}))
+        out["numwait"] = out["numwait"].astype(np.int64)
+        return out
+
+    counts = hash_partitioned_agg(per_supp, ["skey"], fold)
+
+    def head50(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["numwait", "s_suppkey"],
+                                       ascending=[False, True]).head(50)
+        return pa.Table.from_pandas(df[["s_suppkey", "numwait"]],
+                                    preserve_index=False)
+
+    return (counts.map_batches(head50, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(head50, batch_size=None, batch_format="pyarrow"))
+
+
 def _q_orders_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((status),(priority),()) over orders in
     one pass (ops/advanced.grouping_sets_agg): the map side emits one
@@ -3742,6 +3827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": _q_tpch_q13,
         "typo_pairs": _q_typo_pairs,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q21": _q_tpch_q21,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5043,6 +5129,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "tpch_q21": (
+            "WITH l AS (SELECT l_orderkey AS okey, l_suppkey AS skey, "
+            "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END) AS late FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey GROUP BY 1, 2), "
+            "o AS (SELECT okey, COUNT(*) AS nsupp, SUM(late) AS nlate "
+            "FROM l GROUP BY 1) "
+            "SELECT CAST(l.skey AS BIGINT) AS s_suppkey, "
+            "CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM l JOIN o USING (okey) "
+            "WHERE l.late = 1 AND o.nlate = 1 AND o.nsupp >= 2 "
+            "GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 50"
         ),
         "tpch_q13": (
             "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
