@@ -1764,6 +1764,35 @@ def _q_rolling_user_value(sf_dir: str):
     )
 
 
+def _q_rolling_user_median(sf_dir: str):
+    """ROWS-frame rolling median (ops/analytic.rolling_rows_median):
+    per event, 2x the median of the user's last 5 values (ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW) — one user-keyed shuffle, vectorized
+    (rows x k) order-statistic gather, integer-exact med2 output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.analytic import rolling_rows_median
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "tsu": pa.array(b.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64)),
+            "user_id": b.column("user_id"),
+            "cents": pa.array(
+                np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return rolling_rows_median(events, "user_id", ["tsu", "event_id"],
+                               "cents", k=5, id_cols=["event_id"])
+
+
 def _q_rolling_user_value_salted(sf_dir: str):
     """Hot-key-safe rolling window: shuffle key (user, ts // bucket)
     with boundary replicas, so one mega-user still parallelizes.
@@ -3779,6 +3808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_capped_docs": _q_host_capped_docs,
         "vocab": _q_vocab,
         "rolling_user_value": _q_rolling_user_value,
+        "rolling_user_median": _q_rolling_user_median,
         "rolling_user_value_salted": _q_rolling_user_value_salted,
         "pricing_summary": _q_pricing_summary,
         "pmi_collocations": _q_pmi_collocations,
@@ -4606,6 +4636,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "JOIN region r ON r.r_regionkey = n.n_regionkey "
             "GROUP BY r.r_name"
+        ),
+        "rolling_user_median": (
+            "SELECT event_id, user_id, "
+            "CAST(round(2 * median(CAST(round(value * 100) AS BIGINT)) "
+            "OVER w) AS BIGINT) AS med2, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_w "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "rolling_user_value": (
             "SELECT event_id, user_id, "

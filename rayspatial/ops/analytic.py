@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel", "retention_cohorts"]
+__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel", "retention_cohorts", "rolling_rows_median"]
 
 _SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
 
@@ -201,6 +201,66 @@ def rolling_time_window(ds, part_col: str, ts_col: str, value_col: str,
 
     return hash_partitioned_agg(ds, [part_col], per_partition,
                                  num_partitions=num_partitions)
+
+
+def rolling_rows_median(ds, part_col: str, order_cols: list[str],
+                        value_col: str, k: int,
+                        id_cols: list[str] | None = None,
+                        num_partitions: int | None = None):
+    """ROWS-frame rolling MEDIAN: per row, the median of the last
+    up-to-``k`` values of the same partition key ordered by
+    ``order_cols`` — SQL's ``median(v) OVER (PARTITION BY key ORDER BY
+    ... ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``.  Emitted as
+    ``med2 = 2 x median`` (sum of the two middle order statistics for
+    even windows) so the result stays integer-exact; ``n_w`` is the
+    actual frame size (short at each key's head).
+
+    ONE hash shuffle by ``part_col``; per partition: one sort, then a
+    fully vectorized (rows x k) window gather — invalid slots (before
+    the key's first row) are filled with an int64 sentinel that sorts
+    last, a single axis-1 sort yields every row's order statistics.
+    O(rows x k log k) work, rows x k int64 transient — meant for small
+    frames (k <= ~64); a monotonic-heap pass would be the big-k path.
+    ``value_col`` must be integer (quantize floats upstream)."""
+    from rayspatial.util import hash_partitioned_agg
+
+    id_cols = id_cols or []
+    if k < 1:
+        raise ValueError("rolling_rows_median: k must be >= 1")
+    SENT = np.iinfo(np.int64).max
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {c: pa.array([], type=pa.int64())
+                 for c in [*id_cols, part_col, "med2", "n_w"]})
+        df = df.sort_values([part_col, *order_cols],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        keys = df[part_col].to_numpy()
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        seg = np.cumsum(new) - 1
+        gstart = np.flatnonzero(new)[seg]          # group start per row
+        v = df[value_col].to_numpy().astype(np.int64)
+        if (v >= SENT - 1).any():
+            raise OverflowError("rolling_rows_median: value too close "
+                                "to the int64 sentinel")
+        idx = np.arange(n)[:, None] - np.arange(k - 1, -1, -1)[None, :]
+        valid = idx >= gstart[:, None]
+        w = v[np.clip(idx, 0, n - 1)]
+        w[~valid] = SENT
+        w.sort(axis=1)
+        cnt = np.minimum(np.arange(n) - gstart + 1, k)
+        rows = np.arange(n)
+        med2 = w[rows, (cnt - 1) // 2] + w[rows, cnt // 2]
+        out = {c: df[c].to_numpy() for c in id_cols}
+        out[part_col] = keys
+        out["med2"] = med2
+        out["n_w"] = cnt.astype(np.int64)
+        return pa.table({kk: pa.array(val) for kk, val in out.items()})
+
+    return hash_partitioned_agg(ds, [part_col], per_partition,
+                                num_partitions=num_partitions)
 
 
 def funnel(ds, steps: list[str], user_col: str = "user_id",

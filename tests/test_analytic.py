@@ -327,3 +327,40 @@ def test_rolling_distinct_validation(ray_session):
                                  ).cast(pa.timestamp("us"))})
     with pytest.raises(ValueError):
         rolling_distinct(rd.from_arrow(t), "user_id", "ts", window=0)
+
+
+def test_rolling_rows_median_vs_pandas(ray_session):
+    """rolling_rows_median == pandas groupby.rolling(k).median()*2;
+    partitioning-independent, short head frames included."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import rolling_rows_median
+
+    rng = np.random.RandomState(11)
+    n = 900
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 15, n).astype(np.int64),
+        "cents": rng.randint(-500, 500, n).astype(np.int64),
+    })
+    for k in (1, 4, 5):
+        got = rolling_rows_median(
+            rd.from_pandas(df).repartition(6),
+            "user_id", ["event_id"], "cents", k=k, id_cols=["event_id"],
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+
+        srt = df.sort_values(["user_id", "event_id"])
+        want = (srt.groupby("user_id")["cents"]
+                .rolling(k, min_periods=1).median() * 2)
+        want = want.reset_index(level=0, drop=True).sort_index()
+        nw = (srt.groupby("user_id")["cents"]
+              .rolling(k, min_periods=1).count()
+              .reset_index(level=0, drop=True).sort_index())
+        assert np.array_equal(got["med2"].to_numpy(),
+                              want.to_numpy().astype(np.int64)), k
+        assert np.array_equal(got["n_w"].to_numpy(),
+                              nw.to_numpy().astype(np.int64)), k
+
+    with pytest.raises(ValueError):
+        rolling_rows_median(rd.from_pandas(df), "user_id", ["event_id"],
+                            "cents", k=0)
