@@ -3364,6 +3364,34 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_price_wmedian(sf_dir: str):
+    """Per-returnflag quantity-WEIGHTED median price
+    (ops/quantile.grouped_weighted_median): map-side weight partials
+    per (flag, price) shrink the one shuffle to the distinct-value
+    domain; segmented-cumsum pick, no per-group loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.quantile import grouped_weighted_median
+    from rayspatial.util import read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "cents": pa.array(np.round(
+                b.column("l_extendedprice").to_numpy() * 100
+            ).astype(np.int64)),
+            "qty": pa.array(np.round(
+                b.column("l_quantity").to_numpy()).astype(np.int64)),
+        }),
+        batch_format="pyarrow")
+    out = grouped_weighted_median(li, "l_returnflag", "cents", "qty")
+    return out.sort("l_returnflag")
+
+
 def _q_tpch_q21(sf_dir: str):
     """TPC-H Q21 shape (sole late shipper): per multi-supplier order,
     flag the supplier who is the ONLY one shipping > 60 days after the
@@ -3858,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": _q_typo_pairs,
         "tpch_q18": _q_tpch_q18,
         "tpch_q21": _q_tpch_q21,
+        "price_wmedian": _q_price_wmedian,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5168,6 +5197,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "price_wmedian": (
+            "WITH g AS (SELECT l_returnflag, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+            "CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem), "
+            "c AS (SELECT l_returnflag, v, "
+            "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
+            "SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian "
+            "FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1"
         ),
         "tpch_q21": (
             "WITH l AS (SELECT l_orderkey AS okey, l_suppkey AS skey, "

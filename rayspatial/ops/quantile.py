@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["exact_quantiles", "grouped_quantiles",
+__all__ = ["exact_quantiles", "grouped_quantiles", "grouped_weighted_median",
            "range_partitioned_rank", "QuantileSketch", "approx_quantiles"]
 
 BINS = 4096
@@ -240,6 +240,65 @@ def grouped_quantiles(ds, group_col: str, col: str, pcts: list[int],
                              "value": rows_v})
 
     return hash_partitioned_agg(ds, [group_col], per_partition,
+                                num_partitions=num_partitions)
+
+
+def grouped_weighted_median(ds, group_col: str, value_col: str,
+                            weight_col: str,
+                            num_partitions: int | None = None):
+    """Per-group WEIGHTED median (lower): the smallest value v with
+    ``2 * cumweight(<= v) >= total_weight`` — SQL's
+    ``MIN(v) FILTER (2*SUM(w) OVER (ORDER BY v) >= SUM(w) OVER ())``
+    per group.  Weights must be positive integers (quantize upstream).
+
+    Scale shape: map-side partial weight sums per (group, value) shrink
+    the ONE hash shuffle to the distinct-value domain; per partition a
+    single sort + segmented cumsum picks every group's median with no
+    per-group Python loop.  Output (group, wmedian:int64)."""
+    import pandas as pd
+
+    from rayspatial.util import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy().astype(np.int64)
+        if (w <= 0).any():
+            raise ValueError("grouped_weighted_median: weights must be "
+                             "positive integers")
+        df = pd.DataFrame({
+            "g": batch.column(group_col).to_numpy(zero_copy_only=False),
+            "v": batch.column(value_col).to_numpy().astype(np.int64),
+            "w": w,
+        })
+        out = df.groupby(["g", "v"], sort=False)["w"].sum().reset_index()
+        out["w"] = out["w"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "wmedian": pd.Series([], dtype="int64")})
+        d = (pdf.groupby(["g", "v"], sort=False)["w"].sum().reset_index()
+             .sort_values(["g", "v"], kind="mergesort",
+                          ignore_index=True))
+        gk = d["g"].to_numpy()
+        w = d["w"].to_numpy().astype(np.int64)
+        v = d["v"].to_numpy().astype(np.int64)
+        new = np.r_[True, gk[1:] != gk[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cw = np.cumsum(w)
+        base = np.r_[np.int64(0), cw[starts[1:] - 1]]
+        cwg = cw - base[seg]
+        ends = np.r_[starts[1:], len(d)] - 1
+        tot = cwg[ends][seg]
+        nbad = np.add.reduceat((2 * cwg < tot).astype(np.int64), starts)
+        pick = starts + nbad
+        return pd.DataFrame({group_col: gk[pick],
+                             "wmedian": pd.Series(v[pick], dtype="int64")})
+
+    return hash_partitioned_agg(partials, ["g"], per_partition,
                                 num_partitions=num_partitions)
 
 

@@ -198,3 +198,41 @@ def test_mad_outliers_matches_serial(ray_session):
     # constant group flags nothing
     assert not (np.array(exp) // 1 < 0).any()
     assert 49 not in set(got["g"])
+
+
+def test_grouped_weighted_median(ray_session):
+    import ray.data as rd
+
+    from rayspatial.ops.quantile import grouped_weighted_median
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "w": rng.integers(1, 20, n).astype(np.int64),
+    })
+    got = (grouped_weighted_median(
+        rd.from_pandas(df).repartition(6), "g", "v", "w")
+        .to_pandas().sort_values("g", ignore_index=True))
+
+    want_rows = []
+    for g, sub in df.groupby("g"):
+        s = sub.sort_values("v")
+        cw = s["w"].cumsum().to_numpy()
+        tot = cw[-1]
+        want_rows.append((g, int(s["v"].to_numpy()[2 * cw >= tot][0])))
+    want = pd.DataFrame(want_rows, columns=["g", "wmedian"])
+    want["wmedian"] = want["wmedian"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+
+    # single-row group and weight-1 degenerate
+    tiny = pd.DataFrame({"g": ["x"], "v": [7], "w": [1]})
+    out = grouped_weighted_median(rd.from_pandas(tiny), "g", "v", "w"
+                                  ).to_pandas()
+    assert out.iloc[0]["wmedian"] == 7
+
+    with pytest.raises(Exception):
+        bad = pd.DataFrame({"g": ["x"], "v": [1], "w": [0]})
+        grouped_weighted_median(rd.from_pandas(bad), "g", "v", "w"
+                                ).to_pandas()
