@@ -30,6 +30,12 @@ pts AS (
 )
 """.strip()
 
+# Morton bit-interleave as plain SQL arithmetic (bit i of qx -> 2i,
+# bit i of qy -> 2i+1) — mirrors ops/zorder.morton2d exactly.
+_Z_EXPR = " + ".join(
+    [f"(((qx >> {i}) & 1) << {2 * i})" for i in range(16)]
+    + [f"(((qy >> {i}) & 1) << {2 * i + 1})" for i in range(16)])
+
 _NGRAM_PAIRS_CTE = (
     r"w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents), idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx), sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM ng GROUP BY doc_id), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), pairsq AS (SELECT i.a, i.b FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b WHERE 100 * i.inter >= 50 * (sa.nsh + sb.nsh - i.inter))"
 )
@@ -3364,6 +3370,37 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_points_zorder(sf_dir: str):
+    """Z-order (Morton) layout key over the extracted web-page points
+    (ops/zorder.zorder_layout): lon/lat recovered to exact integer
+    microdegrees, quantized to a 2^16 grid in integer math, bit-
+    interleaved per batch, then ONE range sort gives the
+    multidimensional-locality layout.  Output (doc_id, qx, qy, zkey)
+    in layout order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.zorder import zorder_layout
+    from rayspatial.pipeline.flagship import points_dataset
+    from rayspatial.pipeline.pages import LAT_MOD, LON_MOD
+
+    def quantize(b: pa.Table) -> pa.Table:
+        # floats carry exact integer microdegrees (pages.py synthesis)
+        lon_num = np.round((b.column("lon").to_numpy() + 180.0) * 1e6
+                           ).astype(np.int64)
+        lat_num = np.round((b.column("lat").to_numpy() + 85.0) * 1e6
+                           ).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "qx": pa.array(lon_num * 65536 // LON_MOD),
+            "qy": pa.array(lat_num * 65536 // LAT_MOD),
+        })
+
+    pts = points_dataset(sf_dir).map_batches(quantize,
+                                             batch_format="pyarrow")
+    return zorder_layout(pts, "qx", "qy", bits=16, tie_cols=["doc_id"])
+
+
 def _q_price_wmedian(sf_dir: str):
     """Per-returnflag quantity-WEIGHTED median price
     (ops/quantile.grouped_weighted_median): map-side weight partials
@@ -3887,6 +3924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q21": _q_tpch_q21,
         "price_wmedian": _q_price_wmedian,
+        "points_zorder": _q_points_zorder,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5197,6 +5235,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "points_zorder": (
+            f"WITH {_PTS_CTE}, "
+            "q AS (SELECT doc_id, "
+            "CAST(round((lon + 180.0) * 1000000) AS BIGINT) * 65536 "
+            "// 360000000 AS qx, "
+            "CAST(round((lat + 85.0) * 1000000) AS BIGINT) * 65536 "
+            "// 170000000 AS qy FROM pts) "
+            f"SELECT doc_id, qx, qy, CAST({_Z_EXPR} AS BIGINT) AS zkey "
+            "FROM q ORDER BY zkey, qx, qy, doc_id"
         ),
         "price_wmedian": (
             "WITH g AS (SELECT l_returnflag, "
