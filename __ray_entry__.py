@@ -3370,6 +3370,21 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_orders_profile(sf_dir: str):
+    """Single-pass table profiling (ops/profile.profile_table): per
+    column n / nulls / exact distinct / min / max for three orders
+    columns in ONE (column, value)-keyed shuffle — the exchange carries
+    the distinct-value domain, not rows."""
+    from rayspatial.ops.profile import profile_table
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_orderpriority"])
+    return profile_table(ds, ["o_custkey"],
+                         ["o_orderstatus", "o_orderpriority"])
+
+
 def _q_points_zorder(sf_dir: str):
     """Z-order (Morton) layout key over the extracted web-page points
     (ops/zorder.zorder_layout): lon/lat recovered to exact integer
@@ -3925,6 +3940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": _q_tpch_q21,
         "price_wmedian": _q_price_wmedian,
         "points_zorder": _q_points_zorder,
+        "orders_profile": _q_orders_profile,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5235,6 +5251,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "orders_profile": (
+            "SELECT 'o_custkey' AS \"column\", "
+            "CAST(COUNT(o_custkey) AS BIGINT) AS n, "
+            "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_null, "
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct, "
+            "CAST(CAST(MIN(o_custkey) AS BIGINT) AS VARCHAR) AS min_s, "
+            "CAST(CAST(MAX(o_custkey) AS BIGINT) AS VARCHAR) AS max_s "
+            "FROM orders UNION ALL "
+            "SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS "
+            "BIGINT), CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), "
+            "MIN(o_orderpriority), MAX(o_orderpriority) FROM orders "
+            "UNION ALL "
+            "SELECT 'o_orderstatus', CAST(COUNT(o_orderstatus) AS "
+            "BIGINT), CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), "
+            "MIN(o_orderstatus), MAX(o_orderstatus) FROM orders "
+            "ORDER BY \"column\""
         ),
         "points_zorder": (
             f"WITH {_PTS_CTE}, "
