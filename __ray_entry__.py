@@ -3370,6 +3370,29 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_user_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user
+    (ops/analytic.longest_streak): map-side (user, day) dedup, one
+    user-keyed shuffle, vectorized day-minus-rank islands + segmented
+    max — the gaps-and-islands shape with no per-user loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.analytic import longest_streak
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "day": pa.array(b.column("ts").to_numpy()
+                            .astype("datetime64[D]").astype(np.int64)),
+        }),
+        batch_format="pyarrow")
+    return longest_streak(events, "user_id", "day").sort("user_id")
+
+
 def _q_orders_profile(sf_dir: str):
     """Single-pass table profiling (ops/profile.profile_table): per
     column n / nulls / exact distinct / min / max for three orders
@@ -3941,6 +3964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_wmedian": _q_price_wmedian,
         "points_zorder": _q_points_zorder,
         "orders_profile": _q_orders_profile,
+        "user_streaks": _q_user_streaks,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5251,6 +5275,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "user_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "r AS (SELECT user_id, day, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS INTEGER) AS rn FROM d), "
+            "runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len "
+            "FROM r GROUP BY user_id, day - rn) "
+            "SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days "
+            "FROM runs GROUP BY 1 ORDER BY 1"
         ),
         "orders_profile": (
             "SELECT 'o_custkey' AS \"column\", "

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel", "retention_cohorts", "rolling_rows_median"]
+__all__ = ["analytic_window", "rolling_time_window", "rolling_time_window_salted", "funnel", "retention_cohorts", "rolling_rows_median", "longest_streak"]
 
 _SUPPORTED = ("lag", "lead", "row_number", "rank", "dense_rank", "cumsum")
 
@@ -260,6 +260,56 @@ def rolling_rows_median(ds, part_col: str, order_cols: list[str],
         return pa.table({kk: pa.array(val) for kk, val in out.items()})
 
     return hash_partitioned_agg(ds, [part_col], per_partition,
+                                num_partitions=num_partitions)
+
+
+def longest_streak(ds, user_col: str, day_col: str,
+                   num_partitions: int | None = None):
+    """Longest run of CONSECUTIVE active days per user (the
+    gaps-and-islands shape).  ``day_col`` must be an integer day
+    ordinal (epoch days); dedup to distinct (user, day) happens
+    map-side, so the ONE hash shuffle carries at most one row per
+    user-day.  Per partition: sort, then the classic day-minus-rank
+    island id and two segmented reductions — no per-user Python loop.
+    Output (user, streak_days:int64)."""
+    from rayspatial.util import hash_partitioned_agg
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": batch.column(user_col).to_numpy(zero_copy_only=False),
+            "d": batch.column(day_col).to_numpy().astype(np.int64),
+        }).drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(dedup, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({user_col: pd.Series([], dtype=object),
+                                 "streak_days": pd.Series([],
+                                                          dtype="int64")})
+        d = (df.drop_duplicates()
+             .sort_values(["u", "d"], kind="mergesort",
+                          ignore_index=True))
+        u = d["u"].to_numpy()
+        day = d["d"].to_numpy()
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        rank = np.arange(len(d)) - np.flatnonzero(new_u)[
+            np.cumsum(new_u) - 1]
+        island = day - rank                       # constant within a run
+        new_run = new_u | np.r_[True, island[1:] != island[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        # max run length per user: runs are contiguous per user
+        starts = np.flatnonzero(new_u)
+        run_of_start = run_id[starts]
+        bounds = np.r_[run_of_start, run_id[-1] + 1]
+        best = np.maximum.reduceat(run_len, bounds[:-1])
+        return pd.DataFrame({user_col: u[starts],
+                             "streak_days": pd.Series(best,
+                                                      dtype="int64")})
+
+    return hash_partitioned_agg(pairs, ["u"], per_partition,
                                 num_partitions=num_partitions)
 
 

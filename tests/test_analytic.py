@@ -364,3 +364,33 @@ def test_rolling_rows_median_vs_pandas(ray_session):
     with pytest.raises(ValueError):
         rolling_rows_median(rd.from_pandas(df), "user_id", ["event_id"],
                             "cents", k=0)
+
+
+def test_longest_streak(ray_session):
+    """longest_streak == brute-force consecutive-day runs per user."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import longest_streak
+
+    rng = np.random.RandomState(21)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        "day": rng.randint(0, 60, n).astype(np.int64),
+    })
+    got = (longest_streak(rd.from_pandas(df).repartition(7),
+                          "user_id", "day")
+           .to_pandas().sort_values("user_id", ignore_index=True))
+
+    want_rows = []
+    for u, sub in df.groupby("user_id"):
+        days = np.unique(sub["day"].to_numpy())
+        best = cur = 1
+        for a, b in zip(days[:-1], days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        want_rows.append((u, best))
+    want = pd.DataFrame(want_rows, columns=["user_id", "streak_days"])
+    want["streak_days"] = want["streak_days"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": np.int64}), want)
