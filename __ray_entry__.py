@@ -3370,6 +3370,34 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_user_sequences(sf_dir: str):
+    """Ordered per-user event-type sequence strings
+    (ops/advanced.grouped_concat) — SQL string_agg ORDER BY shape, the
+    training-sequence building aggregate; one user-keyed shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.advanced import grouped_concat
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "tsu": pa.array(b.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64)),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+        }),
+        batch_format="pyarrow")
+    out = grouped_concat(events, "user_id", "event_type",
+                         ["tsu", "event_id"], sep=",",
+                         out_col="seq")
+    return out.sort("user_id")
+
+
 def _q_user_streaks(sf_dir: str):
     """Longest consecutive-active-day streak per user
     (ops/analytic.longest_streak): map-side (user, day) dedup, one
@@ -3965,6 +3993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_zorder": _q_points_zorder,
         "orders_profile": _q_orders_profile,
         "user_streaks": _q_user_streaks,
+        "user_sequences": _q_user_sequences,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5275,6 +5304,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "user_sequences": (
+            "SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY ts, event_id) AS seq, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "user_streaks": (
             "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "

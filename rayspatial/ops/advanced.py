@@ -15,7 +15,8 @@ import pyarrow as pa
 
 __all__ = ["skyline", "max_concurrency", "mode_by_group",
            "transition_counts", "cube_agg", "grouping_sets_agg",
-           "grouped_moments", "cooccurrence_pairs", "histogram_fixed"]
+           "grouped_moments", "cooccurrence_pairs", "histogram_fixed",
+           "grouped_concat"]
 
 
 # ---------------------------------------------------------------- skyline
@@ -510,4 +511,37 @@ def grouped_moments(ds, group_cols: list[str], x_col: str, y_col: str,
         return out
 
     return hash_partitioned_agg(partials, group_cols, _finish,
+                                num_partitions=num_partitions)
+
+
+# ------------------------------------------------------------ grouped_concat
+
+def grouped_concat(ds, group_col: str, value_col: str,
+                   order_cols: list[str], sep: str = ",",
+                   out_col: str = "concat_v",
+                   num_partitions: int | None = None):
+    """Ordered per-group string aggregation — SQL's
+    ``string_agg(value, sep ORDER BY order_cols)`` — the
+    training-sequence building aggregate.  ONE hash shuffle co-locates
+    each group; per partition a single sort then one pandas
+    groupby-join assembles every group's string (string assembly is
+    inherently per-group, but runs over grouped array slices, never a
+    row-at-a-time loop).  Output (group, concat_v, n:int64).
+
+    Scale note: a group's concatenated string must fit a worker's heap
+    — cap upstream (e.g. top-N events per user) for unbounded keys."""
+    from rayspatial.util import hash_partitioned_agg
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 out_col: pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        d = df.sort_values([group_col, *order_cols], kind="mergesort")
+        g = d.groupby(group_col, sort=False)[value_col]
+        out = g.agg(lambda s: sep.join(s.astype(str))).rename(out_col)
+        n = g.size().rename("n").astype(np.int64)
+        return pd.concat([out, n], axis=1).reset_index()
+
+    return hash_partitioned_agg(ds, [group_col], per_partition,
                                 num_partitions=num_partitions)

@@ -317,3 +317,23 @@ def test_empty_inputs(ray_session):
 
     co = cooccurrence_pairs(empty_iv, "g", "v").to_pandas()
     assert co.empty
+
+
+def test_grouped_concat(ray_session):
+    from rayspatial.ops.advanced import grouped_concat
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.choice(["x", "y", "z", "w"], n),
+        "o": rng.permutation(n).astype(np.int64),
+    })
+    got = (grouped_concat(rd.from_pandas(df).repartition(5),
+                          "g", "v", ["o"], sep="|")
+           .to_pandas().sort_values("g", ignore_index=True))
+    want = (df.sort_values(["g", "o"]).groupby("g")["v"]
+            .agg(lambda s: "|".join(s)).rename("concat_v").reset_index())
+    want["n"] = df.groupby("g").size().sort_index().to_numpy()
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
