@@ -3370,6 +3370,37 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_value_ohlc_daily(sf_dir: str):
+    """Daily OHLC value candles per event type
+    (ops/advanced.ohlc_agg): mergeable first/last/min/max partials —
+    open/close ride the shuffle with their order keys so merging two
+    partials is again an argmin/argmax; one exchange."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.advanced import ohlc_agg
+    from rayspatial.util import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "day": pa.array(b.column("ts").to_numpy()
+                            .astype("datetime64[D]").astype(np.int64)),
+            "tsu": pa.array(b.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64)),
+            "event_id": b.column("event_id"),
+            "cents": pa.array(np.round(
+                b.column("value").to_numpy() * 100).astype(np.int64)),
+        }),
+        batch_format="pyarrow")
+    out = ohlc_agg(events, ["event_type", "day"], ["tsu", "event_id"],
+                   "cents")
+    return out.sort(["event_type", "day"])
+
+
 def _q_user_sequences(sf_dir: str):
     """Ordered per-user event-type sequence strings
     (ops/advanced.grouped_concat) — SQL string_agg ORDER BY shape, the
@@ -3994,6 +4025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _q_orders_profile,
         "user_streaks": _q_user_streaks,
         "user_sequences": _q_user_sequences,
+        "value_ohlc_daily": _q_value_ohlc_daily,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5304,6 +5336,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "value_ohlc_daily": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, "
+            "ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, "
+            "day ORDER BY ts, event_id) AS ra, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type, day "
+            "ORDER BY ts DESC, event_id DESC) AS rd FROM e) "
+            "SELECT event_type, day, "
+            "CAST(MIN(CASE WHEN ra = 1 THEN cents END) AS BIGINT) "
+            "AS open_v, "
+            "CAST(MAX(cents) AS BIGINT) AS high_v, "
+            "CAST(MIN(cents) AS BIGINT) AS low_v, "
+            "CAST(MIN(CASE WHEN rd = 1 THEN cents END) AS BIGINT) "
+            "AS close_v, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM w GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "user_sequences": (
             "SELECT user_id, string_agg(event_type, ',' "

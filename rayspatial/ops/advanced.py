@@ -16,7 +16,7 @@ import pyarrow as pa
 __all__ = ["skyline", "max_concurrency", "mode_by_group",
            "transition_counts", "cube_agg", "grouping_sets_agg",
            "grouped_moments", "cooccurrence_pairs", "histogram_fixed",
-           "grouped_concat"]
+           "grouped_concat", "ohlc_agg"]
 
 
 # ---------------------------------------------------------------- skyline
@@ -544,4 +544,81 @@ def grouped_concat(ds, group_col: str, value_col: str,
         return pd.concat([out, n], axis=1).reset_index()
 
     return hash_partitioned_agg(ds, [group_col], per_partition,
+                                num_partitions=num_partitions)
+
+
+# ------------------------------------------------------------------ ohlc_agg
+
+def ohlc_agg(ds, group_cols: list[str], order_cols: list[str],
+             value_col: str, num_partitions: int | None = None):
+    """OHLC candle aggregate: per group, the FIRST and LAST value in
+    ``order_cols`` order plus min / max / count — the canonical
+    mergeable argmin/argmax aggregate (time-series bars, session
+    first-touch / last-touch attribution).
+
+    Map-side partials carry (open, its order key) and (close, its
+    order key) per group, so merging two partials is again an
+    argmin/argmax — one hash shuffle finishes exactly.  All values
+    int64 (quantize floats upstream).  Output: group_cols + open_v /
+    high_v / low_v / close_v / n.
+    """
+    from rayspatial.util import hash_partitioned_agg
+
+    oc = list(order_cols)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(group_cols + oc, kind="mergesort",
+                           ignore_index=True)
+        g = d.groupby(group_cols, sort=False)
+        first = g.head(1).set_index(pd.Index(range(g.ngroups)))
+        last = g.tail(1).set_index(pd.Index(range(g.ngroups)))
+        agg = g.agg(high_v=("high_v", "max"), low_v=("low_v", "min"),
+                    n=("n", "sum")).reset_index()
+        agg["open_v"] = first["open_v"].to_numpy()
+        agg["close_v"] = last["close_v"].to_numpy()
+        for c in oc:
+            agg["_o_" + c] = first[c].to_numpy()
+            agg["_c_" + c] = last[c].to_numpy()
+        cols = (group_cols + ["open_v", "high_v", "low_v", "close_v", "n"]
+                + ["_o_" + c for c in oc] + ["_c_" + c for c in oc])
+        return agg[cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            **{c: batch.column(c).to_numpy(zero_copy_only=False)
+               for c in group_cols + oc},
+            "v": batch.column(value_col).to_numpy().astype(np.int64),
+        })
+        df["open_v"] = df["v"]
+        df["close_v"] = df["v"]
+        df["high_v"] = df["v"]
+        df["low_v"] = df["v"]
+        df["n"] = np.int64(1)
+        return pa.Table.from_pandas(_reduce(df), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # a partial's open/close ride with their order keys: rename the
+        # carried keys back to the order columns and reduce again —
+        # open merges by argmin(order), close by argmax(order)
+        lo = df[group_cols + ["open_v", "high_v", "low_v", "n"]
+                + ["_o_" + c for c in oc]].rename(
+            columns={("_o_" + c): c for c in oc})
+        hi = df[group_cols + ["close_v"] + ["_c_" + c for c in oc]].rename(
+            columns={("_c_" + c): c for c in oc})
+        lo = lo.sort_values(group_cols + oc, kind="mergesort")
+        hi = hi.sort_values(group_cols + oc, kind="mergesort")
+        gl = lo.groupby(group_cols, sort=False)
+        gh = hi.groupby(group_cols, sort=False)
+        out = gl.agg(high_v=("high_v", "max"), low_v=("low_v", "min"),
+                     n=("n", "sum")).reset_index()
+        out["open_v"] = gl.head(1)["open_v"].to_numpy()
+        out["close_v"] = gh.tail(1)["close_v"].to_numpy()
+        for c in ("open_v", "high_v", "low_v", "close_v", "n"):
+            out[c] = out[c].astype(np.int64)
+        return out[group_cols
+                   + ["open_v", "high_v", "low_v", "close_v", "n"]]
+
+    return hash_partitioned_agg(partials, group_cols, merge,
                                 num_partitions=num_partitions)

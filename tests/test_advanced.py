@@ -337,3 +337,28 @@ def test_grouped_concat(ray_session):
     want["n"] = df.groupby("g").size().sort_index().to_numpy()
     want["n"] = want["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ohlc_agg(ray_session):
+    from rayspatial.ops.advanced import ohlc_agg
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "t": rng.permutation(n).astype(np.int64),   # unique order key
+        "v": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    got = (ohlc_agg(rd.from_pandas(df).repartition(6), ["g"], ["t"], "v")
+           .to_pandas().sort_values("g", ignore_index=True))
+
+    rows = []
+    for g, sub in df.groupby("g"):
+        s = sub.sort_values("t")
+        rows.append((g, s["v"].iloc[0], s["v"].max(), s["v"].min(),
+                     s["v"].iloc[-1], len(s)))
+    want = pd.DataFrame(rows, columns=["g", "open_v", "high_v", "low_v",
+                                       "close_v", "n"])
+    for c in ("open_v", "high_v", "low_v", "close_v", "n"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
