@@ -3370,6 +3370,70 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity): above-average-
+    balance customers with NO large order, grouped by nation — a
+    scalar-broadcast threshold (integer-exact partial sum/count
+    gather) composed with the shuffle anti-join
+    (ops/relational.anti_join) and a tiny final group-aggregate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.ops.relational import anti_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    THRESH_CENTS = 40_000_000  # o_totalprice > 400k
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_nationkey": b.column("c_nationkey"),
+            "bal_c": pa.array(np.round(
+                b.column("c_acctbal").to_numpy() * 100).astype(np.int64)),
+        }),
+        batch_format="pyarrow")
+
+    # integer-exact mean of POSITIVE balances: tiny (sum, n) gather
+    def _sum_n(b: pa.Table) -> pa.Table:
+        v = b.column("bal_c").to_numpy()
+        v = v[v > 0]
+        return pa.table({"s": pa.array([v.sum()], pa.int64()),
+                         "n": pa.array([np.int64(len(v))], pa.int64())})
+
+    parts = cust.map_batches(_sum_n, batch_format="pyarrow").to_pandas()
+    T = int(parts["s"].sum() // max(int(parts["n"].sum()), 1))
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("bal_c"), T)),
+        batch_format="pyarrow")
+
+    hot = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey").filter(
+            pa.array(np.round(b.column("o_totalprice").to_numpy() * 100)
+                     .astype(np.int64) > THRESH_CENTS))}),
+        batch_format="pyarrow")
+
+    quiet = anti_join(rich, hot, on="c_custkey",
+                      left_cols=["c_custkey", "c_nationkey", "bal_c"])
+
+    def agg(df):
+        import pandas as pd
+        out = (df.groupby("c_nationkey", sort=False)["bal_c"]
+               .agg([("totbal_c", "sum"), ("numcust", "size")])
+               .reset_index())
+        out["totbal_c"] = out["totbal_c"].astype(np.int64)
+        out["numcust"] = out["numcust"].astype(np.int64)
+        return out[["c_nationkey", "numcust", "totbal_c"]]
+
+    return hash_partitioned_agg(quiet, ["c_nationkey"], agg
+                                ).sort("c_nationkey")
+
+
 def _q_value_ohlc_daily(sf_dir: str):
     """Daily OHLC value candles per event type
     (ops/advanced.ohlc_agg): mergeable first/last/min/max partials —
@@ -4026,6 +4090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "user_sequences": _q_user_sequences,
         "value_ohlc_daily": _q_value_ohlc_daily,
+        "tpch_q22": _q_tpch_q22,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5336,6 +5401,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "tpch_q22": (
+            "WITH b AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c "
+            "FROM customer), "
+            "t AS (SELECT SUM(bal_c) // COUNT(*) AS thr FROM b "
+            "WHERE bal_c > 0), "
+            "hot AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 40000000) "
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(bal_c) AS BIGINT) AS totbal_c "
+            "FROM b, t WHERE bal_c > thr AND c_custkey NOT IN "
+            "(SELECT o_custkey FROM hot) GROUP BY 1 ORDER BY 1"
         ),
         "value_ohlc_daily": (
             "WITH e AS (SELECT event_type, "
