@@ -3370,6 +3370,83 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order priority checking): one-quarter orders
+    with EXISTS(a lineitem shipped > 45 days after the order date),
+    counted by priority.  The EXISTS predicate needs both sides, so
+    the quarter-filtered orders join lineitem via the size-gated
+    hash_join carrying (date, priority); per-batch lateness filter +
+    (orderkey, priority) dedup partials, one orderkey-keyed shuffle
+    finishes the distinct, and the priority counts fold tiny."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    lo, hi = np.datetime64("1997-07-01"), np.datetime64("1997-10-01")
+    GRACE = np.timedelta64(45, "D")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy()
+        keep = pa.array((d >= lo) & (d < hi))
+        t = b.filter(keep)
+        return pa.table({"okey": t.column("o_orderkey"),
+                         "odate": t.column("o_orderdate"),
+                         "prio": t.column("o_orderpriority")})
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table({"okey": b.column("l_orderkey"),
+                            "ship": b.column("l_shipdate")}),
+        batch_format="pyarrow")
+
+    j = hash_join(li, orders, on="okey",
+                  left_cols=["okey", "ship"], right_cols=["odate", "prio"])
+
+    def late_pairs(b: pa.Table) -> pa.Table:
+        ship = b.column("ship").to_numpy()
+        odate = b.column("odate").to_numpy()
+        t = b.filter(pa.array(ship > odate + GRACE))
+        df = pd.DataFrame({
+            "okey": t.column("okey").to_numpy().astype(np.int64),
+            "prio": t.column("prio").to_pandas(),
+        }).drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = j.map_batches(late_pairs, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = (d.groupby("prio", sort=False).size().rename("order_count")
+               .reset_index())
+        out["order_count"] = out["order_count"].astype(np.int64)
+        return out
+
+    partial = hash_partitioned_agg(pairs, ["okey"], per_part)
+
+    def fold(b: pa.Table) -> pa.Table:
+        if not len(b):
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "order_count": pa.array([], pa.int64())})
+        df = (b.to_pandas().groupby("prio", sort=False)["order_count"]
+              .sum().reset_index()
+              .rename(columns={"prio": "o_orderpriority"})
+              .sort_values("o_orderpriority", ignore_index=True))
+        df["order_count"] = df["order_count"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (partial.repartition(1)
+            .map_batches(fold, batch_size=None, batch_format="pyarrow"))
+
+
 def _q_tpch_q22(sf_dir: str):
     """TPC-H Q22 shape (global sales opportunity): above-average-
     balance customers with NO large order, grouped by nation — a
@@ -4091,6 +4168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sequences": _q_user_sequences,
         "value_ohlc_daily": _q_value_ohlc_daily,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5401,6 +5479,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) "
+            "AS order_count FROM orders "
+            "WHERE o_orderdate >= DATE '1997-07-01' "
+            "AND o_orderdate < DATE '1997-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 45 DAY) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "tpch_q22": (
             "WITH b AS (SELECT c_custkey, c_nationkey, "
