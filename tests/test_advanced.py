@@ -362,3 +362,31 @@ def test_ohlc_agg(ray_session):
     for c in ("open_v", "high_v", "low_v", "close_v", "n"):
         want[c] = want[c].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 11])
+def test_new_ops_partitioning_invariant(ray_session, nparts):
+    """ohlc_agg / grouped_concat results must not depend on the input
+    block layout (groups are co-located by the hash shuffle)."""
+    from rayspatial.ops.advanced import grouped_concat, ohlc_agg
+
+    rng = np.random.default_rng(31)
+    n = 1500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n),
+        "t": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(-99, 99, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(nparts)
+    o = (ohlc_agg(ds, ["g"], ["t"], "v").to_pandas()
+         .sort_values("g", ignore_index=True))
+    c = (grouped_concat(ds, "g", "v", ["t"]).to_pandas()
+         .sort_values("g", ignore_index=True))
+    # reference from a single partition
+    ds1 = rd.from_pandas(df).repartition(2)
+    o1 = (ohlc_agg(ds1, ["g"], ["t"], "v").to_pandas()
+          .sort_values("g", ignore_index=True))
+    c1 = (grouped_concat(ds1, "g", "v", ["t"]).to_pandas()
+          .sort_values("g", ignore_index=True))
+    pd.testing.assert_frame_equal(o, o1)
+    pd.testing.assert_frame_equal(c, c1)
