@@ -390,3 +390,24 @@ def test_new_ops_partitioning_invariant(ray_session, nparts):
           .sort_values("g", ignore_index=True))
     pd.testing.assert_frame_equal(o, o1)
     pd.testing.assert_frame_equal(c, c1)
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Empty datasets flow through the session's new operators."""
+    from rayspatial.ops.advanced import grouped_concat, ohlc_agg
+    from rayspatial.ops.analytic import longest_streak
+    from rayspatial.ops.quantile import grouped_weighted_median
+    from rayspatial.ops.zorder import zorder_layout
+
+    empty = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()), "t": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
+
+    assert ohlc_agg(empty, ["g"], ["t"], "v").to_pandas().empty
+    assert grouped_concat(empty, "g", "v", ["t"]).to_pandas().empty
+    assert longest_streak(empty, "g", "t").to_pandas().empty
+    assert grouped_weighted_median(empty, "g", "v", "w").to_pandas().empty
+    z = zorder_layout(rd.from_arrow(pa.table({
+        "qx": pa.array([], pa.int64()), "qy": pa.array([], pa.int64())})),
+        "qx", "qy").to_pandas()
+    assert z.empty
