@@ -3370,6 +3370,69 @@ def _q_tpch_q18(sf_dir: str):
             .map_batches(head100, batch_size=None, batch_format="pyarrow"))
 
 
+def _q_partitioned_roundtrip(sf_dir: str):
+    """Partitioned-sink + pruned-source roundtrip: events written as
+    hive-partitioned Parquet (one directory per event_type — the
+    resumable layout the jobs/ entrypoints use), then ONE partition
+    read back with directory pruning (only that directory's files are
+    scanned) and aggregated per day.  Verifies the sink/source path
+    under the same oracle gate as every compute operator."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data  # noqa: F401
+
+    from rayspatial.util import read_parquet_sized
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/rayspatial_roundtrip_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "day": pa.array(b.column("ts").to_numpy()
+                            .astype("datetime64[D]").astype(np.int64)),
+            "cents": pa.array(np.round(
+                b.column("value").to_numpy() * 100).astype(np.int64)),
+        }),
+        batch_format="pyarrow")
+    events.write_parquet(out_dir, partition_cols=["event_type"])
+
+    # pruned read: ONLY the 'click' partition directory is listed
+    # (plain read_parquet — multi-file dirs get one read task per file)
+    part_dir = os.path.join(out_dir, "event_type=click")
+    one = ray.data.read_parquet(part_dir, columns=["day", "cents"])
+
+    def agg(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = (b.to_pandas().groupby("day", sort=False)["cents"]
+              .agg([("sum_c", "sum"), ("n", "size")]).reset_index())
+        for c in ("sum_c", "n"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        if not len(b):
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "sum_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        df = (b.to_pandas().groupby("day", sort=False)[["sum_c", "n"]]
+              .sum().reset_index().sort_values("day", ignore_index=True))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (one.map_batches(agg, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(fold, batch_size=None, batch_format="pyarrow"))
+
+
 def _q_tpch_q4(sf_dir: str):
     """TPC-H Q4 shape (order priority checking): one-quarter orders
     with EXISTS(a lineitem shipped > 45 days after the order date),
@@ -4169,6 +4232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ohlc_daily": _q_value_ohlc_daily,
         "tpch_q22": _q_tpch_q22,
         "tpch_q4": _q_tpch_q4,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
         "supplier_cnt": _q_supplier_cnt,
@@ -5479,6 +5543,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.term < b.term "
             "AND abs(length(a.term) - length(b.term)) <= 2 "
             "WHERE levenshtein(a.term, b.term) <= 2 ORDER BY 1, 2"
+        ),
+        "partitioned_roundtrip": (
+            "SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) "
+            "AS day, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_c, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events WHERE event_type = 'click' "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) "
