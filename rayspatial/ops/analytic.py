@@ -242,9 +242,12 @@ def rolling_rows_median(ds, part_col: str, order_cols: list[str],
         seg = np.cumsum(new) - 1
         gstart = np.flatnonzero(new)[seg]          # group start per row
         v = df[value_col].to_numpy().astype(np.int64)
-        if (v >= SENT - 1).any():
-            raise OverflowError("rolling_rows_median: value too close "
-                                "to the int64 sentinel")
+        # med2 is the SUM of two window order statistics: both operands
+        # must satisfy |v| < 2^62 so the int64 addition cannot wrap
+        # (also keeps every value strictly below the SENT padding).
+        if (np.abs(v) >= 2 ** 62).any():
+            raise OverflowError("rolling_rows_median: |value| >= 2^62 "
+                                "would overflow the two-statistic sum")
         idx = np.arange(n)[:, None] - np.arange(k - 1, -1, -1)[None, :]
         valid = idx >= gstart[:, None]
         w = v[np.clip(idx, 0, n - 1)]
@@ -578,11 +581,13 @@ def rolling_distinct(ds, user_col: str, ts_col: str, window: int = 7,
         if len(d) > 1:
             new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > window)
         starts = d[new]
-        # interval end = last unit of its run + window - 1
-        run_id = np.cumsum(new) - 1
-        last = np.zeros(run_id[-1] + 1, dtype=np.int64)
-        np.maximum.at(last, run_id, d)
-        ends = last + window - 1
+        # interval end = last unit of its run + window - 1.  Rows are
+        # sorted by (user, unit), so each run's last element is the row
+        # just before the next run start (or the final row) — indexing
+        # directly is correct for negative units too (pre-1970
+        # timestamps), where a zero-init maximum.at accumulator isn't.
+        ends_idx = np.r_[np.flatnonzero(new)[1:] - 1, len(d) - 1]
+        ends = d[ends_idx] + window - 1
         lens = (ends - starts + 1).astype(np.int64)
         # expand each merged interval to its units (vectorized ragged
         # arange), then keep only OBSERVED units

@@ -32,7 +32,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["exact_quantiles", "grouped_quantiles", "grouped_weighted_median",
-           "range_partitioned_rank", "QuantileSketch", "approx_quantiles"]
+           "range_partitioned_rank", "QuantileSketch", "approx_quantiles",
+           "ntile", "mad_outliers"]
 
 BINS = 4096
 

@@ -16,7 +16,6 @@ broadcast filter, which caps at worker heap).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -47,21 +46,28 @@ def _presence_join(left_ds, right_ds, on: str, left_cols: list[str],
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        lmask = df["_side"].to_numpy() == 1
-        left = df[lmask]
-        right_keys = df.loc[~lmask, on]
-        present = left[on].isin(right_keys)
-        out = left[present if keep_present else ~present]
+    def per_partition(t: pa.Table) -> pa.Table:
+        # Pure-Arrow partition path: the left columns carry typed nulls
+        # from the union with the keys-only right side, and the pandas
+        # conversion would silently upcast int64-with-null to float64
+        # (the canonical_docs n_chars dtype leak).  Arrow filter/is_in
+        # keep every column's type exact.
+        import pyarrow.compute as pc
+
+        side = t.column("_side")
+        left = t.filter(pc.equal(side, 1))
+        right_keys = t.filter(pc.equal(side, 0)).column(on).combine_chunks()
+        present = pc.is_in(left.column(on), value_set=right_keys)
+        out = left.filter(present if keep_present else pc.invert(present))
         # Deterministic output order: the union interleaves left/right
         # blocks nondeterministically, so sort each partition by the key
         # (partition order itself is fixed by the hash; with unique left
         # keys — every current caller — the full output order is fixed).
-        out = out.sort_values(on, kind="mergesort")
-        return out[[on] + out_cols]
+        out = out.sort_by(on)
+        return out.select([on] + out_cols)
 
     return hash_partitioned_agg(lt.union(rt), [on], per_partition,
-                                num_partitions=num_partitions)
+                                num_partitions=num_partitions, arrow=True)
 
 
 def semi_join(left_ds, right_ds, on: str, left_cols: list[str],

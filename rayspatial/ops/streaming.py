@@ -685,11 +685,12 @@ def streaming_dedup(events_ds, ttl_s: int, lateness_s: int,
                     g[key_cols].astype(str).agg("\x1f".join, axis=1))
             ts = g["ts_us"].to_numpy()
             ids = g[id_col].to_numpy()
+            karr = keys.to_numpy()  # hoisted: one materialization per group
             dd = StreamingDeduper(ttl_s, lateness_s)
             emit = np.zeros(len(g), dtype=bool)
             for s in range(0, len(g), chunk):
                 emit[s:s + chunk] = dd.process(
-                    keys.to_numpy()[s:s + chunk], ts[s:s + chunk],
+                    karr[s:s + chunk], ts[s:s + chunk],
                     ids[s:s + chunk])
             outs.append(g[emit])
         cols = [part_col] + [c for c in key_cols if c != part_col] \

@@ -394,3 +394,29 @@ def test_longest_streak(ray_session):
     want["streak_days"] = want["streak_days"].astype(np.int64)
     pd.testing.assert_frame_equal(
         got.astype({"user_id": np.int64}), want)
+
+
+def test_rolling_distinct_negative_units(ray_session):
+    """Pre-1970 timestamps give negative day ordinals; run ends must be
+    taken from the data, not a zero-initialized maximum accumulator
+    (which would turn every all-negative run's end into window-1)."""
+    import ray.data as rd
+
+    from rayspatial.ops.analytic import rolling_distinct
+
+    day_us = 86_400_000_000
+    # users active only on negative days (1969 and earlier)
+    days = np.array([-40, -39, -35, -3, -2, -40, -2], dtype=np.int64)
+    users = np.array([1, 1, 1, 1, 1, 2, 2], dtype=np.int64)
+    us = days * day_us + 1000
+    t = pa.table({"user_id": pa.array(users),
+                  "ts": pa.array(us).cast(pa.timestamp("us"))})
+    observed = np.unique(us // day_us)
+    exp = {int(d): len({int(u) for u, dd in zip(users, us // day_us)
+                        if d - 6 <= dd <= d})
+           for d in observed}
+    for parts in (1, 4):
+        got = rolling_distinct(rd.from_arrow(t).repartition(parts),
+                               "user_id", "ts", window=7).to_pandas()
+        assert dict(zip(got["unit"].astype(int),
+                        got["n_users"].astype(int))) == exp, parts

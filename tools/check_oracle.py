@@ -28,6 +28,22 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    """Column -> coarse dtype kind, BEFORE canon() erases differences.
+
+    The driver's value-hash is dtype-sensitive (an int64 column that
+    leaked to float64 hash-mismatches even with identical values), so
+    the sweep must gate on this too.  Kinds: i/u -> 'int', f -> 'float',
+    b -> 'bool', M -> 'datetime', else 'obj'.
+    """
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                  "M": "datetime"}.get(k, "obj")
+    return out
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
@@ -66,7 +82,9 @@ def main():
         if only and name not in only:
             continue
         try:
-            mine = canon(to_pandas(fn(sf_dir)))
+            mine_raw = to_pandas(fn(sf_dir))
+            mine_kinds = dtype_kinds(mine_raw)
+            mine = canon(mine_raw)
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
@@ -75,13 +93,27 @@ def main():
             print(f"OK?  {name}: rows={len(mine)} (no oracle; rows-only check)")
             continue
         try:
-            ref = canon(con.execute(oracles[name]).fetchdf())
+            ref_raw = con.execute(oracles[name]).fetchdf()
+            ref_kinds = dtype_kinds(ref_raw)
+            ref = canon(ref_raw)
         except Exception as e:
             print(f"FAIL {name}: oracle raised {e}")
             failures += 1
             continue
         ok_rows = len(mine) == len(ref)
         ok_cols = list(mine.columns) == list(ref.columns)
+        if ok_cols and mine_kinds != ref_kinds:
+            bad = {c: (mine_kinds[c], ref_kinds.get(c))
+                   for c in mine_kinds if mine_kinds[c] != ref_kinds.get(c)}
+            # DuckDB emits all-NULL / empty columns as object; a typed
+            # engine column vs an all-null oracle column is not a leak.
+            real = {c: v for c, v in bad.items()
+                    if not (len(ref_raw) == 0 or ref_raw[c].isna().all()
+                            or mine_raw[c].isna().all())}
+            if real:
+                failures += 1
+                print(f"FAIL {name}: DTYPE mismatch {real}")
+                continue
         ok_vals = False
         if ok_rows and ok_cols:
             try:
