@@ -92,9 +92,23 @@ def cm_sketch(ds, col: str, width: int = 2048, depth: int = 5):
         return pa.table({"_cm": pa.array([sk.table.tobytes()],
                                          type=pa.binary())})
 
-    total = np.zeros((depth, width), dtype=np.int64)
-    for row in ds.map_batches(partial, batch_format="pyarrow") \
-                 .iter_rows():
-        total += np.frombuffer(row["_cm"], dtype=np.int64) \
-            .reshape(depth, width)
+    def merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for row in batch.column("_cm"):
+            acc += np.frombuffer(row.as_py(), dtype=np.int64)
+        return pa.table({"_cm": pa.array([acc.tobytes()],
+                                         type=pa.binary())})
+
+    # In-task merge (same shape as the Bloom-filter reduce in
+    # ops/equijoin.py): per-block grids are summed inside a single task
+    # after repartition(1); the driver pulls exactly ONE row, never the
+    # stream of per-block grids.
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
+    total = (np.frombuffer(final[0]["_cm"], dtype=np.int64)
+             .reshape(depth, width).copy())
     return CountMinSketch(width, depth, total)

@@ -39,37 +39,56 @@ MERSENNE61 = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 
+def exact_hash_partials(batch: pa.Table, key_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Map-side combiner for exact dedup: one (h1, h2, min-id, count)
+    row per DISTINCT key in the batch, so any key — including a
+    mega-duplicate spanning the whole corpus — ships at most one
+    shuffle row per input block."""
+    from rayspatial.textops.hashing import rolling_fingerprint
+
+    h1 = hash_strings(batch.column(key_col)).view(np.int64)
+    h2 = rolling_fingerprint(batch.column(key_col))  # independent algo
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    # Sort by (h1, h2, id), boundary-scan groups.
+    order = np.lexsort((ids, h2, h1))
+    h1s, h2s, idss = h1[order], h2[order], ids[order]
+    new = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, len(h1s)])
+    return pa.table(
+        {
+            "h1": pa.array(h1s[starts]),
+            "h2": pa.array(h2s[starts]),
+            "rep": pa.array(idss[starts]),  # min id (ids sorted last)
+            "cnt": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
 def exact_dedup_groups(ds, key_col: str = "text", id_col: str = "doc_id"):
     """-> Dataset (doc_id, n_copies): representative (min id) + copy
     count per distinct ``key_col`` value.
 
     Map side emits two independent 64-bit content hashes (128 bits
     total — collision-free in practice at 10^12 rows) so the shuffle
-    moves 24 bytes/row instead of the text payload.
+    moves 24 bytes/row instead of the text payload, AND pre-combines
+    per batch (min id + count per key) so a mega-duplicate key — the
+    boilerplate page repeated 10^9× in a real web corpus — contributes
+    at most ONE shuffle row per input block instead of one per copy.
     """
     from rayspatial.util import hash_partitioned_agg
 
-    def to_hashes(batch: pa.Table) -> pa.Table:
-        from rayspatial.textops.hashing import rolling_fingerprint
+    def to_hash_partials(batch: pa.Table) -> pa.Table:
+        return exact_hash_partials(batch, key_col, id_col)
 
-        h1 = hash_strings(batch.column(key_col))
-        h2 = rolling_fingerprint(batch.column(key_col))  # independent algo
-        return pa.table(
-            {
-                "h1": pa.array(h1.view(np.int64)),
-                "h2": pa.array(h2),
-                id_col: batch.column(id_col),
-            }
-        )
-
-    hashed = ds.map_batches(to_hashes, batch_format="pyarrow")
+    hashed = ds.map_batches(to_hash_partials, batch_format="pyarrow")
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         out = (
-            df.groupby(["h1", "h2"], sort=False)[id_col]
-            .agg([("rep", "min"), ("n_copies", "size")])
+            df.groupby(["h1", "h2"], sort=False)
+            .agg(**{id_col: ("rep", "min"), "n_copies": ("cnt", "sum")})
             .reset_index(drop=True)
-            .rename(columns={"rep": id_col})
         )
         return out[[id_col, "n_copies"]]
 
@@ -80,18 +99,27 @@ def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
     """-> Dataset of surviving rows (first id per distinct key).
 
     Full-row variant: shuffles (hash, row) and keeps the min-id row per
-    group via map_groups.
+    group via map_groups.  Map side pre-combines per batch (keep only
+    the min-id row per hash before the shuffle) so a mega-duplicate key
+    ships at most one full row per input block; min-of-mins is still
+    the global min.
     """
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def add_hash_combine(batch: pa.Table) -> pa.Table:
         h = hash_strings(batch.column(key_col)).view(np.int64)
-        return batch.append_column("_h", pa.array(h))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        hs = h[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        keep_idx = np.sort(order[first])  # min-id row per in-batch hash
+        kept = batch.take(pa.array(keep_idx))
+        return kept.append_column("_h", pa.array(h[keep_idx]))
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).head(1)
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(add_hash_combine, batch_format="pyarrow")
         .groupby("_h")
         .map_groups(first_per_group, batch_format="pandas")
         .drop_columns(["_h"])

@@ -216,9 +216,35 @@ class BinaryFeatureExtractor:
             raise ValueError(f"unknown decoder: {decoder}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column(self.binary_col).to_pylist()
-        feats = np.stack([self.decode(p or b"") for p in payloads])
-        sizes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
+        # Slice the Arrow binary buffers directly (offsets + values)
+        # instead of to_pylist(): no batch-wide Python list of payload
+        # copies; each decode sees a zero-copy memoryview of the value
+        # buffer (decoders use struct.unpack_from / np.frombuffer /
+        # slice-compare, all buffer-protocol APIs).  Per-payload decode
+        # stays — inherent to codec work.
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            owidth = (np.int64 if pa.types.is_large_binary(col.type)
+                      else np.int32)
+            off = np.frombuffer(col.buffers()[1], dtype=owidth)[
+                col.offset: col.offset + n + 1].astype(np.int64)
+            dbuf = col.buffers()[2]
+            mv = memoryview(dbuf) if dbuf is not None else memoryview(b"")
+            valid = (col.is_valid().to_numpy(zero_copy_only=False)
+                     if col.null_count else np.ones(n, dtype=bool))
+            sizes = np.where(valid, np.diff(off), 0).astype(np.int64)
+            feats = np.empty((n, FEATURE_DIM), dtype=np.int64)
+            for i in range(n):
+                feats[i] = self.decode(
+                    mv[off[i]: off[i + 1]] if valid[i] else b"")
+        else:  # fixed-size / unexpected layout: row-wise fallback
+            payloads = col.to_pylist()
+            feats = np.stack([self.decode(p or b"") for p in payloads])
+            sizes = np.array([len(p or b"") for p in payloads],
+                             dtype=np.int64)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

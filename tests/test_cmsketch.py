@@ -62,3 +62,29 @@ def test_cm_sketch_distributed_matches_serial(ray_session):
 
     hs = hash_strings(pa.array([f"key{x}" for x in uniq]))
     assert (dist_s.estimate(hs) >= true).all()
+
+
+def test_cm_sketch_driver_gather_is_one_row(ray_session, monkeypatch):
+    """The reduce must merge per-block grids inside a task — the driver
+    pulls exactly ONE final row (verdict r4 #4: no iter_rows over one
+    multi-MB grid per input block on the driver)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    keys, _ = _zipf_hashes(rng, 10_000, 200)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(9)
+
+    gathered = {"rows": None}
+    orig_take_all = rd.Dataset.take_all
+
+    def counting_take_all(self, *a, **kw):
+        out = orig_take_all(self, *a, **kw)
+        gathered["rows"] = len(out)
+        return out
+
+    monkeypatch.setattr(rd.Dataset, "take_all", counting_take_all)
+    sk = cm_sketch(ds, "k", width=512, depth=4)
+    assert gathered["rows"] == 1
+    serial = CountMinSketch(width=512, depth=4)
+    serial.add(keys.view(np.uint64))
+    assert (sk.table == serial.table).all()

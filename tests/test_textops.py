@@ -112,6 +112,46 @@ def test_exact_dedup_rows_with_planted_dups(ray_session):
     assert list(out["doc_id"]) == [1, 2, 4]  # min id survives per text
 
 
+def test_exact_dedup_mega_key_map_side_combine(ray_session):
+    """A mega-duplicate key (one text repeated across every block) must
+    contribute at most ONE shuffle row per input block — the map-side
+    combiner bounds hot keys by #blocks, not #copies — and the final
+    counts/representatives stay exact."""
+    import ray.data as rd
+
+    from rayspatial.textops.dedup import (
+        exact_dedup,
+        exact_dedup_groups,
+        exact_hash_partials,
+    )
+
+    n, nblocks = 100_000, 40
+    ids = np.arange(n, dtype=np.int64)
+    texts = np.where(ids % 10 == 0,
+                     np.char.add("unique doc ", ids.astype(str)),
+                     "the mega duplicate boilerplate page")
+    tab = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ds = rd.from_arrow(tab).repartition(nblocks)
+
+    # Shuffle-row bound: the combiner emits <= distinct-keys-per-block
+    # rows; the hot key adds at most 1 per block.
+    shuffled_rows = ds.map_batches(
+        exact_hash_partials, batch_format="pyarrow").count()
+    n_unique = int((ids % 10 == 0).sum())
+    assert shuffled_rows <= n_unique + nblocks  # NOT ~90k hot-key rows
+
+    got = exact_dedup_groups(ds).to_pandas()
+    hot = got[got["n_copies"] > 1]
+    assert len(hot) == 1
+    assert hot["doc_id"].iloc[0] == 1  # min id of the hot key
+    assert hot["n_copies"].iloc[0] == n - n_unique
+    assert len(got) == n_unique + 1
+
+    surv = exact_dedup(ds).to_pandas()
+    assert len(surv) == n_unique + 1
+    assert surv["doc_id"].min() == 0 and 1 in set(surv["doc_id"])
+
+
 # --- n-gram jaccard / minhash / simhash ------------------------------------
 
 
