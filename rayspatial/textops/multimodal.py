@@ -224,7 +224,14 @@ class BinaryFeatureExtractor:
         # stays — inherent to codec work.
         col = batch.column(self.binary_col)
         if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+            # single-chunk fast path: combine_chunks would COPY the
+            # whole value buffer even for one chunk
+            if col.num_chunks == 1:
+                col = col.chunk(0)
+            elif col.num_chunks == 0:
+                col = pa.array([], type=col.type)
+            else:
+                col = col.combine_chunks()
         n = len(col)
         if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             owidth = (np.int64 if pa.types.is_large_binary(col.type)
