@@ -17,6 +17,28 @@ from typing import Any
 
 SF0001 = "/root/testdata/sf0.001"
 
+
+def _tune_data_context() -> None:
+    """Process-global Ray Data tuning, applied at import time (the
+    driver inits Ray BEFORE importing this module, and each Dataset
+    snapshots a copy of the context at creation — so this must run
+    before any query builds a Dataset).
+
+    Hash-partitioned shuffle is OPT-IN via RAYSPATIAL_SHUFFLE=hash (a
+    no-op otherwise).  On a raw 8M-row groupby(part 0..63).map_groups
+    micro the hash exchange wins big (15.4s sort -> 2.0s hash at 32
+    cpus), but Ray 2.49.2's implementation stalls <=8-cpu sessions
+    (aggregator actors reserve CPUs up-front) and its finalize crashes
+    on empty key-less blocks — see util.enable_hash_shuffle for the
+    full write-up.  The default stays the sort exchange.
+    """
+    from rayspatial.util import enable_hash_shuffle
+
+    enable_hash_shuffle()
+
+
+_tune_data_context()
+
 # shared SQL fragments ------------------------------------------------------
 
 _PTS_CTE = """
@@ -2837,6 +2859,106 @@ def _q_png_features(sf_dir: str):
     return feats.map_batches(unpack, batch_format="pyarrow")
 
 
+def _q_jpeg_features(sf_dir: str):
+    """ENTROPY-CODED multimodal decode end-to-end: a 16x16
+    constant-color JPEG (quality 90, 4:4:4) is synthesized per document
+    — color (r,g,b) = (doc_id*13 % 256, (doc_id*29+7) % 256,
+    (doc_id*53+3) % 256) — shipped through the actor-pool feature stage
+    and decoded back with the pure-numpy baseline codec
+    (textops/multimodal.decode_jpeg: huffman + dequant + IDCT + YCbCr).
+    JPEG is lossy, but for a constant block the whole chain collapses
+    to closed-form arithmetic (DC-only path), so the oracle reproduces
+    the DECODED pixels exactly while the payload still exercises the
+    full entropy-coded format."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.textops.multimodal import (FEATURE_DIM,
+                                               binary_features,
+                                               encode_jpeg)
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"], rows_per_block=2048)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        payloads = []
+        for i in ids:
+            rgb = np.array([(i * 13) % 256, (i * 29 + 7) % 256,
+                            (i * 53 + 3) % 256], dtype=np.uint8)
+            img = np.broadcast_to(rgb, (16, 16, 3))
+            payloads.append(encode_jpeg(img, quality=90))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "img": pa.array(payloads, type=pa.binary()),
+        })
+
+    feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
+                            binary_col="img", id_col="doc_id",
+                            decoder="jpeg", batch_size=512)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        f = (batch.column("features").combine_chunks().flatten()
+             .to_numpy().reshape(-1, FEATURE_DIM))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "width": pa.array(f[:, 0]), "height": pa.array(f[:, 1]),
+            "channels": pa.array(f[:, 2]), "sum_c0": pa.array(f[:, 3]),
+            "sum_all": pa.array(f[:, 4]), "min_v": pa.array(f[:, 5]),
+            "max_v": pa.array(f[:, 6]), "n_pixels": pa.array(f[:, 7]),
+        })
+
+    return feats.map_batches(unpack, batch_format="pyarrow")
+
+
+def _jpeg_oracle_sql() -> str:
+    """SQL reproduction of the jpeg_features decode chain for
+    constant-color blocks: color convert -> DC quantize -> dequantize
+    -> IDCT -> inverse color convert, every rounding floor(x + 0.5 +
+    1e-9) exactly as textops/multimodal._jround.  Constants are
+    e-notation so DuckDB computes in DOUBLE (decimal literals would
+    change the rounding); the two DC quantizer steps inline the
+    quality-90 Annex-K q[0,0] values."""
+    from rayspatial.textops.multimodal import _jpeg_qtables
+
+    qlum, qchr = _jpeg_qtables(90)
+    ql, qc = f"{float(qlum[0, 0])!r}e0", f"{float(qchr[0, 0])!r}e0"
+    EPS = "5e-1 + 1e-9"
+
+    def rnd(expr: str) -> str:
+        return f"greatest(0e0, least(2.55e2, floor({expr} + {EPS})))"
+
+    def chan(v: str, q: str) -> str:
+        return rnd(f"floor(8e0*({v}-1.28e2)/{q} + {EPS})*{q}/8e0 + 1.28e2")
+
+    return (
+        "WITH cc AS (SELECT doc_id, "
+        "CAST((doc_id*13)%256 AS DOUBLE) AS r, "
+        "CAST((doc_id*29+7)%256 AS DOUBLE) AS g, "
+        "CAST((doc_id*53+3)%256 AS DOUBLE) AS b FROM documents), "
+        "ycc AS (SELECT doc_id, "
+        f"{rnd('2.99e-1*r + 5.87e-1*g + 1.14e-1*b')} AS y, "
+        f"{rnd('-1.68736e-1*r - 3.31264e-1*g + 5e-1*b + 1.28e2')} AS cb, "
+        f"{rnd('5e-1*r - 4.18688e-1*g - 8.1312e-2*b + 1.28e2')} AS cr "
+        "FROM cc), rec AS (SELECT doc_id, "
+        f"{chan('y', ql)} AS y2, {chan('cb', qc)} AS cb2, "
+        f"{chan('cr', qc)} AS cr2 FROM ycc), "
+        "rgb2 AS (SELECT doc_id, "
+        f"{rnd('y2 + 1.402e0*(cr2-1.28e2)')} AS r2, "
+        f"{rnd('y2 - 3.44136e-1*(cb2-1.28e2) - 7.14136e-1*(cr2-1.28e2)')}"
+        " AS g2, "
+        f"{rnd('y2 + 1.772e0*(cb2-1.28e2)')} AS b2 FROM rec) "
+        "SELECT doc_id, CAST(16 AS BIGINT) AS width, "
+        "CAST(16 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "
+        "CAST(256*r2 AS BIGINT) AS sum_c0, "
+        "CAST(256*(r2+g2+b2) AS BIGINT) AS sum_all, "
+        "CAST(least(r2, g2, b2) AS BIGINT) AS min_v, "
+        "CAST(greatest(r2, g2, b2) AS BIGINT) AS max_v, "
+        "CAST(256 AS BIGINT) AS n_pixels FROM rgb2"
+    )
+
+
 def _q_triangle_count(sf_dir: str):
     """Exact distributed triangle count (ops/graph.py) over the
     deterministic ring-lattice + chord graph i -> (i+1, i+2, 7i+3)
@@ -4209,6 +4331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_docs": _q_phrase_docs,
         "triangle_count": _q_triangle_count,
         "png_features": _q_png_features,
+        "jpeg_features": _q_jpeg_features,
         "value_outliers": _q_value_outliers,
         "streaming_sessions": _q_streaming_sessions,
         "cm_term_counts": _q_cm_term_counts,
@@ -4283,6 +4406,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d CROSS JOIN generate_series(0, 767) AS t(j) "
             "GROUP BY d.doc_id"
         ),
+        # constant-color JPEG: the lossy chain collapses to closed-form
+        # arithmetic for a DC-only block — the SQL recomputes the
+        # DECODED pixels the Ray side gets back through the full
+        # huffman + dequant + IDCT + YCbCr baseline decode
+        "jpeg_features": _jpeg_oracle_sql(),
         # pixel j of the synthesized 12x10 RGB PNG is
         # (doc_id*17 + j) % 256 — SQL recomputes the DECODED statistics
         # the Ray side gets back through zlib inflate + unfilter

@@ -17,6 +17,49 @@ TARGET_ROWS_PER_BLOCK = 32_768
 TARGET_BYTES_PER_BLOCK = 32 << 20
 
 
+def enable_hash_shuffle() -> bool:
+    """OPT-IN (RAYSPATIAL_SHUFFLE=hash): switch Ray Data's groupby/
+    aggregate exchange from the default sort shuffle to hash
+    partitioning.  On a raw 8M-row groupby(part).map_groups micro the
+    hash exchange wins big (15.4s sort -> 2.0s hash at 32 cpus — the
+    sort exchange's sample/merge barrier dominates), BUT Ray 2.49.2's
+    implementation is not production-safe for this engine, so it stays
+    off by default:
+
+    - aggregator actors RESERVE cpus up-front independent of cluster
+      size; at <=8 cpus (the driver's correctness harness) the
+      reservation starves the map tasks and real pipelines stall
+      indefinitely (observed: dup_groups 1.9s sort, >120s hash);
+    - ``HashShuffleAggregator.finalize`` sorts each output partition by
+      the key column and raises ArrowInvalid on empty blocks whose
+      schema lacks it (observed on canonical_docs' tag/union plan at
+      32 cpus) — a Ray-side bug the engine cannot work around without
+      padding every empty batch.
+
+    Must run BEFORE a Dataset is created (each Dataset snapshots the
+    context).  Returns True if applied."""
+    import os
+
+    if os.environ.get("RAYSPATIAL_SHUFFLE", "sort") != "hash":
+        return False
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # The default 64 aggregator actors reserve 16 CPUs (0.25 each)
+        # REGARDLESS of cluster size — on a small session (the driver's
+        # 8-cpu correctness harness) that deadlocks against the map
+        # tasks.  Cap aggregators to the cluster so the reservation is
+        # always a fraction of it.
+        cpus = cluster_cpus()
+        ctx.max_hash_shuffle_aggregators = max(2, min(cpus, 16))
+        return True
+    except (ImportError, AttributeError):
+        return False  # older Ray: keep the default sort shuffle
+
+
 def cluster_cpus(default: int = 8) -> int:
     try:
         import ray

@@ -25,6 +25,9 @@ def quiet_thp_session():
 def ray_session():
     import ray
 
+    from rayspatial.util import enable_hash_shuffle
+
+    enable_hash_shuffle()  # tests must exercise the production shuffle
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -1847,3 +1847,110 @@ def test_png_codec_roundtrip_and_filters():
 
     with pytest.raises(ValueError):
         decode_png(b"nope" * 20)
+
+
+# --- JPEG codec -------------------------------------------------------------
+
+
+def test_jpeg_codec_roundtrip_smooth():
+    """Baseline encode->decode roundtrip on a smooth gradient stays
+    within a few levels at high quality, for 4:4:4, 4:2:0 and
+    grayscale."""
+    from rayspatial.textops.multimodal import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 48)
+    img = np.clip(
+        (x[None, :, None] + x[::2, None, None][:24] + np.arange(3) * 10) / 2,
+        0, 255).astype(np.uint8)
+    for sub, tol in (("444", 4), ("420", 6)):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        assert dec.shape == img.shape
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= tol
+    gray = (np.arange(64, dtype=np.int64).reshape(8, 8) * 3).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dec.shape == gray.shape
+    assert int(np.abs(dec.astype(int) - gray.astype(int)).max()) <= 2
+
+
+def test_jpeg_constant_block_matches_closed_form():
+    """For a constant-color image the lossy chain is exactly the
+    closed-form DC-only arithmetic the SQL oracle reproduces."""
+    from rayspatial.textops.multimodal import (_jpeg_qtables, decode_jpeg,
+                                               encode_jpeg)
+
+    EPS = 0.5 + 1e-9
+
+    def fl(x):
+        return np.floor(x + EPS)
+
+    def closed_form(r, g, b, quality):
+        qlum, qchr = _jpeg_qtables(quality)
+        ql, qc = float(qlum[0, 0]), float(qchr[0, 0])
+        y = np.clip(fl(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(fl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+                     0, 255)
+        cr = np.clip(fl(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+                     0, 255)
+
+        def chan(v, q):
+            qdc = np.floor(8.0 * (v - 128.0) / q + EPS)
+            return np.clip(fl(qdc * q / 8.0 + 128.0), 0, 255)
+
+        y2, cb2, cr2 = chan(y, ql), chan(cb, qc), chan(cr, qc)
+        return (int(np.clip(fl(y2 + 1.402 * (cr2 - 128.0)), 0, 255)),
+                int(np.clip(fl(y2 - 0.344136 * (cb2 - 128.0)
+                               - 0.714136 * (cr2 - 128.0)), 0, 255)),
+                int(np.clip(fl(y2 + 1.772 * (cb2 - 128.0)), 0, 255)))
+
+    rng = np.random.default_rng(17)
+    for trial in range(200):
+        r, g, b = (int(v) for v in rng.integers(0, 256, 3))
+        q = [90, 75, 50][trial % 3]
+        img = np.full((16, 16, 3), [r, g, b], dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=q))
+        assert len(np.unique(dec.reshape(-1, 3), axis=0)) == 1
+        assert tuple(int(v) for v in dec[0, 0]) == closed_form(r, g, b, q)
+
+
+def test_jpeg_decoder_rejects_junk_and_nonbaseline():
+    from rayspatial.textops.multimodal import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope" * 20)
+    # progressive SOF2 marker spliced into a valid header prefix
+    p = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = bytes(p).find(b"\xFF\xC0")
+    p[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
+    with pytest.raises(ValueError):  # truncated: no SOS
+        decode_jpeg(bytes(encode_jpeg(
+            np.zeros((8, 8), dtype=np.uint8)))[:20])
+
+
+def test_jpeg_featurizer_via_arrow_buffers(ray_session):
+    """High-bit magic bytes (0xFF) must survive the featurizer's Arrow
+    buffer slicing (signed-char memoryview regression), and the
+    non-8-multiple size path must pad correctly."""
+    import ray.data as rd
+
+    from rayspatial.textops.multimodal import (binary_features, decode_jpeg,
+                                               encode_jpeg)
+
+    imgs = [np.full((16, 16, 3), [i * 40 % 256, 60, 200], dtype=np.uint8)
+            for i in range(6)]
+    imgs.append(np.full((10, 13, 3), [1, 2, 3], dtype=np.uint8))  # padded
+    payloads = [encode_jpeg(im, quality=90) for im in imgs]
+    tab = pa.table({
+        "doc_id": pa.array(np.arange(len(imgs), dtype=np.int64)),
+        "img": pa.array(payloads, type=pa.binary()),
+    })
+    out = (binary_features(rd.from_arrow(tab), binary_col="img",
+                           id_col="doc_id", decoder="jpeg", batch_size=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i in range(len(imgs)):
+        f = np.asarray(out["features"][i])
+        dec = decode_jpeg(payloads[i])
+        h, w = dec.shape[:2]
+        assert (f[0], f[1], f[7]) == (w, h, h * w)
+        assert f[4] == int(dec.astype(np.int64).sum())
