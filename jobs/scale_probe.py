@@ -226,6 +226,12 @@ def main() -> int:
         "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get(
         "RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="measured legs; best is reported (the FIRST "
+                    "run at a new scale pays one-time plasma mmap "
+                    "growth + page faults — measured 152s first vs "
+                    "46s steady for dup_groups@8M — so single-shot "
+                    "numbers conflate allocator warmup with the op)")
     args = ap.parse_args()
 
     import ray
@@ -247,13 +253,17 @@ def main() -> int:
     # must not be charged to the measured leg (same policy as bench.py)
     run_op(args.op, min(args.rows, 200_000), args.sf_dir)
 
-    t0 = time.perf_counter()
-    out_rows = run_op(args.op, args.rows, args.sf_dir)
-    wall = time.perf_counter() - t0
+    walls = []
+    out_rows = 0
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        out_rows = run_op(args.op, args.rows, args.sf_dir)
+        walls.append(round(time.perf_counter() - t0, 2))
+    wall = min(walls)
     spilled, restored = _spill_stats()
     print(json.dumps({
         "op": args.op, "rows": args.rows, "store_gb": args.store_gb,
-        "wall_s": round(wall, 2),
+        "wall_s": wall, "walls": walls,
         "rows_per_s": round(args.rows / wall),
         "out_rows": out_rows, "spilled_mb": spilled,
         "restored_mb": restored, "num_cpus": args.num_cpus,

@@ -15,10 +15,17 @@ Scale shape (100-TB), three bounded stages:
 2. one hash-partition shuffle by the 128-bit unit hash; each partition
    keeps the lexicographic first (doc_id, unit_idx) per hash and emits
    the complement as the DROP set (16 B rows); then
-3. one hash-partition shuffle by doc_id co-locating each document row
+3. rebuild — two modes behind a byte-budget gate (same contract as
+   ops/equijoin._broadcast_join): the drop set is normally minuscule,
+   so it is gathered once, ``ray.put`` broadcast, and every document
+   is rebuilt IN PLACE by a ``map_batches`` over the source — the
+   text never enters a shuffle.  If the drop set overflows the budget
+   (adversarial: nearly-all-repeated corpus), fall back to one
+   hash-partition shuffle by doc_id co-locating each document row
    with its drop rows (union-tag, same shape as ops/relational); the
-   text moves exactly once, units are re-extracted in-partition and the
-   document is rebuilt with ``pc.binary_join`` — no per-row Python.
+   text moves exactly once, units are re-extracted in-partition and
+   the document is rebuilt with ``pc.binary_join`` — no per-row
+   Python.
 
 Collisions: unit identity is the 128-bit pair (FNV-1a, rolling
 fingerprint) — the same identity exact_dedup uses (textops/dedup.py).
@@ -96,7 +103,8 @@ def _line_units(texts: pa.Array, sep: str = "\n") \
 
 def _unit_dedup(docs_ds, units_fn, join_sep: str, id_col: str,
                 text_col: str, dedupable, out_dropped: str,
-                num_partitions: int | None):
+                num_partitions: int | None,
+                broadcast_byte_budget: int = 256 << 20):
     from rayspatial.util import hash_partitioned_agg
 
     # -- stage 1: unit hashes ------------------------------------------
@@ -127,7 +135,82 @@ def _unit_dedup(docs_ds, units_fn, join_sep: str, id_col: str,
     drops = hash_partitioned_agg(hashed, ["h1", "h2"], drops_of,
                                  num_partitions=num_partitions)
 
-    # -- stage 3: co-locate docs + drops by doc id, rebuild ------------
+    # -- stage 3a: BROADCAST rebuild (the common case) -----------------
+    # The drop set is typically minuscule vs the corpus (only the
+    # complements of repeated units), while the union+shuffle fallback
+    # below ships ALL text through a second all-to-all AND forms a
+    # diamond over docs_ds — under a constrained object store the
+    # rebuild shuffle buffers the whole text stream waiting for the
+    # drops branch (observed: UnionOperator starved 60s+ at an 8M-doc /
+    # 4 GiB-store probe, >880s wall vs 38s unconstrained).  So, same
+    # gate as ops/equijoin._broadcast_join: gather drop blocks
+    # incrementally; if they fit the budget, ray.put them ONCE and
+    # rebuild docs IN PLACE — the text never moves, no second shuffle,
+    # and the gather itself is the barrier that serializes the two
+    # all-to-alls.  An adversarial corpus (nearly everything repeated)
+    # overflows the budget and falls back to the shuffle path.
+    import ray
+
+    dtabs: list[pa.Table] = []
+    total = 0
+    fits = True
+    for blk_ref in drops.to_arrow_refs():
+        t = ray.get(blk_ref)
+        if t.num_rows:
+            dtabs.append(t.select([id_col, "_uidx"]))
+            total += t.nbytes
+        if total > broadcast_byte_budget:
+            fits = False
+            break
+    if fits:
+        if dtabs:
+            dtab = pa.concat_tables(dtabs).sort_by(
+                [(id_col, "ascending"), ("_uidx", "ascending")])
+            dr_ids = dtab.column(id_col).to_numpy().astype(np.int64)
+            dr_uidx = dtab.column("_uidx").to_numpy().astype(np.int64)
+        else:
+            dr_ids = np.empty(0, dtype=np.int64)
+            dr_uidx = np.empty(0, dtype=np.int64)
+        drops_ref = ray.put((dr_ids, dr_uidx))
+
+        def rebuild_batch(batch: pa.Table) -> pa.Table:
+            b_ids, b_uidx = ray.get(drops_ref)  # zero-copy, per-node
+            texts = batch.column(text_col).cast(pa.large_string())
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            units, off = units_fn(texts)
+            counts = np.diff(off)
+            keep = np.ones(int(off[-1]), dtype=bool)
+            lo = np.searchsorted(b_ids, ids, "left")
+            hi = np.searchsorted(b_ids, ids, "right")
+            ndr = hi - lo
+            if ndr.any():
+                # ragged gather of this batch's drop rows
+                dpos = np.repeat(lo, ndr) + _ragged_arange(ndr)
+                unit_base = np.repeat(off[:-1], ndr)
+                keep[unit_base + b_uidx[dpos]] = False
+            n_dropped = np.bincount(
+                np.repeat(np.arange(len(ids)), counts)[~keep],
+                minlength=len(ids)).astype(np.int64)
+            kept_counts = counts - n_dropped
+            new_off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(kept_counts, out=new_off[1:])
+            if isinstance(units, pa.ChunkedArray):
+                units = units.combine_chunks()
+            kept_list = pa.LargeListArray.from_arrays(
+                pa.array(new_off, type=pa.int64()),
+                units.cast(pa.large_string()).filter(pa.array(keep)))
+            return pa.table({
+                id_col: pa.array(ids),
+                text_col: pc.binary_join(
+                    kept_list, pa.scalar(join_sep, type=pa.large_string())
+                ).cast(pa.string()),
+                out_dropped: pa.array(n_dropped),
+            })
+
+        return docs_ds.map_batches(rebuild_batch, batch_format="pyarrow")
+
+    # -- stage 3b: shuffle rebuild (drop set exceeded the budget) ------
     def tag_doc(batch: pa.Table) -> pa.Table:
         return pa.table({
             id_col: batch.column(id_col),
@@ -183,20 +266,25 @@ def _unit_dedup(docs_ds, units_fn, join_sep: str, id_col: str,
 
 
 def span_dedup(docs_ds, span_w: int = 3, id_col: str = "doc_id",
-               text_col: str = "text", num_partitions: int | None = None):
+               text_col: str = "text", num_partitions: int | None = None,
+               broadcast_byte_budget: int = 256 << 20):
     """Remove repeated ``span_w``-word spans corpus-wide (keep first
-    occurrence by (doc_id, span_idx)); rebuild docs with ' '."""
+    occurrence by (doc_id, span_idx)); rebuild docs with ' '.
+    ``broadcast_byte_budget=0`` forces the shuffle rebuild path."""
     return _unit_dedup(
         docs_ds, lambda t: _span_units(t, span_w), " ", id_col, text_col,
         dedupable=lambda units: None, out_dropped="n_spans_dropped",
-        num_partitions=num_partitions)
+        num_partitions=num_partitions,
+        broadcast_byte_budget=broadcast_byte_budget)
 
 
 def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-               num_partitions: int | None = None):
+               num_partitions: int | None = None,
+               broadcast_byte_budget: int = 256 << 20):
     """C4 newline rule: duplicate non-empty LINES are removed corpus-
     wide (first occurrence kept; empty lines always kept); docs are
-    rebuilt with '\\n'."""
+    rebuilt with '\\n'.  ``broadcast_byte_budget=0`` forces the
+    shuffle rebuild path."""
     def dedupable(units):
         return (pc.greater(pc.utf8_length(units), 0)
                 .to_numpy(zero_copy_only=False))
@@ -204,4 +292,5 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     return _unit_dedup(
         docs_ds, _line_units, "\n", id_col, text_col,
         dedupable=dedupable, out_dropped="n_lines_dropped",
-        num_partitions=num_partitions)
+        num_partitions=num_partitions,
+        broadcast_byte_budget=broadcast_byte_budget)

@@ -105,3 +105,41 @@ def test_span_dedup_idempotent():
         once[["doc_id", "text"]], preserve_index=False))
     twice = span_dedup(ds2, span_w=2).to_pandas()
     assert int(twice["n_spans_dropped"].sum()) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rebuild_paths_agree():
+    """The broadcast in-place rebuild (default) and the forced
+    union+shuffle rebuild (broadcast_byte_budget=0) produce identical
+    documents — span and line variants, multi-block input."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    vocab = np.array(["aa", "bb", "cc", "dd", "ee"])
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 18)))
+             for _ in range(300)]
+    # plant exact repeated passages across blocks
+    for i in range(0, 300, 17):
+        texts[i] = "dup passage here " + texts[i]
+    docs = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                         "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)) \
+        .repartition(7)
+    a = span_dedup(ds, span_w=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = span_dedup(ds, span_w=2, broadcast_byte_budget=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["n_spans_dropped"].sum()) > 0
+
+    ltexts = ["\n".join(rng.choice(vocab, rng.integers(1, 6)))
+              for _ in range(120)]
+    ldocs = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                          "text": ltexts})
+    lds = rd.from_arrow(pa.Table.from_pandas(ldocs, preserve_index=False)) \
+        .repartition(5)
+    la = line_dedup(lds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    lb = line_dedup(lds, broadcast_byte_budget=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(la, lb)
