@@ -323,3 +323,42 @@ def test_broadcast_join_empty_right_string_key(ray_session):
     got = hash_join(rd.from_pandas(l), rd.from_pandas(r), "k",
                     ["k", "lv"], ["rv"]).to_pandas()
     assert len(got) == 0
+
+
+def test_presence_join_modes_agree(ray_session):
+    """Broadcast (default) and forced-shuffle presence joins return
+    identical rows AND dtypes — int64 and string keys, dup right keys,
+    multi-block inputs."""
+    import ray.data as rd
+
+    from rayspatial.ops.relational import anti_join, semi_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "n_chars": rng.integers(0, 2**40, 500).astype(np.int64),
+        "lang": rng.choice(["en", "de", "fr"], 500),
+    })
+    right = pd.DataFrame({
+        "doc_id": rng.choice(600, 120, replace=True).astype(np.int64)})
+    l_ds = rd.from_pandas(left).repartition(7)
+    r_ds = rd.from_pandas(right).repartition(3)
+
+    for fn in (semi_join, anti_join):
+        a = fn(l_ds, r_ds, "doc_id", ["doc_id", "n_chars", "lang"]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = fn(l_ds, r_ds, "doc_id", ["doc_id", "n_chars", "lang"],
+               broadcast_byte_budget=0) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert str(a["n_chars"].dtype) == "int64"  # no float64 upcast
+
+    # string keys through both modes
+    sl = pd.DataFrame({"url": [f"u{i}" for i in range(50)],
+                       "score": np.arange(50, dtype=np.int64)})
+    sr = pd.DataFrame({"url": ["u3", "u7", "u7", "zz"]})
+    sl_ds, sr_ds = rd.from_pandas(sl), rd.from_pandas(sr)
+    sa = semi_join(sl_ds, sr_ds, "url", ["url", "score"]).to_pandas()
+    sb = semi_join(sl_ds, sr_ds, "url", ["url", "score"],
+                   broadcast_byte_budget=0).to_pandas()
+    assert sorted(sa.url) == sorted(sb.url) == ["u3", "u7"]
