@@ -1513,7 +1513,8 @@ def _q_binary_features(sf_dir: str):
     from rayspatial.pipeline.pages import read_pages
     from rayspatial.textops.multimodal import binary_features
 
-    out = binary_features(read_pages(sf_dir), binary_col="html", id_col="doc_id")
+    out = binary_features(read_pages(sf_dir), binary_col="html", id_col="doc_id",
+                          concurrency=(1, 4))
     return out.select_columns(["doc_id", "payload_bytes"])
 
 
@@ -1547,7 +1548,8 @@ def _q_bmp_features(sf_dir: str):
 
     feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
                             binary_col="img", id_col="doc_id",
-                            decoder="bmp", batch_size=512)
+                            decoder="bmp", batch_size=512,
+                            concurrency=(1, 4))
 
     def unpack(batch: pa.Table) -> pa.Table:
         f = (batch.column("features").combine_chunks().flatten()
@@ -1590,7 +1592,8 @@ def _q_wav_features(sf_dir: str):
 
     feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
                             binary_col="wav", id_col="doc_id",
-                            decoder="wav", batch_size=512)
+                            decoder="wav", batch_size=512,
+                            concurrency=(1, 4))
 
     def unpack(batch: pa.Table) -> pa.Table:
         f = (batch.column("features").combine_chunks().flatten()
@@ -2843,7 +2846,8 @@ def _q_png_features(sf_dir: str):
 
     feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
                             binary_col="img", id_col="doc_id",
-                            decoder="png", batch_size=512)
+                            decoder="png", batch_size=512,
+                            concurrency=(1, 4))
 
     def unpack(batch: pa.Table) -> pa.Table:
         f = (batch.column("features").combine_chunks().flatten()
@@ -2878,8 +2882,11 @@ def _q_jpeg_features(sf_dir: str):
                                                encode_jpeg)
     from rayspatial.util import read_parquet_sized
 
+    # ~1.2ms of codec work per row: small blocks so the synth+decode
+    # chain fans out across the pool (2048-row blocks made sf0.1 run
+    # ~3-wide: 5.25s -> small blocks ~1s)
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id"], rows_per_block=2048)
+                            columns=["doc_id"], rows_per_block=256)
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -2896,7 +2903,8 @@ def _q_jpeg_features(sf_dir: str):
 
     feats = binary_features(ds.map_batches(synth, batch_format="pyarrow"),
                             binary_col="img", id_col="doc_id",
-                            decoder="jpeg", batch_size=512)
+                            decoder="jpeg", batch_size=64,
+                            concurrency=(1, 16))
 
     def unpack(batch: pa.Table) -> pa.Table:
         f = (batch.column("features").combine_chunks().flatten()

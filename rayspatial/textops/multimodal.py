@@ -18,6 +18,7 @@ The pages table's ``html:binary`` column doubles as the test payload.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -270,10 +271,21 @@ class BinaryFeatureExtractor:
 
 
 def binary_features(ds, binary_col: str = "html", id_col: str = "url",
-                    concurrency=(1, 4), batch_size: int = 256,
+                    concurrency=None, batch_size: int = 256,
                     decoder: str = "fake"):
     """Binary payload -> feature table via an actor pool (the decode
-    state — models, codecs — loads once per actor in ``__init__``)."""
+    state — models, codecs — loads once per actor in ``__init__``).
+
+    ``concurrency`` defaults to ``(1, cluster_cpus)``: decode is pure
+    CPU (~ms/payload for the real codecs), so the pool should be able
+    to ramp to the machine — the old fixed ``(1, 4)`` cap serialized
+    real-codec stages on wide nodes (jpeg_features at sf0.1: 9.2s
+    capped vs ~1.3s at full width), and upstream synth/read stages
+    fuse INTO the pool, inheriting the cap."""
+    if concurrency is None:
+        from rayspatial.util import cluster_cpus
+
+        concurrency = (1, cluster_cpus())
     return ds.map_batches(
         BinaryFeatureExtractor,
         fn_constructor_kwargs=dict(binary_col=binary_col, id_col=id_col,
@@ -879,6 +891,13 @@ class _JBitReader:
 
 def _jhuff_decode_table(bits: list[int], vals: list[int]) -> dict:
     """(length, code) -> symbol for canonical codes."""
+    return _jhuff_decode_table_cached(bytes(bits), bytes(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _jhuff_decode_table_cached(bits: bytes, vals: bytes) -> dict:
+    # web corpora overwhelmingly reuse the Annex-K standard tables, so
+    # one cache entry serves ~every payload an actor decodes
     out, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
