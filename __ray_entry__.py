@@ -1260,6 +1260,41 @@ def _q_span_dedup(sf_dir: str):
     return span_dedup(ds, span_w=3)
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4 newline rule (textops/spandedup.line_dedup): the corpus has
+    no newlines, so each doc's words are first regrouped into 5-word
+    LINES (deterministic, SQL-reproducible — _span_units(5) joined by
+    newline), then every repeated non-empty line keeps only its first
+    occurrence by (doc_id, line_idx) and docs are rebuilt with
+    newline.  Broadcast drop-set rebuild: text never enters a
+    shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.textops.spandedup import _span_units, line_dedup
+    from rayspatial.util import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        rows_per_block=512,
+    )
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        spans, off = _span_units(batch.column("text"), 5)
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(off, type=pa.int64()), spans)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pc.binary_join(
+                lst, pa.scalar("\n", type=pa.large_string())
+            ).cast(pa.string()),
+        })
+
+    return line_dedup(ds.map_batches(to_lines, batch_format="pyarrow"))
+
+
 def _q_canonical_docs(sf_dir: str):
     """Near-dup RESOLUTION: duplicate groups (n-gram Jaccard pairs ->
     distributed components) -> keep only each group's canonical (min
@@ -3998,6 +4033,151 @@ def _q_value_hour_moments(sf_dir: str):
     return grouped_moments(ds, ["event_type"], "x", "y").sort("event_type")
 
 
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer for one
+    order quarter, top 20.  The quarter's orders broadcast via the
+    size-gated hash_join; lineitem (l_returnflag='R') probes streaming
+    and pre-aggregates per (custkey) inside each batch; one
+    hash-partitioned combine; per-partition top-20 heads merge on the
+    driver (bounded 20*P gather); the 20 winners are enriched by a
+    streaming pc.is_in probe of customer+nation — no shuffle ever
+    touches a fact table.  Revenue in exact 1e-4-cent units."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy()
+        t = b.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table({"orderkey": t.column("o_orderkey"),
+                         "custkey": pc.cast(t.column("o_custkey"),
+                                            pa.int64())})
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round(
+            t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "orderkey": t.column("l_orderkey"),
+            "rev_e4": pa.array(price_c * (100 - disc_pct)),
+        })
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="orderkey",
+                       left_cols=["rev_e4"], right_cols=["custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"custkey": b.column("custkey").to_numpy(),
+                           "revenue_e4": b.column("rev_e4").to_numpy()})
+        return pa.Table.from_pandas(
+            df.groupby("custkey", sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    def head20(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("custkey", sort=False).sum().reset_index()
+        return agg.sort_values(
+            ["revenue_e4", "custkey"], ascending=[False, True]).head(20)
+
+    heads = hash_partitioned_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["custkey"], head20).to_pandas()
+    top = heads.sort_values(["revenue_e4", "custkey"],
+                            ascending=[False, True]).head(20)
+    want = pa.array(sorted(int(k) for k in top.custkey), pa.int64())
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(pc.cast(b.column("c_custkey"),
+                                            pa.int64()),
+                                    value_set=want)),
+        batch_format="pyarrow").to_pandas()
+    nat = read_parquet_sized(f"{sf_dir}/nation.parquet").to_pandas()
+    cust["n_name"] = cust["c_nationkey"].map(
+        dict(zip(nat.n_nationkey, nat.n_name)))
+    out = top.merge(cust, left_on="custkey", right_on="c_custkey")
+    out = out.sort_values(["revenue_e4", "custkey"],
+                          ascending=[False, True], ignore_index=True)
+    return pa.table({
+        "c_custkey": pa.array(out["custkey"].astype(np.int64)),
+        "c_name": pa.array(out["c_name"], pa.string()),
+        "revenue_e4": pa.array(out["revenue_e4"].astype(np.int64)),
+        "acctbal_cents": pa.array(
+            np.round(out["c_acctbal"].to_numpy() * 100).astype(np.int64)),
+        "n_name": pa.array(out["n_name"], pa.string()),
+    })
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape: promo-part revenue share for one ship month.
+    The part dimension broadcasts as a partkey -> is-promo bitmap
+    (ray.put once); lineitem streams, classifies and pre-reduces each
+    batch to TWO integers; the driver folds #blocks pairs.  Exact
+    integer 1e-4-cent revenue — the ratio stays a (numerator,
+    denominator) pair instead of a lossy float."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rayspatial.util import read_parquet_sized
+
+    lo, hi = np.datetime64("1995-09-01"), np.datetime64("1995-10-01")
+
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+    ).to_pandas()
+    promo = set(part.loc[part.p_type == "PROMO",
+                         "p_partkey"].astype(np.int64))
+    promo_ref = ray.put(np.sort(np.fromiter(promo, np.int64, len(promo))))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        t = b.filter(pa.array((ship >= lo) & (ship < hi)))
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round(
+            t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        pr = ray.get(promo_ref)
+        pos = np.searchsorted(pr, pk)
+        pos[pos >= len(pr)] = 0
+        is_promo = (pr[pos] == pk) if len(pr) else np.zeros(len(pk), bool)
+        return pa.table({
+            "promo_rev_e4": pa.array([int(rev[is_promo].sum())]),
+            "total_rev_e4": pa.array([int(rev.sum())]),
+        })
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "promo_rev_e4": pa.array([int(parts.promo_rev_e4.sum())]),
+        "total_rev_e4": pa.array([int(parts.total_rev_e4.sum())]),
+    })
+
+
 def _q_tpch_q5(sf_dir: str):
     """TPC-H Q5 shape: local-supplier revenue per ASIA nation for one
     order year.  Dimension chain (region -> nation -> supplier /
@@ -4269,6 +4449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_windows": _q_user_event_windows,
         "distinct_users_daily": _q_distinct_users_daily,
         "span_dedup": _q_span_dedup,
+        "line_dedup": _q_line_dedup,
         "spatial_clusters": _q_spatial_clusters,
         "zonal_stats": _q_zonal_stats,
         "area_interp": _q_area_interp,
@@ -4366,6 +4547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "value_hour_moments": _q_value_hour_moments,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
         "supplier_cnt": _q_supplier_cnt,
         "value_ntile": _q_value_ntile,
         "type_cooccurrence": _q_type_cooccurrence,
@@ -4712,6 +4895,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rn > 1 GROUP BY doc_id) "
             "SELECT d.doc_id, COALESCE(a.text, '') AS text, "
             "COALESCE(dr.n, 0) AS n_spans_dropped "
+            "FROM documents d LEFT JOIN agg a USING(doc_id) "
+            "LEFT JOIN drops dr USING(doc_id)"
+        ),
+        "line_dedup": (
+            r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+            "AS ws FROM documents), "
+            "wi AS (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws))) AS i FROM w), "
+            "lines AS (SELECT doc_id, (i-1)//5 AS line_idx, "
+            "string_agg(ws[i], ' ' ORDER BY i) AS line "
+            "FROM wi GROUP BY doc_id, (i-1)//5), "
+            "ranked AS (SELECT doc_id, line_idx, line, "
+            "ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) "
+            "AS rn FROM lines), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) "
+            "ORDER BY line_idx) AS text FROM ranked WHERE rn = 1 "
+            "GROUP BY doc_id), "
+            "drops AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM ranked WHERE rn > 1 GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.text, '') AS text, "
+            "COALESCE(dr.n, 0) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING(doc_id) "
             "LEFT JOIN drops dr USING(doc_id)"
         ),
@@ -5786,6 +5990,38 @@ def oracle_sql() -> dict[str, str]:
             "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
             "SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian "
             "FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q10": (
+            "WITH rev AS (SELECT o.o_custkey AS custkey, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= DATE '1996-01-01' "
+            "AND o.o_orderdate < DATE '1996-04-01' "
+            "GROUP BY o.o_custkey), "
+            "top AS (SELECT * FROM rev "
+            "ORDER BY revenue_e4 DESC, custkey LIMIT 20) "
+            "SELECT CAST(t.custkey AS BIGINT) AS c_custkey, c.c_name, "
+            "t.revenue_e4, "
+            "CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+            "n.n_name "
+            "FROM top t JOIN customer c ON c.c_custkey = t.custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        ),
+        "tpch_q14": (
+            "SELECT "
+            "CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) "
+            "ELSE 0 END) AS BIGINT) AS promo_rev_e4, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS total_rev_e4 "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_shipdate >= DATE '1995-09-01' "
+            "AND l.l_shipdate < DATE '1995-10-01'"
         ),
         "tpch_q21": (
             "WITH l AS (SELECT l_orderkey AS okey, l_suppkey AS skey, "
