@@ -4178,6 +4178,121 @@ def _q_tpch_q14(sf_dir: str):
     })
 
 
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nations per ship
+    year.  supplier->nation and customer->nation broadcast as int
+    maps (ray.put once); lineitem (2-year ship window) joins orders
+    via the size-gated broadcast hash_join, then each batch classifies
+    both endpoints against the broadcast maps, keeps the two directed
+    pairs and pre-reduces to (supp_nation, cust_nation, year) partials
+    — at most 4 rows leave each batch.  Exact 1e-4-cent revenue."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from rayspatial.ops.equijoin import hash_join
+    from rayspatial.util import read_parquet_sized
+
+    N1, N2 = "NATION_1", "NATION_2"
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+
+    nat = read_parquet_sized(f"{sf_dir}/nation.parquet").to_pandas()
+    keys = {str(n): int(k) for k, n in zip(nat.n_nationkey, nat.n_name)}
+    k1, k2 = keys[N1], keys[N2]
+
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup.s_nationkey.isin((k1, k2))]
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust.c_nationkey.isin((k1, k2))]
+
+    def _sorted_map(keys_, vals_):
+        ks = np.asarray(keys_, dtype=np.int64)
+        vs = np.asarray(vals_, dtype=np.int64)
+        o = np.argsort(ks)
+        return ks[o], vs[o]
+
+    sup_ref = ray.put(_sorted_map(sup.s_suppkey, sup.s_nationkey))
+    cust_ref = ray.put(_sorted_map(cust.c_custkey, cust.c_nationkey))
+
+    def _probe(ref, keys_):
+        ks, vs = ray.get(ref)
+        if not len(ks):
+            return np.full(len(keys_), -1, np.int64)
+        pos = np.searchsorted(ks, keys_)
+        pos[pos >= len(ks)] = 0
+        return np.where(ks[pos] == keys_, vs[pos], -1).astype(np.int64)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        t = b.filter(pa.array((ship >= lo) & (ship < hi)))
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round(
+            t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        year = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "orderkey": t.column("l_orderkey"),
+            "suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "l_year": pa.array(year),
+            "rev_e4": pa.array(price_c * (100 - disc_pct)),
+        })
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": b.column("o_orderkey"),
+                         "custkey": pc.cast(b.column("o_custkey"),
+                                            pa.int64())})
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="orderkey",
+                       left_cols=["suppkey", "l_year", "rev_e4"],
+                       right_cols=["custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s_nat = _probe(sup_ref, b.column("suppkey").to_numpy())
+        c_nat = _probe(cust_ref, b.column("custkey").to_numpy())
+        keep = ((s_nat == k1) & (c_nat == k2)) | \
+               ((s_nat == k2) & (c_nat == k1))
+        df = pd.DataFrame({
+            "s_nat": s_nat[keep], "c_nat": c_nat[keep],
+            "l_year": b.column("l_year").to_numpy()[keep],
+            "revenue_e4": b.column("rev_e4").to_numpy()[keep]})
+        return pa.Table.from_pandas(
+            df.groupby(["s_nat", "c_nat", "l_year"], sort=False)
+            .sum().reset_index(), preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    names = {k1: N1, k2: N2}
+    if parts.empty:
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue_e4": pa.array([], pa.int64())})
+    agg = parts.groupby(["s_nat", "c_nat", "l_year"]).sum().reset_index()
+    agg = agg.sort_values(["s_nat", "c_nat", "l_year"], ignore_index=True)
+    return pa.table({
+        "supp_nation": pa.array([names[int(v)] for v in agg.s_nat]),
+        "cust_nation": pa.array([names[int(v)] for v in agg.c_nat]),
+        "l_year": pa.array(agg.l_year.astype(np.int64)),
+        "revenue_e4": pa.array(agg.revenue_e4.astype(np.int64)),
+    })
+
+
 def _q_tpch_q5(sf_dir: str):
     """TPC-H Q5 shape: local-supplier revenue per ASIA nation for one
     order year.  Dimension chain (region -> nation -> supplier /
@@ -4549,6 +4664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q7": _q_tpch_q7,
         "supplier_cnt": _q_supplier_cnt,
         "value_ntile": _q_value_ntile,
         "type_cooccurrence": _q_type_cooccurrence,
@@ -5990,6 +6106,24 @@ def oracle_sql() -> dict[str, str]:
             "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
             "SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian "
             "FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q7": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+            "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+            "WHERE l.l_shipdate >= DATE '1996-01-01' "
+            "AND l.l_shipdate < DATE '1998-01-01' "
+            "AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2') OR "
+            "(ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')) "
+            "GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)"
         ),
         "tpch_q10": (
             "WITH rev AS (SELECT o.o_custkey AS custkey, "
