@@ -4178,6 +4178,172 @@ def _q_tpch_q14(sf_dir: str):
     })
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape: forecast-revenue-change filter-sum — one
+    streaming pass, each batch reduces to a single integer (revenue =
+    extendedprice * discount in exact 1e-4-cent units), driver folds
+    #blocks scalars.  The canonical 'pruned read + vectorized filter +
+    scalar combine' smoke of a columnar engine."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayspatial.util import read_parquet_sized
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        qty = b.column("l_quantity").to_numpy()
+        disc_pct = np.round(
+            b.column("l_discount").to_numpy() * 100).astype(np.int64)
+        keep = ((ship >= lo) & (ship < hi) & (qty < 24)
+                & (disc_pct >= 5) & (disc_pct <= 7))
+        price_c = np.round(
+            b.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        rev = price_c * disc_pct[keep]
+        return pa.table({"revenue_e4": pa.array([int(rev.sum())])})
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_discount",
+                 "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({"revenue_e4": pa.array([int(parts.revenue_e4.sum())])})
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape: top supplier(s) by quarter revenue (ties all
+    kept, like the spec's view + max subquery).  Per-batch partial
+    groupby(suppkey) -> one hash-partitioned combine -> the driver
+    folds only #suppliers rows and applies the max filter; supplier
+    names attach to the winners by streaming is_in probe."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        t = b.filter(pa.array((ship >= lo) & (ship < hi)))
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round(
+            t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "suppkey": t.column("l_suppkey").to_numpy().astype(np.int64),
+            "total_rev_e4": price_c * (100 - disc_pct)})
+        return pa.Table.from_pandas(
+            df.groupby("suppkey", sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("suppkey", sort=False).sum().reset_index()
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow")
+    rev = hash_partitioned_agg(li, ["suppkey"], combine).to_pandas()
+    if rev.empty:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_rev_e4": pa.array([], pa.int64())})
+    best = int(rev.total_rev_e4.max())
+    top = rev[rev.total_rev_e4 == best].sort_values("suppkey")
+    want = pa.array(sorted(int(k) for k in top.suppkey), pa.int64())
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(pc.cast(b.column("s_suppkey"),
+                                            pa.int64()), value_set=want)),
+        batch_format="pyarrow").to_pandas()
+    out = top.merge(sup, left_on="suppkey", right_on="s_suppkey") \
+        .sort_values("suppkey", ignore_index=True)
+    return pa.table({
+        "s_suppkey": pa.array(out.suppkey.astype(np.int64)),
+        "s_name": pa.array(out.s_name, pa.string()),
+        "total_rev_e4": pa.array(out.total_rev_e4.astype(np.int64)),
+    })
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape: small-quantity-order revenue for one brand.
+    Phase A: lineitems of the brand's parts (broadcast key set)
+    pre-reduce per part to (sum_qty, n) — the per-part average exists
+    only as that integer pair, so the 'quantity < 0.2 * avg' test is
+    the EXACT integer cross-multiplication 5 * qty * n < sum_qty.
+    Phase B: a second streaming pass keeps qualifying rows and sums
+    their price in cents.  Two reads, zero shuffles of lineitem."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from rayspatial.util import hash_partitioned_agg, read_parquet_sized
+
+    BRAND = "Brand#13"
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+    ).to_pandas()
+    pk = np.sort(part.loc[part.p_brand == BRAND,
+                          "p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        p = b.column("l_partkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, p)
+        pos[pos >= len(keys)] = 0
+        keep = (keys[pos] == p) if len(keys) else np.zeros(len(p), bool)
+        df = pd.DataFrame({
+            "partkey": p[keep],
+            "sum_qty": b.column("l_quantity").to_numpy()[keep]
+            .astype(np.int64),
+            "n": np.ones(int(keep.sum()), dtype=np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("partkey", sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = hash_partitioned_agg(
+        read_parquet_sized(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+        .map_batches(stats_partial, batch_format="pyarrow"),
+        ["partkey"],
+        lambda df: df.groupby("partkey", sort=False).sum().reset_index(),
+    ).to_pandas()
+    if stats.empty:
+        return pa.table({"total_cents": pa.array([0], pa.int64())})
+    s_keys = np.sort(stats.partkey.to_numpy().astype(np.int64))
+    order = np.argsort(stats.partkey.to_numpy())
+    stats_ref = ray.put((s_keys,
+                         stats.sum_qty.to_numpy()[order].astype(np.int64),
+                         stats.n.to_numpy()[order].astype(np.int64)))
+
+    def keep_small(b: pa.Table) -> pa.Table:
+        keys, sq, n = ray.get(stats_ref)
+        p = b.column("l_partkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, p)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == p
+        qty = b.column("l_quantity").to_numpy().astype(np.int64)
+        small = hit & (5 * qty * n[pos] < sq[pos])
+        price_c = np.round(
+            b.column("l_extendedprice").to_numpy()[small] * 100
+        ).astype(np.int64)
+        return pa.table({"total_cents": pa.array([int(price_c.sum())])})
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=li_cols,
+    ).map_batches(keep_small, batch_format="pyarrow").to_pandas()
+    return pa.table({"total_cents": pa.array([int(parts.total_cents.sum())])})
+
+
 def _q_tpch_q7(sf_dir: str):
     """TPC-H Q7 shape: shipping volume between two nations per ship
     year.  supplier->nation and customer->nation broadcast as int
@@ -4665,6 +4831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
         "tpch_q7": _q_tpch_q7,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
         "supplier_cnt": _q_supplier_cnt,
         "value_ntile": _q_value_ntile,
         "type_cooccurrence": _q_type_cooccurrence,
@@ -6106,6 +6275,39 @@ def oracle_sql() -> dict[str, str]:
             "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
             "SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian "
             "FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4 FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey AS suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS total_rev_e4 FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT CAST(r.suppkey AS BIGINT) AS s_suppkey, s.s_name, "
+            "r.total_rev_e4 FROM rev r "
+            "JOIN supplier s ON s.s_suppkey = r.suppkey "
+            "WHERE r.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)"
+        ),
+        "tpch_q17": (
+            "WITH pk AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#13'), "
+            "st AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+            "JOIN pk ON p_partkey = l_partkey GROUP BY l_partkey) "
+            "SELECT CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) "
+            "AS BIGINT)), 0) AS BIGINT) AS total_cents "
+            "FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey "
+            "WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.sum_qty"
         ),
         "tpch_q7": (
             "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
