@@ -173,6 +173,29 @@ def run_op(op: str, rows: int, sf_dir: str) -> int:
         from rayspatial.textops.spandedup import span_dedup
 
         return _consume(span_dedup(synth_docs(rows)))
+    if op == "canonical_docs":
+        # dup groups -> anti-join docs against the labeled drop set;
+        # exercises the presence-join broadcast gate with TEXT on the
+        # left side (the union-diamond hazard class)
+        import pyarrow.compute as pc
+
+        from rayspatial.ops.relational import anti_join
+        from rayspatial.textops.components import (
+            connected_components_distributed,
+        )
+        from rayspatial.textops.dedup import ngram_jaccard_dup_pairs
+
+        docs = synth_docs(rows)
+        pairs = ngram_jaccard_dup_pairs(docs, k=3, threshold_pct=50
+            ).map_batches(lambda b: b.select(["a", "b"]),
+                          batch_format="pyarrow")
+        labels = connected_components_distributed(pairs)
+        drops = labels.map_batches(
+            lambda b: pa.table({"doc_id": b.filter(
+                pc.less(b.column("rep"), b.column("doc_id"))
+            ).column("doc_id")}), batch_format="pyarrow")
+        return _consume(anti_join(docs, drops, on="doc_id",
+                                  left_cols=["doc_id", "text"]))
     if op == "stream_stream_join":
         import pyarrow.compute as pc
 
